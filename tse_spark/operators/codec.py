@@ -1,0 +1,193 @@
+"""Posting-list codec: delta-gap + varint blocks with per-block max-score.
+
+Replaces the reference's ASCII posting lines (``term \\t docid docid ...``,
+index/CrtInvertedIdx.cpp:29-47, format MyNotes.txt:8-10) with the
+compressed layout the north_star mandates:
+
+  shard row = (term, shard, df, cf, max_score, blocks: binary)
+
+``blocks`` is a concatenation of self-delimiting blocks of up to
+BLOCK_SIZE postings, each:
+
+  header '<HIIIQQf': count, gaps_len, tfs_len, dls_len,
+                     first_doc, last_doc, max_score
+  payload: varint(delta-gaps) ++ varint(tfs) ++ varint(doclens)
+
+- gaps[0] == 0 (first_doc is absolute in the header); postings are
+  doc_id-ascending, so all gaps >= 0 and a block is skippable via
+  (last_doc, section lengths) without decoding — the skip pointers for
+  block-max WAND.
+- ``max_score`` is the exact *idf-free* BM25 upper bound of the block:
+  max over the block of tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)).  The
+  query engine multiplies by the term idf — storing the idf-free
+  component means encoding needs no df join and the bound survives
+  incremental df updates.
+- doclens ride inline so scoring needs no join at query time.
+
+Varint encode/decode are numpy-vectorized (no per-value Python in the
+hot loop): encode scatters 7-bit groups level-by-level; decode delimits
+on continuation bits and accumulates level-by-level.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from tse_spark import oracle
+
+BLOCK_SIZE = 128
+_HDR = struct.Struct("<HIIIQQf")
+HEADER_SIZE = _HDR.size
+
+
+# ---------------------------------------------------------------------------
+# vectorized varint
+# ---------------------------------------------------------------------------
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int64 array, vectorized."""
+    v = values.astype(np.uint64, copy=True)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length / 7), min 1
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    max_len = int(nbytes.max())
+    for j in range(max_len):
+        mask = nbytes > j
+        idx = offsets[:-1][mask] + j
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
+        out[idx] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int) -> np.ndarray:
+    """Decode ``count`` LEB128 varints from ``buf`` (consuming all of it)."""
+    if count == 0:
+        return np.zeros(0, dtype=np.int64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    assert ends.size == count, f"varint count mismatch: {ends.size} != {count}"
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    vals = np.zeros(count, dtype=np.uint64)
+    max_len = int(lengths.max())
+    for j in range(max_len):
+        mask = lengths > j
+        vals[mask] |= (b[starts[mask] + j].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+    return vals.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# block codec
+# ---------------------------------------------------------------------------
+
+def bm25_tf_component(
+    tf: np.ndarray, dl: np.ndarray, avgdl: float
+) -> np.ndarray:
+    k1, b = oracle.BM25_K1, oracle.BM25_B
+    tf = tf.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[bytes, float]:
+    """Encode one term-shard posting run (doc_id-ascending) into
+    concatenated blocks.  Returns (blocks, max idf-free score component)."""
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = doc_ids[order]
+    tfs = tfs[order]
+    dls = dls[order]
+    n = doc_ids.size
+    out = bytearray()
+    run_max = 0.0
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        docs = doc_ids[s:e]
+        gaps = np.diff(docs, prepend=docs[0])
+        g = varint_encode(gaps)
+        t = varint_encode(tfs[s:e])
+        d = varint_encode(dls[s:e])
+        bcomp = float(np.max(bm25_tf_component(tfs[s:e], dls[s:e], avgdl)))
+        run_max = max(run_max, bcomp)
+        out += _HDR.pack(
+            e - s, len(g), len(t), len(d), int(docs[0]), int(docs[-1]), bcomp
+        )
+        out += g
+        out += t
+        out += d
+    return bytes(out), run_max
+
+
+class BlockRef:
+    """Parsed block header + payload offsets (no payload decode)."""
+
+    __slots__ = ("count", "first_doc", "last_doc", "max_score",
+                 "g_off", "g_len", "t_len", "d_len")
+
+    def __init__(self, count, g_off, g_len, t_len, d_len,
+                 first_doc, last_doc, max_score):
+        self.count = count
+        self.g_off = g_off
+        self.g_len = g_len
+        self.t_len = t_len
+        self.d_len = d_len
+        self.first_doc = first_doc
+        self.last_doc = last_doc
+        self.max_score = max_score
+
+
+def scan_blocks(blocks: bytes) -> list[BlockRef]:
+    """Parse headers only — the skip-pointer directory."""
+    refs = []
+    pos = 0
+    n = len(blocks)
+    while pos < n:
+        count, g_len, t_len, d_len, first, last, mx = _HDR.unpack_from(
+            blocks, pos
+        )
+        refs.append(
+            BlockRef(count, pos + HEADER_SIZE, g_len, t_len, d_len,
+                     first, last, mx)
+        )
+        pos += HEADER_SIZE + g_len + t_len + d_len
+    return refs
+
+
+def decode_block(blocks: bytes, ref: BlockRef):
+    """-> (doc_ids, tfs, dls) int64 arrays for one block."""
+    g0 = ref.g_off
+    gaps = varint_decode(blocks[g0 : g0 + ref.g_len], ref.count)
+    docs = np.cumsum(gaps) + ref.first_doc
+    t0 = g0 + ref.g_len
+    tfs = varint_decode(blocks[t0 : t0 + ref.t_len], ref.count)
+    d0 = t0 + ref.t_len
+    dls = varint_decode(blocks[d0 : d0 + ref.d_len], ref.count)
+    return docs, tfs, dls
+
+
+def decode_all(blocks: bytes):
+    """Decode every block — (doc_ids, tfs, dls) concatenated."""
+    ds, ts, ls = [], [], []
+    for ref in scan_blocks(blocks):
+        d, t, l = decode_block(blocks, ref)
+        ds.append(d)
+        ts.append(t)
+        ls.append(l)
+    if not ds:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return np.concatenate(ds), np.concatenate(ts), np.concatenate(ls)

