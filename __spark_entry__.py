@@ -317,6 +317,43 @@ def _q_source_rollup(spark, sf):
     )
 
 
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _ws_index(spark, sf):
+    """Build (once per sf_dir) a compressed sharded index over the
+    documents table with the whitespace tokenizer; serve via WAND."""
+    import hashlib
+
+    from tse_spark.plans import pipeline as pl
+
+    key = sf
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    out = "/tmp/tse_ws_index_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    pipe = pl.IndexPipeline(
+        spark, out, tokenizer="ws", num_shards=8, block_size=128
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    handle = pipe.run_from_docs(docs, input_key=sf, resume=True)
+    _INDEX_CACHE[key] = handle
+    return handle
+
+
+def _q_wand_topk(spark, sf):
+    """Block-max WAND over delta-gap varint posting shards; must equal
+    the exhaustive SQL BM25 (same oracle as bm25_topk)."""
+    h = _ws_index(spark, sf)
+    out = h.engine.search(" ".join(BM25_QUERY), K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_wand_conjunctive(spark, sf):
+    h = _ws_index(spark, sf)
+    out = h.engine.search(" ".join(BM25_CONJ_QUERY), K, conjunctive=True)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 # ----- rows-only (non-SQL-expressible) engine paths -----
 
 def _q_pages_bm25(spark, sf):
@@ -386,6 +423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
         "bm25_conjunctive": _q_bm25_conjunctive,
+        "wand_topk": _q_wand_topk,
+        "wand_conjunctive": _q_wand_conjunctive,
         "postings_strings": _q_postings_strings,
         "top_terms": _q_top_terms,
         "scan_search": _q_scan_search,
@@ -432,6 +471,20 @@ def oracle_sql() -> dict[str, str]:
         FROM perterm GROUP BY doc_id
         ORDER BY sum(s) DESC, doc_id LIMIT 10""",
         "bm25_conjunctive": _TOK
+        + bm25_2
+        + f"""
+        SELECT doc_id, round(sum(s), 4) AS score
+        FROM perterm GROUP BY doc_id
+        HAVING count(*) = {len(BM25_CONJ_QUERY)}
+        ORDER BY sum(s) DESC, doc_id LIMIT 10""",
+        # WAND over compressed shards must reproduce exhaustive BM25
+        "wand_topk": _TOK
+        + bm25_3
+        + """
+        SELECT doc_id, round(sum(s), 4) AS score
+        FROM perterm GROUP BY doc_id
+        ORDER BY sum(s) DESC, doc_id LIMIT 10""",
+        "wand_conjunctive": _TOK
         + bm25_2
         + f"""
         SELECT doc_id, round(sum(s), 4) AS score

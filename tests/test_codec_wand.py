@@ -1,0 +1,225 @@
+"""Codec roundtrip, sharded posting build, WAND vs exhaustive scoring,
+and checkpoint-resume semantics."""
+
+import numpy as np
+import pytest
+
+from tse_spark import fixtures, oracle
+from tse_spark.operators import codec, wand
+from tse_spark.plans import pipeline as pl
+
+GB = "gb2312"
+
+
+# ---------------------------------------------------------------------------
+# varint + block codec (pure python/numpy)
+# ---------------------------------------------------------------------------
+
+def _pure_varint(vals):
+    out = bytearray()
+    for v in vals:
+        v = int(v)
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_varint_roundtrip(seed):
+    rng = np.random.RandomState(seed)
+    vals = np.concatenate(
+        [
+            rng.randint(0, 128, 50),
+            rng.randint(0, 1 << 20, 50),
+            rng.randint(0, 1 << 40, 20),
+            np.array([0, 1, 127, 128, 16383, 16384, (1 << 62) - 1]),
+        ]
+    ).astype(np.int64)
+    enc = codec.varint_encode(vals)
+    assert enc == _pure_varint(vals)
+    dec = codec.varint_decode(enc, len(vals))
+    assert (dec == vals).all()
+
+
+def test_block_roundtrip_and_skip_metadata():
+    rng = np.random.RandomState(7)
+    n = 1000
+    docs = np.unique(rng.randint(0, 100000, n).astype(np.int64))
+    tfs = rng.randint(1, 20, docs.size).astype(np.int64)
+    dls = rng.randint(5, 500, docs.size).astype(np.int64)
+    avgdl = 100.0
+    blocks, mx = codec.encode_postings(docs, tfs, dls, avgdl, block_size=128)
+    d2, t2, l2 = codec.decode_all(blocks)
+    assert (d2 == docs).all() and (t2 == tfs).all() and (l2 == dls).all()
+    refs = codec.scan_blocks(blocks)
+    assert sum(r.count for r in refs) == docs.size
+    comp = codec.bm25_tf_component(tfs, dls, avgdl)
+    assert mx == pytest.approx(float(comp.max()), rel=1e-6)
+    # per-block max and boundary docs are exact
+    pos = 0
+    for r in refs:
+        seg = slice(pos, pos + r.count)
+        assert r.first_doc == docs[seg][0] and r.last_doc == docs[seg][-1]
+        assert r.max_score == pytest.approx(float(comp[seg].max()), rel=1e-6)
+        pos += r.count
+
+
+# ---------------------------------------------------------------------------
+# WAND == exhaustive on a pure-python corpus
+# ---------------------------------------------------------------------------
+
+def _mk_runs(eng: oracle.BM25Oracle, terms):
+    """Build single-shard posting runs straight from the oracle's tf."""
+    runs = []
+    for t in terms:
+        if t not in eng.df:
+            continue
+        docs, tfs, dls = [], [], []
+        for d in sorted(eng.tf):
+            c = eng.tf[d].get(t)
+            if c:
+                docs.append(d)
+                tfs.append(c)
+                dls.append(eng.doclen[d])
+        blocks, _ = codec.encode_postings(
+            np.array(docs, dtype=np.int64),
+            np.array(tfs, dtype=np.int64),
+            np.array(dls, dtype=np.int64),
+            eng.avgdl,
+            block_size=32,
+        )
+        runs.append((oracle.bm25_idf(eng.n_docs, eng.df[t]), blocks))
+    return runs
+
+
+@pytest.fixture(scope="module")
+def py_engine():
+    pdf = fixtures.gen_pages(400)
+    by_url = {}
+    for url, text in zip(pdf["url"], pdf["text"]):
+        by_url.setdefault(url, text)
+    # doc_id = rank over url — matches ib.assign_doc_ids
+    docs = {
+        i: by_url[u].encode(GB) for i, u in enumerate(sorted(by_url))
+    }
+    return oracle.BM25Oracle(docs, fixtures.mini_dict_bytes())
+
+
+@pytest.mark.parametrize("k", [1, 5, 10, 50])
+def test_wand_equals_exhaustive(py_engine, k):
+    for qid, query, _ in fixtures.gen_queries():
+        qb = query.encode(GB)
+        terms = sorted(set(py_engine.query_terms(qb)))
+        runs = _mk_runs(py_engine, terms)
+        got = wand.wand_topk_local(runs, py_engine.avgdl, k)
+        want = py_engine.search(qb, k)
+        assert [d for d, _ in got] == [d for d, _ in want], f"q={query!r} k={k}"
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_intersect_equals_conjunctive(py_engine):
+    for qid, query, _ in fixtures.gen_queries():
+        qb = query.encode(GB)
+        terms = sorted(set(py_engine.query_terms(qb)))
+        runs = _mk_runs(py_engine, terms)
+        if len(runs) < len(terms):
+            continue  # engine-level handling tested in search tests
+        got = wand.intersect_topk_local(runs, py_engine.avgdl, 10)
+        want = py_engine.search(qb, 10, conjunctive=True)
+        assert [d for d, _ in got] == [d for d, _ in want], f"q={query!r}"
+
+
+# ---------------------------------------------------------------------------
+# Spark pipeline: shards, distributed WAND, resume
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    data_dir = str(tmp_path_factory.mktemp("pages"))
+    idx_dir = str(tmp_path_factory.mktemp("index"))
+    fixtures.write_pages_parquet(data_dir, 400)
+    pipe = pl.IndexPipeline(
+        spark,
+        idx_dir,
+        tokenizer="tse",
+        dictionary=fixtures.mini_dict_bytes(),
+        num_shards=7,
+        block_size=32,
+        num_partitions=4,
+    )
+    handle = pipe.run_from_pages(f"{data_dir}/pages.parquet", resume=False)
+    return pipe, handle, data_dir
+
+
+def test_shards_decode_to_tf(built, spark, py_engine):
+    _, handle, _ = built
+    assert handle.n_docs == py_engine.n_docs
+    assert handle.avgdl == pytest.approx(py_engine.avgdl, rel=1e-9)
+    rows = handle.postings.collect()
+    got = {}
+    for r in rows:
+        docs, tfs, dls = codec.decode_all(bytes(r["blocks"]))
+        for d, t, l in zip(docs, tfs, dls):
+            got[(r["term"].encode(GB), int(d))] = (int(t), int(l))
+    want = {}
+    for d, counter in py_engine.tf.items():
+        for t, c in counter.items():
+            want[(t, d)] = (c, py_engine.doclen[d])
+    assert got == want
+
+
+def test_distributed_search_matches_oracle(built, py_engine):
+    _, handle, _ = built
+    for qid, query, k in fixtures.gen_queries()[::4]:
+        want = py_engine.search(query.encode(GB), k)
+        got = handle.engine.search(query, k).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], query
+        loc = handle.engine.search_local(query, k)
+        assert [d for d, _ in loc] == [d for d, _ in want], query
+        for r, (_, s) in zip(got, want):
+            assert r["score"] == pytest.approx(s, abs=1e-6)
+
+
+def test_conjunctive_search(built, py_engine):
+    _, handle, _ = built
+    for query in ["web search", "数据 信息", "web zzzz"]:
+        want = py_engine.search(query.encode(GB), 10, conjunctive=True)
+        got = handle.engine.search(query, 10, conjunctive=True).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], query
+
+
+def test_resume_skips_stages(built, spark):
+    pipe, first, data_dir = built
+    h2 = pipe.run_from_pages(f"{data_dir}/pages.parquet", resume=True)
+    for name in ["docs", "tf", "postings", "term_stats"]:
+        assert h2.manifest.stages[name]["resumed"] is True, name
+    # and a param change invalidates downstream stages
+    pipe2 = pl.IndexPipeline(
+        spark,
+        pipe.out_dir,
+        tokenizer="tse",
+        dictionary=fixtures.mini_dict_bytes(),
+        num_shards=3,          # changed
+        block_size=32,
+        num_partitions=4,
+    )
+    h3 = pipe2.run_from_pages(f"{data_dir}/pages.parquet", resume=True)
+    assert h3.manifest.stages["postings"]["resumed"] is False
+    assert h3.postings.select("shard").distinct().count() <= 3
+
+
+def test_load_index_roundtrip(built, spark, py_engine):
+    pipe, handle, _ = built
+    # NOTE: `built` may have been rebuilt with 3 shards by the resume
+    # test; load whatever is on disk and check search still matches.
+    h = pl.load_index(spark, pipe.out_dir, fixtures.mini_dict_bytes())
+    want = py_engine.search("搜索引擎".encode(GB), 10)
+    got = h.engine.search_local("搜索引擎", 10)
+    assert [d for d, _ in got] == [d for d, _ in want]

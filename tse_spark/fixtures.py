@@ -196,7 +196,11 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = SEED) -> str:
     if os.path.exists(marker) and os.path.exists(fname):
         return fname
     pdf = gen_pages(n_rows, seed)
-    pdf.to_parquet(fname, index=False)
+    # microsecond timestamps: Spark cannot read TIMESTAMP(NANOS) parquet
+    pdf.to_parquet(
+        fname, index=False, coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
     with open(marker, "w") as f:
         f.write("ok")
     return fname

@@ -156,6 +156,44 @@ def make_term_freqs_udf(dict_broadcast):
     return term_freqs_udf
 
 
+def make_term_freqs_dl_udf(dict_broadcast):
+    """pandas UDF: text -> struct<dl int, pairs array<struct<term, tf>>>.
+
+    Emits the document length alongside the per-doc (term, tf) pairs so
+    the posting build needs NO doclen join/window — dl rides the explode
+    (dl = sum of tfs = count of index-eligible tokens).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("dl", T.IntegerType(), False),
+            T.StructField(
+                "pairs",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("term", T.StringType(), False),
+                            T.StructField("tf", T.IntegerType(), False),
+                        ]
+                    )
+                ),
+                False,
+            ),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def term_freqs_dl_udf(text: pd.Series) -> pd.DataFrame:
+        d = dict_broadcast.value
+        pairs = text.map(lambda s: term_freqs(s, d))
+        dl = pairs.map(lambda ps: sum(tf for _, tf in ps))
+        return pd.DataFrame({"dl": dl, "pairs": pairs})
+
+    return term_freqs_dl_udf
+
+
 def make_tokenize_udf(dict_broadcast, lowercase: bool = True):
     """pandas UDF: text string -> array<string> of ALL tokens (pre-filter),
     for doclen-style diagnostics and tests."""

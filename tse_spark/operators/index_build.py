@@ -133,6 +133,24 @@ def build_tf(docs: DataFrame, dict_broadcast) -> DataFrame:
     )
 
 
+def build_tf_dl(docs: DataFrame, dict_broadcast) -> DataFrame:
+    """``(doc_id, term, tf, dl)`` — like :func:`build_tf` but with the
+    doc length inline (emitted by the UDF), so the posting build avoids
+    a doclen join/window shuffle entirely."""
+    udf = extraction.make_term_freqs_dl_udf(dict_broadcast)
+    r = docs.select("doc_id", udf(F.col("text")).alias("r"))
+    return r.select(
+        "doc_id",
+        F.explode(F.col("r.pairs")).alias("p"),
+        F.col("r.dl").cast("long").alias("dl"),
+    ).select(
+        "doc_id",
+        F.col("p.term").alias("term"),
+        F.col("p.tf").cast("long").alias("tf"),
+        "dl",
+    )
+
+
 def build_tf_ws(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """``tf(doc_id, term, tf)`` via the whitespace tokenizer — fully
     JVM-side (split + explode + groupBy, whole-stage codegen; no Python)

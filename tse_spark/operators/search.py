@@ -1,0 +1,136 @@
+"""Distributed BM25 query serving over posting shards.
+
+Topology (replaces reference Query.cpp:59-82's whole-index-in-RAM map):
+
+  1. broadcast the query terms; filter the postings table on term
+     (parquet predicate pushdown — only the query's shard rows are read)
+  2. groupBy(shard) + applyInPandas: block-max WAND (or conjunctive
+     intersection) per doc-range shard — shards are disjoint doc ranges,
+     so shard-local top-k lists compose exactly
+  3. global ORDER BY score DESC, doc_id LIMIT k (TakeOrderedAndProject)
+
+``search_local`` is the low-latency path for interactive serving: the
+filtered shard rows (a few MB for typical queries) are collected once
+and WAND runs in-process — the analog of the reference's CGI lookup,
+without reloading the index per request.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tse_spark import oracle
+from tse_spark.operators import wand as wand_mod
+
+RESULT_SCHEMA = "doc_id long, score double"
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        postings: DataFrame,
+        term_stats: DataFrame,
+        n_docs: int,
+        avgdl: float,
+        dictionary: frozenset[bytes] = frozenset(),
+    ):
+        self.spark = spark
+        self.postings = postings
+        self.term_stats = term_stats
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.dictionary = dictionary
+
+    # -- query analysis (same tokenizer + eligibility as the index side) --
+    def query_terms(self, query: str) -> list[str]:
+        toks = oracle.tokenize(query.encode("gb2312"), self.dictionary)
+        return sorted(
+            {t.decode("gb2312") for t in toks if oracle.eligible(t)}
+        )
+
+    def _idf_map(self, terms: list[str]) -> dict[str, float]:
+        rows = self.term_stats.filter(
+            F.col("term").isin(terms)
+        ).select("term", "df").collect()
+        return {r["term"]: bm25_idf(self.n_docs, r["df"]) for r in rows}
+
+    def _shard_rows(self, terms: list[str]) -> DataFrame:
+        return self.postings.filter(F.col("term").isin(terms)).select(
+            "shard", "term", "blocks"
+        )
+
+    def search(
+        self, query: str, k: int = 10, conjunctive: bool = False
+    ) -> DataFrame:
+        """Distributed WAND: per-shard Arrow UDF -> global top-k."""
+        terms = self.query_terms(query)
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        idf = self._idf_map(terms)
+        if not idf or (conjunctive and len(idf) < len(terms)):
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        avgdl = self.avgdl
+        b_idf = self.spark.sparkContext.broadcast(idf)
+        n_terms = len(idf)
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            runs = [
+                (b_idf.value[t], bytes(b))
+                for t, b in zip(pdf["term"], pdf["blocks"])
+                if t in b_idf.value
+            ]
+            if conjunctive:
+                if len(runs) < n_terms:
+                    return pd.DataFrame({"doc_id": [], "score": []})
+                res = wand_mod.intersect_topk_local(runs, avgdl, k)
+            else:
+                res = wand_mod.wand_topk_local(runs, avgdl, k)
+            return pd.DataFrame(
+                {
+                    "doc_id": [d for d, _ in res],
+                    "score": [s for _, s in res],
+                }
+            )
+
+        local = self._shard_rows(terms).groupBy("shard").applyInPandas(
+            per_shard, schema=RESULT_SCHEMA
+        )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_local(
+        self, query: str, k: int = 10, conjunctive: bool = False
+    ) -> list[tuple[int, float]]:
+        """Low-latency in-process serving: one collect of the query's
+        shard rows, then WAND on the driver with shard results merged."""
+        terms = self.query_terms(query)
+        if not terms:
+            return []
+        idf = self._idf_map(terms)
+        if not idf or (conjunctive and len(idf) < len(terms)):
+            return []
+        rows = self._shard_rows(terms).collect()
+        by_shard: dict[int, list[tuple[float, bytes]]] = {}
+        shard_terms: dict[int, int] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(
+                (idf[r["term"]], bytes(r["blocks"]))
+            )
+            shard_terms[r["shard"]] = shard_terms.get(r["shard"], 0) + 1
+        out: list[tuple[int, float]] = []
+        for shard, runs in by_shard.items():
+            if conjunctive:
+                if shard_terms[shard] < len(terms):
+                    continue
+                out.extend(wand_mod.intersect_topk_local(runs, self.avgdl, k))
+            else:
+                out.extend(wand_mod.wand_topk_local(runs, self.avgdl, k))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]

@@ -1,0 +1,231 @@
+"""Block-max WAND top-k BM25 over compressed posting blocks.
+
+The query-time operators the reference lacks (index/Query.cpp:265-382
+scores *every* matching doc): WAND pivoting with per-block max-score
+skip pointers (north_star), plus a galloping conjunctive intersection
+(Q7's AND, reference Query.cpp:349-372, done right).
+
+``wand_topk_local`` runs over one doc-range shard's term runs inside an
+Arrow UDF (see search.py); shards cover disjoint doc-id ranges, so
+global top-k = top-k of the union of shard top-ks.
+
+Correctness contract: identical (doc_id, score) top-k — including
+score-desc/doc-asc tie order — to exhaustive scoring.  Pruning uses
+strict ``sum-of-upper-bounds < threshold`` so equal-score candidates
+are never dropped (upper bounds are exact maxima, so ub < θ implies
+score < θ).
+"""
+
+from __future__ import annotations
+
+import heapq
+from bisect import bisect_left
+
+import numpy as np
+
+from tse_spark import oracle
+from tse_spark.operators import codec
+
+_INF = (1 << 62)
+
+
+class Cursor:
+    """Posting cursor with block skip pointers over one term's blocks."""
+
+    __slots__ = (
+        "blocks", "refs", "idf", "avgdl", "term_max", "last_docs",
+        "bi", "i", "docs", "tfs", "dls", "exhausted",
+    )
+
+    def __init__(self, blocks: bytes, idf: float, avgdl: float):
+        self.blocks = blocks
+        self.refs = codec.scan_blocks(blocks)
+        self.idf = idf
+        self.avgdl = avgdl
+        self.last_docs = [r.last_doc for r in self.refs]
+        self.term_max = idf * max(
+            (r.max_score for r in self.refs), default=0.0
+        )
+        self.exhausted = not self.refs
+        self.bi = -1
+        self.i = 0
+        if not self.exhausted:
+            self._load(0)
+
+    def _load(self, bi: int) -> None:
+        self.bi = bi
+        self.docs, self.tfs, self.dls = codec.decode_block(
+            self.blocks, self.refs[bi]
+        )
+        self.i = 0
+
+    @property
+    def doc(self) -> int:
+        return _INF if self.exhausted else int(self.docs[self.i])
+
+    def block_max(self) -> float:
+        return 0.0 if self.exhausted else self.idf * self.refs[self.bi].max_score
+
+    def block_last(self) -> int:
+        return _INF if self.exhausted else self.refs[self.bi].last_doc
+
+    def score(self) -> float:
+        tf = float(self.tfs[self.i])
+        dl = float(self.dls[self.i])
+        k1, b = oracle.BM25_K1, oracle.BM25_B
+        return (
+            self.idf
+            * tf
+            * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+        )
+
+    def advance(self) -> None:
+        if self.exhausted:
+            return
+        self.i += 1
+        if self.i >= len(self.docs):
+            if self.bi + 1 < len(self.refs):
+                self._load(self.bi + 1)
+            else:
+                self.exhausted = True
+
+    def seek(self, target: int) -> None:
+        """Advance to the first doc >= target (block skip + in-block
+        binary search)."""
+        if self.exhausted or self.doc >= target:
+            return
+        if self.refs[self.bi].last_doc < target:
+            bi = bisect_left(self.last_docs, target, lo=self.bi + 1)
+            if bi >= len(self.refs):
+                self.exhausted = True
+                return
+            self._load(bi)
+        self.i = int(np.searchsorted(self.docs, target, side="left"))
+        # last_doc >= target guarantees i is in range
+        assert self.i < len(self.docs)
+
+
+class _TopK:
+    """Min-heap of (score, -doc_id): keeps the k best under score-desc /
+    doc-asc ordering."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.h: list[tuple[float, int]] = []
+
+    def offer(self, doc: int, score: float) -> None:
+        item = (score, -doc)
+        if len(self.h) < self.k:
+            heapq.heappush(self.h, item)
+        elif item > self.h[0]:
+            heapq.heapreplace(self.h, item)
+
+    def threshold(self) -> float:
+        return self.h[0][0] if len(self.h) >= self.k else float("-inf")
+
+    def result(self) -> list[tuple[int, float]]:
+        return [(-nd, s) for s, nd in sorted(self.h, key=lambda x: (-x[0], -x[1]))]
+
+
+def wand_topk_local(
+    term_runs: list[tuple[float, bytes]],
+    avgdl: float,
+    k: int,
+    initial_threshold: float = float("-inf"),
+) -> list[tuple[int, float]]:
+    """Block-max WAND over one shard.  ``term_runs`` = [(idf, blocks)].
+
+    Returns up to k (doc_id, score) pairs, score desc / doc asc.
+    """
+    cursors = [
+        Cursor(blocks, idf, avgdl) for idf, blocks in term_runs if blocks
+    ]
+    cursors = [c for c in cursors if not c.exhausted]
+    top = _TopK(k)
+    theta = initial_threshold
+
+    while cursors:
+        cursors.sort(key=lambda c: c.doc)
+        theta = max(theta, top.threshold())
+        # pivot: smallest p with cumulative term upper bound >= theta
+        cum = 0.0
+        pivot = -1
+        for p, c in enumerate(cursors):
+            cum += c.term_max
+            if cum >= theta:
+                pivot = p
+                break
+        if pivot < 0:
+            break
+        pivot_doc = cursors[pivot].doc
+        if pivot_doc >= _INF:
+            break
+        if cursors[0].doc == pivot_doc:
+            # cursors[0..pivot] sit on pivot_doc; cursors beyond the
+            # pivot may ALSO sit on it (sorted ties) — they contribute
+            # to the score, so they must be inside the block-max bound
+            # or pruning would use an under-estimate.
+            j = pivot
+            while j + 1 < len(cursors) and cursors[j + 1].doc == pivot_doc:
+                j += 1
+            bm = sum(c.block_max() for c in cursors[: j + 1])
+            if bm >= theta:
+                score = 0.0
+                for c in cursors:
+                    if c.doc == pivot_doc:
+                        score += c.score()
+                        c.advance()
+                    else:
+                        break
+                top.offer(pivot_doc, score)
+            else:
+                # block-max skip: jump past the nearest block boundary,
+                # CAPPED at the next cursor's doc — beyond it the skipped
+                # region could co-occur with that term and beat theta
+                # (Ding & Suel BMW GetNewCandidateDID)
+                d = min(c.block_last() for c in cursors[: j + 1]) + 1
+                if j + 1 < len(cursors):
+                    d = min(d, cursors[j + 1].doc)
+                d = max(d, pivot_doc + 1)
+                for c in cursors[: j + 1]:
+                    c.seek(d)
+        else:
+            for c in cursors[:pivot]:
+                c.seek(pivot_doc)
+        cursors = [c for c in cursors if not c.exhausted]
+
+    return top.result()
+
+
+def intersect_topk_local(
+    term_runs: list[tuple[float, bytes]],
+    avgdl: float,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Conjunctive AND (reference Q7) with galloping cursor alignment;
+    scores BM25 over the intersection.  Returns k best (doc, score)."""
+    if not term_runs:
+        return []
+    cursors = [Cursor(blocks, idf, avgdl) for idf, blocks in term_runs]
+    if any(c.exhausted for c in cursors):
+        return []
+    top = _TopK(k)
+    while True:
+        target = max(c.doc for c in cursors)
+        if target >= _INF:
+            break
+        aligned = True
+        for c in cursors:
+            c.seek(target)
+            if c.exhausted:
+                return top.result()
+            if c.doc != target:
+                aligned = False
+        if aligned:
+            top.offer(target, sum(c.score() for c in cursors))
+            for c in cursors:
+                c.advance()
+            if any(c.exhausted for c in cursors):
+                break
+    return top.result()

@@ -1,0 +1,172 @@
+"""End-to-end checkpoint-resumable index build (SURVEY.md §3.1 rebuilt).
+
+Stages (each a resumable checkpoint table under ``out_dir``):
+
+  docs      — dedup(url) + deterministic doc ids (+ text extraction if
+              the input has only html)
+  tf        — (doc_id, term, tf, dl): Arrow tokenizer UDF with map-side
+              per-doc aggregation and inline doc length
+  postings  — doc-range-sharded delta-gap varint blocks (salted
+              repartition-by-term)
+  term_stats— global df/cf/max_score per term
+
+plus ``meta.json`` (n_docs, avgdl, params).  A re-run with ``resume=True``
+skips every stage whose fingerprint matches (see plans/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tse_spark.operators import index_build as ib
+from tse_spark.operators import postings as po
+from tse_spark.operators import search as se
+from tse_spark.plans import checkpoint as cp
+
+
+class IndexPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        tokenizer: str = "tse",
+        dictionary: frozenset[bytes] = frozenset(),
+        num_shards: int = 32,
+        block_size: int = 128,
+        num_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.tokenizer = tokenizer
+        self.dictionary = dictionary
+        self.num_shards = num_shards
+        self.block_size = block_size
+        self.num_partitions = num_partitions
+        self.params = (tokenizer, num_shards, block_size, sorted(dictionary))
+
+    def run_from_pages(
+        self, pages_path: str, resume: bool = True
+    ) -> "IndexHandle":
+        """Full pipeline from a pages parquet table (url, warc_ts, html,
+        text?, lang)."""
+        man = cp.Manifest(self.out_dir)
+        fp0 = cp.fingerprint("pages", pages_path, self.params)
+        pages = self.spark.read.parquet(pages_path)
+        docs = cp.run_stage(
+            self.spark,
+            man,
+            "docs",
+            fp0,
+            lambda: ib.build_docs(pages, self.num_partitions),
+            resume,
+        )
+        return self._from_docs(docs, fp0, man, resume)
+
+    def run_from_docs(
+        self, docs: DataFrame, input_key: str, resume: bool = True
+    ) -> "IndexHandle":
+        """Pipeline from an existing docs table with (doc_id, text).
+        ``input_key`` identifies the input for checkpoint fingerprints."""
+        man = cp.Manifest(self.out_dir)
+        fp0 = cp.fingerprint("docs-input", input_key, self.params)
+        return self._from_docs(docs, fp0, man, resume)
+
+    def _from_docs(self, docs, fp0, man, resume) -> "IndexHandle":
+        b_dict = self.spark.sparkContext.broadcast(self.dictionary)
+        if self.tokenizer == "tse":
+            build_tf = lambda: ib.build_tf_dl(docs, b_dict)
+        else:
+            build_tf = lambda: po.with_doclen(ib.build_tf_ws(docs))
+        fp_tf = cp.fingerprint("tf", fp0)
+        tf = cp.run_stage(self.spark, man, "tf", fp_tf, build_tf, resume)
+
+        # corpus stats (cheap scalar job; cached in meta.json on resume)
+        meta_path = os.path.join(self.out_dir, "meta.json")
+        meta = None
+        if resume and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("fingerprint") != fp_tf:
+                meta = None
+        if meta is None:
+            row = (
+                tf.groupBy("doc_id")
+                .agg(F.first("dl").alias("dl"))
+                .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+                .collect()[0]
+            )
+            meta = {
+                "n_docs": int(row["n"]),
+                "avgdl": float(row["avgdl"] or 0.0),
+                "fingerprint": fp_tf,
+                "tokenizer": self.tokenizer,
+                "num_shards": self.num_shards,
+                "block_size": self.block_size,
+                "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            os.makedirs(self.out_dir, exist_ok=True)
+            with open(meta_path, "w") as f:
+                json.dump(meta, f, indent=1)
+
+        fp_po = cp.fingerprint("postings", fp_tf, meta["n_docs"], meta["avgdl"])
+        postings = cp.run_stage(
+            self.spark,
+            man,
+            "postings",
+            fp_po,
+            lambda: po.build_posting_shards(
+                tf,
+                meta["n_docs"],
+                meta["avgdl"],
+                self.num_shards,
+                self.block_size,
+            ),
+            resume,
+        )
+        stats = cp.run_stage(
+            self.spark,
+            man,
+            "term_stats",
+            cp.fingerprint("term_stats", fp_po),
+            lambda: po.term_stats(postings),
+            resume,
+        )
+        return IndexHandle(
+            self.spark, self.out_dir, postings, stats,
+            meta["n_docs"], meta["avgdl"], self.dictionary, man,
+        )
+
+
+class IndexHandle:
+    def __init__(
+        self, spark, out_dir, postings, term_stats, n_docs, avgdl,
+        dictionary, manifest,
+    ):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.postings = postings
+        self.term_stats = term_stats
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.manifest = manifest
+        self.engine = se.SearchEngine(
+            spark, postings, term_stats, n_docs, avgdl, dictionary
+        )
+
+
+def load_index(
+    spark: SparkSession, out_dir: str, dictionary: frozenset[bytes] = frozenset()
+) -> IndexHandle:
+    """Open a previously built index without re-running any stage."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+    stats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    return IndexHandle(
+        spark, out_dir, postings, stats,
+        meta["n_docs"], meta["avgdl"], dictionary, cp.Manifest(out_dir),
+    )
