@@ -104,9 +104,14 @@ def py_engine():
     by_url = {}
     for url, text in zip(pdf["url"], pdf["text"]):
         by_url.setdefault(url, text)
-    # doc_id = rank over url — matches ib.assign_doc_ids
+    # doc_id = rank over md5(url) — matches ib.assign_doc_ids
+    import hashlib
+
     docs = {
-        i: by_url[u].encode(GB) for i, u in enumerate(sorted(by_url))
+        i: by_url[u].encode(GB)
+        for i, u in enumerate(
+            sorted(by_url, key=lambda u: hashlib.md5(u.encode()).hexdigest())
+        )
     }
     return oracle.BM25Oracle(docs, fixtures.mini_dict_bytes())
 

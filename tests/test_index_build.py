@@ -41,8 +41,16 @@ def test_doc_id_deterministic_across_parallelism(spark, pages_df):
     ma = {r["url"]: r["doc_id"] for r in a.select("url", "doc_id").collect()}
     mb = {r["url"]: r["doc_id"] for r in b.select("url", "doc_id").collect()}
     assert ma == mb
-    # and equals rank over url
-    expect = {u: i for i, u in enumerate(sorted(ma))}
+    # and equals rank over md5(url) — the reference's Url.idx order
+    # (sort Url.idx | uniq, index/readme.txt:14)
+    import hashlib
+
+    expect = {
+        u: i
+        for i, u in enumerate(
+            sorted(ma, key=lambda u: hashlib.md5(u.encode()).hexdigest())
+        )
+    }
     assert ma == expect
 
 

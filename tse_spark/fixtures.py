@@ -89,16 +89,20 @@ _GARNISH: tuple[str, ...] = (
 )
 
 
-def gen_pages(n_rows: int, seed: int = SEED) -> pd.DataFrame:
+def gen_pages(
+    n_rows: int, seed: int = SEED, length_scale: int = 1
+) -> pd.DataFrame:
     """Deterministic pages table as a pandas DataFrame.
 
     ~1% exact-duplicate urls (with identical html, so dedup survivor
     choice cannot affect downstream results) and a few uppercase-scheme
-    url variants.
+    url variants.  ``length_scale`` multiplies tokens-per-doc (1 ->
+    15-60 tokens, tiny unit-test pages; 8 -> 120-480 tokens ~ 1-4 KB
+    text, Common-Crawl-like body sizes for throughput benchmarks).
     """
     rng = np.random.RandomState(seed)
     probs = _zipf_probs(len(VOCAB))
-    lengths = rng.randint(15, 60, size=n_rows)
+    lengths = rng.randint(15 * length_scale, 60 * length_scale, size=n_rows)
     flat = rng.choice(len(VOCAB), size=int(lengths.sum()), p=probs)
     offsets = np.concatenate(([0], np.cumsum(lengths)))
 
@@ -182,6 +186,41 @@ def gen_queries() -> list[tuple[int, str, int]]:
         "web，search", "搜索，引擎。",
     ]
     return [(i, q, 10) for i, q in enumerate(qs)]
+
+
+def write_pages_parquet_sharded(
+    path: str,
+    n_rows: int,
+    n_files: int = 32,
+    seed: int = SEED,
+    length_scale: int = 1,
+) -> str:
+    """Generate (or reuse) the pages fixture as a DIRECTORY of parquet
+    part files.  Multiple files give the Spark scan enough input splits
+    that extraction parallelism is not capped by file count — the
+    sandbox stand-in for a many-file Common-Crawl-scale table.  Cache
+    key is (n_rows, n_files, seed, length_scale); generation is
+    deterministic.
+    """
+    os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, f"_gen_{n_rows}_{n_files}_{seed}_{length_scale}")
+    if os.path.exists(marker):
+        return path
+    pdf = gen_pages(n_rows, seed, length_scale)
+    per = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        if len(chunk) == 0:
+            break
+        chunk.to_parquet(
+            os.path.join(path, f"part-{i:05d}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return path
 
 
 def write_pages_parquet(path: str, n_rows: int, seed: int = SEED) -> str:

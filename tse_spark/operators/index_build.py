@@ -10,10 +10,10 @@ CrtInvertedIdx) with one declarative DAG:
     tf --range-salted repartition-by-term + applyInPandas codec--> postings
 
 Scale notes (10^12 docs):
-- doc_id assignment is a *rank over url* computed with range
-  repartition + per-partition offsets — no single-partition Window, no
-  ``monotonically_increasing_id`` (ids must be identical at any
-  parallelism, SURVEY.md §7 determinism risk).
+- doc_id assignment is a *rank over md5(url)* computed JVM-side with
+  uniform md5-prefix range buckets + per-bucket windows — no
+  single-partition Window, no ``monotonically_increasing_id`` (ids must
+  be identical at any parallelism, SURVEY.md §7 determinism risk).
 - tf is pre-aggregated inside the tokenizer UDF (one output row per
   (doc, term), not per occurrence), i.e. map-side combine before any
   shuffle (B4+B6 fused).
@@ -24,7 +24,6 @@ Scale notes (10^12 docs):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql import types as T
 
 from tse_spark import oracle
 from tse_spark.functions import extraction
@@ -42,67 +41,146 @@ def dedup_pages(pages: DataFrame) -> DataFrame:
     return pages.dropDuplicates(["url"])
 
 
+def _hkey_bucket(order_col: str, num_buckets: int):
+    """(md5-hex, range-bucket) column expressions for ``order_col``.
+
+    md5 is uniform, so the first 16 bits of the digest give perfectly
+    balanced deterministic range buckets with no sampling, no counts,
+    no data-dependent boundaries.  The md5 ordering itself is
+    reference-faithful: the url index ships sorted by md5
+    (``sort Url.idx | uniq``, index/readme.txt:14; binary-searched in
+    Snapshot.cpp:106-120)."""
+    h = F.md5(F.col(order_col).cast("string"))
+    bucket = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+        * num_buckets
+        / F.lit(65536)
+    ).cast("int")
+    return h, bucket
+
+
 def assign_doc_ids(
     df: DataFrame, order_col: str = "url", num_partitions: int | None = None
 ) -> DataFrame:
-    """Dense deterministic doc ids: global rank over ``order_col``
-    (B1; reference DocIndex.cpp:74,96 assigns scan-order ints).
+    """Dense deterministic doc ids: global rank over **md5(order_col)**
+    (B1; the reference assigns scan-order ints, DocIndex.cpp:74,96, and
+    keys its url index by sorted md5).
 
-    Scalable pattern: range-repartition + sortWithinPartitions, count
-    rows per partition (tiny collect), then add per-partition offsets in
-    a mapInPandas pass.  The resulting id equals the global rank
-    regardless of partition boundaries or parallelism — a single-
-    partition ``Window.orderBy`` would serialize at scale.
+    Fully JVM-side, parallelism-independent (SURVEY.md §7 — the
+    2-cluster-size bench would expose any violation as rank mismatches):
+
+      1. ``bucket = first-16-bits(md5(key)) * NB / 65536`` — pure
+         deterministic column expression;
+      2. exact per-bucket counts -> bucket offset map (tiny collect of
+         NB rows);
+      3. ``row_number`` over Window(partitionBy=bucket, orderBy=md5)
+         + broadcast-joined bucket offset.  One shuffle, no Python in
+         the row path, whole-stage codegen end to end.
+
+    No single-partition Window, no ``monotonically_increasing_id``, no
+    ``repartitionByRange`` (whose per-job sampling seeds can shift
+    partition boundaries *between* jobs, silently corrupting ids).
+
+    ``order_col`` values must be unique (run after :func:`dedup_pages`).
     """
-    import pandas as pd
+    from pyspark.sql.window import Window
 
+    spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    d = df.repartitionByRange(num_partitions, order_col).sortWithinPartitions(
-        order_col
+        num_partitions = spark.sparkContext.defaultParallelism
+    num_buckets = min(max(num_partitions * 8, 1), 65536)
+
+    h, bucket = _hkey_bucket(order_col, num_buckets)
+    with_b = df.withColumn("__hkey", h).withColumn("__bucket", bucket)
+
+    counts = with_b.groupBy("__bucket").count().collect()
+    offsets: list[tuple[int, int]] = []
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__bucket"]):
+        offsets.append((int(row["__bucket"]), acc))
+        acc += row["count"]
+    offs_df = spark.createDataFrame(
+        offsets, "__bucket int, __offset long"
     )
+
+    w = Window.partitionBy("__bucket").orderBy("__hkey")
+    out = (
+        with_b.join(F.broadcast(offs_df), "__bucket")
+        .withColumn(
+            "doc_id",
+            (F.col("__offset") + F.row_number().over(w) - F.lit(1)).cast(
+                "long"
+            ),
+        )
+        .drop("__bucket", "__hkey", "__offset")
+    )
+    return out.select("doc_id", *df.columns)
+
+
+def build_docs(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    force_extract: bool = False,
+) -> DataFrame:
+    """``docs(doc_id, url, warc_ts, text, lang, content_md5)`` from the
+    raw pages table.  If ``text`` is absent (raw crawl) — or
+    ``force_extract`` — it is derived from ``html`` with the byte-exact
+    extraction UDF (T2-T4).
+
+    Fused single-shuffle plan: instead of dropDuplicates (url-hash
+    shuffle) followed by the rank shuffle, both dedup and id assignment
+    ride ONE exchange on the md5-range bucket — duplicates share
+    md5(url), hence a bucket, so ``lag`` spots them and ``dense_rank``
+    counts each url once.  The payload (html bytes) crosses the wire
+    exactly once; heavy per-byte work (extraction automaton, content
+    md5) runs after the shuffle, once per surviving doc.
+    """
+    from pyspark.sql.window import Window
+
+    spark = pages.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    num_buckets = min(max(num_partitions * 8, 1), 65536)
+
+    h, bucket = _hkey_bucket("url", num_buckets)
+    with_b = pages.withColumn("__hkey", h).withColumn("__bucket", bucket)
+
+    # exact distinct-url count per bucket (url-pruned scan, JVM hash agg)
     counts = (
-        d.groupBy(F.spark_partition_id().alias("pid"))
-        .count()
+        with_b.groupBy("__bucket")
+        .agg(F.count_distinct("__hkey").alias("n"))
         .collect()
     )
-    offsets: dict[int, int] = {}
+    offsets: list[tuple[int, int]] = []
     acc = 0
-    for row in sorted(counts, key=lambda r: r["pid"]):
-        offsets[row["pid"]] = acc
-        acc += row["count"]
-    schema = T.StructType(
-        [T.StructField("doc_id", T.LongType(), False)] + list(d.schema.fields)
+    for row in sorted(counts, key=lambda r: r["__bucket"]):
+        offsets.append((int(row["__bucket"]), acc))
+        acc += row["n"]
+    offs_df = spark.createDataFrame(offsets, "__bucket int, __offset long")
+
+    # one shuffle by bucket; two window specs share it (same partition
+    # key, compatible sort prefixes -> Catalyst plans one Exchange)
+    w_first = Window.partitionBy("__bucket").orderBy("__hkey", "warc_ts")
+    w_rank = Window.partitionBy("__bucket").orderBy("__hkey")
+    docs = (
+        with_b.withColumn(
+            "__is_first",
+            F.lag("__hkey").over(w_first).isNull()
+            | (F.lag("__hkey").over(w_first) != F.col("__hkey")),
+        )
+        .withColumn("__rank", F.dense_rank().over(w_rank))
+        .filter(F.col("__is_first"))
+        .join(F.broadcast(offs_df), "__bucket")
+        .withColumn(
+            "doc_id",
+            (F.col("__offset") + F.col("__rank") - F.lit(1)).cast("long"),
+        )
     )
-    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
-
-    def add_ids(it):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        nxt = b_offsets.value.get(pid, 0)
-        for pdf in it:
-            n = len(pdf)
-            out = pdf.copy()
-            out.insert(0, "doc_id", pd.RangeIndex(nxt, nxt + n).astype("int64"))
-            nxt += n
-            yield out
-
-    return d.mapInPandas(add_ids, schema=schema)
-
-
-def build_docs(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """``docs(doc_id, url, warc_ts, text, lang, content_md5)`` from the
-    raw pages table.  If ``text`` is absent (raw crawl), it is derived
-    from ``html`` with the byte-exact extraction UDF (T2-T4)."""
-    cols = pages.columns
-    if "text" not in cols:
-        pages = pages.withColumn(
+    if force_extract or "text" not in pages.columns:
+        docs = docs.withColumn(
             "text", extraction.make_extract_text_udf()(F.col("html"))
         )
-    docs = dedup_pages(pages)
     docs = docs.withColumn("content_md5", F.md5(F.col("html")))
-    docs = assign_doc_ids(docs, "url", num_partitions)
     return docs.select("doc_id", "url", "warc_ts", "text", "lang", "content_md5")
 
 

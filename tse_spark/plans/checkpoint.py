@@ -23,7 +23,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 
 class Manifest:
@@ -54,6 +54,22 @@ def fingerprint(*parts: object) -> str:
     return h.hexdigest()[:16]
 
 
+def _partition_lineage(path: str) -> dict[str, int]:
+    """Per-output-partition row counts straight from the parquet footers
+    (driver-side metadata reads — no Spark job; each part file is one
+    writer partition, so file row counts ARE the partition lineage)."""
+    import pyarrow.parquet as pq
+
+    parts: dict[str, int] = {}
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".parquet"):
+            continue
+        parts[fname] = pq.ParquetFile(
+            os.path.join(path, fname)
+        ).metadata.num_rows
+    return parts
+
+
 def run_stage(
     spark: SparkSession,
     manifest: Manifest,
@@ -74,12 +90,7 @@ def run_stage(
     t0 = time.time()
     build().write.mode("overwrite").parquet(path)
     df = spark.read.parquet(path)
-    parts = {
-        str(r["pid"]): r["count"]
-        for r in df.groupBy(F.spark_partition_id().alias("pid"))
-        .count()
-        .collect()
-    }
+    parts = _partition_lineage(path)
     manifest.stages[name] = {
         "fingerprint": fp,
         "rows": int(sum(parts.values())),

@@ -38,6 +38,7 @@ class IndexPipeline:
         num_shards: int = 32,
         block_size: int = 128,
         num_partitions: int | None = None,
+        force_extract: bool = False,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -46,7 +47,11 @@ class IndexPipeline:
         self.num_shards = num_shards
         self.block_size = block_size
         self.num_partitions = num_partitions
-        self.params = (tokenizer, num_shards, block_size, sorted(dictionary))
+        self.force_extract = force_extract
+        self.params = (
+            tokenizer, num_shards, block_size, sorted(dictionary),
+            force_extract,
+        )
 
     def run_from_pages(
         self, pages_path: str, resume: bool = True
@@ -61,7 +66,9 @@ class IndexPipeline:
             man,
             "docs",
             fp0,
-            lambda: ib.build_docs(pages, self.num_partitions),
+            lambda: ib.build_docs(
+                pages, self.num_partitions, self.force_extract
+            ),
             resume,
         )
         return self._from_docs(docs, fp0, man, resume)
