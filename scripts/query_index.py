@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Cluster entry point: serve BM25 top-k queries from a built index.
+
+    spark-submit --py-files /tmp/tse_spark.zip \
+        scripts/query_index.py --index /data/tse_index \
+        --k 10 "web search" "搜索引擎"
+
+Prints one JSON line per query: {"query", "k", "ms", "results":
+[[doc_id, score], ...]}.  --conjunctive requires every term to match
+(reference Q7 AND semantics); default is disjunctive BM25.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--index", required=True, help="index dir (build_index.py --out)")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--conjunctive", action="store_true")
+    ap.add_argument("--dict", default=None)
+    ap.add_argument(
+        "--distributed", action="store_true",
+        help="score with the per-shard WAND job instead of the "
+        "low-latency driver path",
+    )
+    ap.add_argument(
+        "--queries-file", default=None,
+        help="UTF-8 file, one query per line (use for non-ASCII queries: "
+        "spark-submit under a C locale mangles non-ASCII argv)",
+    )
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args(argv)
+    if args.queries_file:
+        with open(args.queries_file, encoding="utf-8") as f:
+            args.queries += [q.strip() for q in f if q.strip()]
+    if not args.queries:
+        ap.error("no queries given (positional or --queries-file)")
+
+    from tse_spark.plans import pipeline as pl
+
+    from tse_spark.session import tune_runtime
+
+    spark = tune_runtime(
+        SparkSession.builder.appName("tse-query").getOrCreate()
+    )
+    if args.dict:
+        with open(args.dict, "rb") as f:
+            dictionary = frozenset(
+                w.strip() for w in f.read().splitlines() if w.strip()
+            )
+    else:
+        from tse_spark import fixtures
+
+        dictionary = fixtures.mini_dict_bytes()
+
+    handle = pl.load_index(spark, args.index, dictionary)
+    handle.engine.warm()
+    for q in args.queries:
+        t0 = time.time()
+        if args.distributed:
+            rows = handle.engine.search(
+                q, args.k, conjunctive=args.conjunctive
+            ).collect()
+            res = [[r["doc_id"], round(r["score"], 4)] for r in rows]
+        else:
+            res = [
+                [d, round(s, 4)]
+                for d, s in handle.engine.search_local(
+                    q, args.k, conjunctive=args.conjunctive
+                )
+            ]
+        print(
+            json.dumps(
+                {
+                    "query": q,
+                    "k": args.k,
+                    "ms": round((time.time() - t0) * 1000, 2),
+                    "results": res,
+                },
+                ensure_ascii=False,
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -58,10 +58,21 @@ ASCII_WORDS: tuple[str, ...] = (
     "Spark", "WEB",
 )
 
+# Long-tail vocabulary: realistic web corpora have power-law dfs with a
+# vast rare tail; without it every fixture term is stopword-hot (df ~ N,
+# idf ~ 0), which both misrepresents posting-list shapes and makes WAND
+# skipping impossible.  5-byte ASCII words -> index-eligible (2..8 B).
+TAIL_WORDS: tuple[str, ...] = tuple(f"w{i:04x}" for i in range(4096))
+
 VOCAB: tuple[str, ...] = (
     ASCII_WORDS + DICT_WORDS + OOD_HANZI
     + ("搜索引擎原理", "北京大学网络实验室", "中国人民大学")  # multi-word runs
+    + TAIL_WORDS
 )
+
+# bump when generated fixture CONTENT changes (invalidates the parquet
+# cache markers used by write_pages_parquet*)
+FIXTURE_VERSION = 2
 
 
 def mini_dict_bytes() -> frozenset[bytes]:
@@ -184,6 +195,8 @@ def gen_queries() -> list[tuple[int, str, int]]:
         "spark 中国", "web 搜索引擎", "数据 query", "北京 index html",
         # punctuation embedded
         "web，search", "搜索，引擎。",
+        # long-tail terms (selective postings; WAND skip path)
+        "w0001", "w0010 web", "w0003 w0007", "w00ff search", "w0a00",
     ]
     return [(i, q, 10) for i, q in enumerate(qs)]
 
@@ -203,7 +216,9 @@ def write_pages_parquet_sharded(
     deterministic.
     """
     os.makedirs(path, exist_ok=True)
-    marker = os.path.join(path, f"_gen_{n_rows}_{n_files}_{seed}_{length_scale}")
+    marker = os.path.join(
+        path, f"_gen_v{FIXTURE_VERSION}_{n_rows}_{n_files}_{seed}_{length_scale}"
+    )
     if os.path.exists(marker):
         return path
     pdf = gen_pages(n_rows, seed, length_scale)
@@ -230,7 +245,7 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = SEED) -> str:
     cached file is always byte-equivalent.
     """
     os.makedirs(path, exist_ok=True)
-    marker = os.path.join(path, f"_gen_{n_rows}_{seed}")
+    marker = os.path.join(path, f"_gen_v{FIXTURE_VERSION}_{n_rows}_{seed}")
     fname = os.path.join(path, "pages.parquet")
     if os.path.exists(marker) and os.path.exists(fname):
         return fname

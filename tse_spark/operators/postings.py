@@ -54,36 +54,72 @@ def build_posting_shards(
 ) -> DataFrame:
     """(doc_id, term, tf, dl) -> compressed posting shards.
 
-    groupBy(term, shard) + applyInPandas: each group is one
-    doc-contiguous run of one term; the codec UDF emits one row with
-    delta-gap varint blocks and per-block max-score skip metadata.
+    Repartition by (term, shard) + sortWithinPartitions + a streaming
+    mapInPandas encoder: each (term, shard) run is doc-id-contiguous and
+    becomes one output row of delta-gap varint blocks with per-block
+    max-score skip metadata.  mapInPandas (not applyInPandas) because a
+    web-scale vocabulary yields millions of tiny groups and applyInPandas
+    pays per-group pandas overhead; the streaming encoder amortizes it
+    across a whole Arrow batch.
     """
     shard_range = max(1, math.ceil(n_docs / num_shards))
     t = tf_dl.withColumn("shard", shard_of(F.col("doc_id"), shard_range))
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
+    def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Encode every complete (term, shard) run inside one sorted
+        frame; one output row per run, one DataFrame per call."""
+        terms = pdf["term"].to_numpy(dtype=object)
+        shards = pdf["shard"].to_numpy(dtype=np.int64)
         docs = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
-        blocks, mx = codec.encode_postings(
-            docs, tfs, dls, avgdl, block_size
+        change = np.flatnonzero(
+            (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
         )
-        return pd.DataFrame(
-            {
-                "term": [term],
-                "shard": [shard],
-                "df": [len(docs)],
-                "cf": [int(tfs.sum())],
-                "max_score": [mx],
-                "blocks": [blocks],
-            }
-        )
+        bounds = np.concatenate(([0], change + 1, [len(pdf)]))
+        out: dict[str, list] = {
+            "term": [], "shard": [], "df": [], "cf": [],
+            "max_score": [], "blocks": [],
+        }
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            blocks, mx = codec.encode_postings(
+                docs[a:b], tfs[a:b], dls[a:b], avgdl, block_size
+            )
+            out["term"].append(terms[a])
+            out["shard"].append(int(shards[a]))
+            out["df"].append(b - a)
+            out["cf"].append(int(tfs[a:b].sum()))
+            out["max_score"].append(mx)
+            out["blocks"].append(blocks)
+        return pd.DataFrame(out)
 
-    return t.groupBy("term", "shard").applyInPandas(
-        encode, schema=POSTINGS_SCHEMA
+    def encode_stream(it):
+        """Stream Arrow batches of one sorted partition; a (term, shard)
+        run can span batch boundaries, so the trailing (possibly
+        incomplete) run is carried into the next batch.  Memory is
+        O(batch + largest single run), never O(partition) — the sorted-
+        merge-combine shape from the north_star, vectorized."""
+        buf: pd.DataFrame | None = None
+        for pdf in it:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            last_t = pdf["term"].iloc[-1]
+            last_s = pdf["shard"].iloc[-1]
+            tail = (pdf["term"] == last_t) & (pdf["shard"] == last_s)
+            complete = pdf[~tail]
+            buf = pdf[tail]
+            if len(complete):
+                yield encode_groups(complete)
+        if buf is not None and len(buf):
+            yield encode_groups(buf)
+
+    # hash-partition on (term, shard): a hot term's shards spread across
+    # the cluster (the salt), each partition sorted so runs are adjacent
+    num_parts = tf_dl.sparkSession.sparkContext.defaultParallelism
+    d = t.repartition(num_parts, "term", "shard").sortWithinPartitions(
+        "term", "shard", "doc_id"
     )
+    return d.mapInPandas(encode_stream, schema=POSTINGS_SCHEMA)
 
 
 def term_stats(postings: DataFrame) -> DataFrame:

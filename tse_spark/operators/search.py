@@ -48,6 +48,23 @@ class SearchEngine:
         self.n_docs = n_docs
         self.avgdl = avgdl
         self.dictionary = dictionary
+        self._df_cache: dict[str, int] | None = None
+
+    def warm(self) -> "SearchEngine":
+        """Interactive-serving mode: pin the postings table in cluster
+        memory and the (small) term->df map on the driver, so a query
+        costs ONE pruned job instead of stats-lookup + postings jobs.
+        The reference does the opposite — it reloads the entire index
+        from disk on every CGI request (Query.cpp:59-82).  At 10^12-doc
+        scale the driver map should be replaced by an LRU of hot terms;
+        the postings persist() is per-executor and scales out."""
+        self.postings = self.postings.persist()
+        self.postings.count()
+        self._df_cache = {
+            r["term"]: r["df"]
+            for r in self.term_stats.select("term", "df").collect()
+        }
+        return self
 
     # -- query analysis (same tokenizer + eligibility as the index side) --
     def query_terms(self, query: str) -> list[str]:
@@ -57,6 +74,12 @@ class SearchEngine:
         )
 
     def _idf_map(self, terms: list[str]) -> dict[str, float]:
+        if self._df_cache is not None:
+            return {
+                t: bm25_idf(self.n_docs, self._df_cache[t])
+                for t in terms
+                if t in self._df_cache
+            }
         rows = self.term_stats.filter(
             F.col("term").isin(terms)
         ).select("term", "df").collect()

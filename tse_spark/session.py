@@ -14,6 +14,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def tune_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable defaults to an externally created session
+    (the spark-submit path) without overriding explicit --conf choices:
+    only settings still at their Spark defaults are touched."""
+    conf = spark.conf
+    try:
+        if conf.get("spark.sql.shuffle.partitions") == "200":
+            conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark
+
+
 def get_spark(
     cpus: int | None = None,
     app: str = "tse_spark",
