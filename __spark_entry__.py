@@ -84,7 +84,9 @@ def _bm25(
 ) -> DataFrame:
     from tse_spark.operators import index_build as ib
 
-    tf = _tf_ws(spark, sf_dir)
+    # tf feeds doclen + dfreq + corpus stats + the scoring join; cache it
+    # so the tokenize/aggregate lineage runs once, not once per consumer
+    tf = _tf_ws(spark, sf_dir).cache()
     doclen = ib.build_doclen(tf)
     dfreq = ib.build_df_stats(tf)
     n, avgdl = ib.corpus_stats(doclen)
@@ -394,6 +396,73 @@ def _q_pages_bm25(spark, sf):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+# ----- crawler set-algebra (SURVEY.md §2.6) over synthesized urls -----
+
+def _synth_urls(spark, sf):
+    """Deterministic url table derived from documents.doc_id — the same
+    construction is expressed in the DuckDB oracle SQL so the classify
+    verdicts can be value-compared."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    dom = (
+        F.when(doc % 4 == 0, ".example.cn")
+        .when(doc % 4 == 1, ".example.com")
+        .when(doc % 4 == 2, ".example.de")
+        .otherwise(".example.org")
+    )
+    path = (
+        F.when(doc % 5 == 0, F.concat(F.lit("/p/"), doc.cast("string")))
+        .when(doc % 5 == 1, F.concat(F.lit("/img"), doc.cast("string"), F.lit(".jpg")))
+        .when(doc % 5 == 2, F.concat(F.lit("/cgi-bin/q"), doc.cast("string")))
+        .when(doc % 5 == 3, F.concat(F.lit("/a"), doc.cast("string"), F.lit("?b=1&c=2&d=3")))
+        .otherwise(F.concat(F.lit("/x-"), doc.cast("string"), F.lit("+z")))
+    )
+    url = F.concat(
+        F.lit("http://site"), (doc % 97).cast("string"), dom, path
+    )
+    return d.withColumn("url", url)
+
+
+def _q_url_classify(spark, sf):
+    from tse_spark.operators import crawl
+
+    out = crawl.classify_urls(_synth_urls(spark, sf))
+    return out.select(
+        "doc_id", "url", "host", "is_image", "is_foreign",
+        "valid_host", "filtered",
+    )
+
+
+def _q_frontier_wave(spark, sf):
+    from tse_spark.operators import crawl
+
+    urls = _synth_urls(spark, sf)
+    frontier = urls.select("url")
+    visited = urls.filter(F.col("doc_id") % 2 == 0).select("url")
+    return crawl.frontier_wave(frontier, visited)
+
+
+def _q_link_extract(spark, sf):
+    """Rows-only: link extraction over the GB2312 pages fixture
+    (pytest-verified vs the pure-python port; no DuckDB twin)."""
+    from pyspark.sql import types as T
+
+    from tse_spark import fixtures
+    from tse_spark.operators import crawl
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    pages = spark.createDataFrame(fixtures.gen_pages(300), schema=schema)
+    return crawl.extract_links(pages)
+
+
 def _q_minhash_neardup(spark, sf):
     from tse_spark.operators import dedup
 
@@ -445,12 +514,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _q_tpch_q3,
         "point_lookup": _q_point_lookup,
         "source_rollup": _q_source_rollup,
+        "url_classify": _q_url_classify,
+        "frontier_wave": _q_frontier_wave,
         # rows-only engine paths (no DuckDB equivalent; pytest-verified)
+        "link_extract": _q_link_extract,
         "pages_bm25": _q_pages_bm25,
         "minhash_neardup": _q_minhash_neardup,
         "simhash": _q_simhash,
         "lsh_ann": _q_lsh_ann,
     }
+
+
+_SYNTH_URLS_SQL = """
+WITH synth AS (
+  SELECT doc_id,
+         'http://site' || (doc_id % 97)::VARCHAR
+         || CASE doc_id % 4 WHEN 0 THEN '.example.cn'
+                            WHEN 1 THEN '.example.com'
+                            WHEN 2 THEN '.example.de'
+                            ELSE '.example.org' END
+         || CASE doc_id % 5
+              WHEN 0 THEN '/p/' || doc_id::VARCHAR
+              WHEN 1 THEN '/img' || doc_id::VARCHAR || '.jpg'
+              WHEN 2 THEN '/cgi-bin/q' || doc_id::VARCHAR
+              WHEN 3 THEN '/a' || doc_id::VARCHAR || '?b=1&c=2&d=3'
+              ELSE '/x-' || doc_id::VARCHAR || '+z' END AS url,
+         'site' || (doc_id % 97)::VARCHAR
+         || CASE doc_id % 4 WHEN 0 THEN '.example.cn'
+                            WHEN 1 THEN '.example.com'
+                            WHEN 2 THEN '.example.de'
+                            ELSE '.example.org' END AS host
+  FROM documents
+)
+"""
+
+
+def _url_classify_sql() -> str:
+    from tse_spark.operators import crawl
+
+    deny = crawl._deny_regex().replace("'", "''")
+    doubled = crawl._DOUBLED_REGEX.replace("'", "''")
+    img = ", ".join(f"'{e}'" for e in crawl.IMAGE_EXTS)
+    tlds = ", ".join(f"'{t}'" for t in crawl.HOME_TLDS)
+    return _SYNTH_URLS_SQL + f"""
+    SELECT doc_id, url, host,
+      (strlen(url) <= 256 AND contains(url, '.')
+       AND lower(regexp_extract(url, '\\.([^.]*)$', 1)) IN ({img}))
+        AS is_image,
+      (NOT regexp_full_match(host, '\\d{{1,3}}(\\.\\d{{1,3}}){{3}}')
+       AND lower(regexp_extract(host, '([^.]*)$', 1)) NOT IN ({tlds}))
+        AS is_foreign,
+      (strlen(host) >= 6
+       AND regexp_full_match(host, '[A-Za-z0-9.:_\\-]+')) AS valid_host,
+      (strlen(url) > 256 OR strlen(url) = 0
+       OR regexp_matches(lower(url), '{doubled}')
+       OR regexp_matches(lower(url), '{deny}')) AS filtered
+    FROM synth"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -650,6 +769,10 @@ def oracle_sql() -> dict[str, str]:
         "point_lookup": """
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id = 42""",
+        "url_classify": _url_classify_sql(),
+        "frontier_wave": _SYNTH_URLS_SQL
+        + """
+        SELECT DISTINCT url FROM synth WHERE doc_id % 2 = 1""",
         "source_rollup": """
         SELECT source, lang, count(*)::BIGINT AS n_docs
         FROM documents GROUP BY ROLLUP (source, lang)""",

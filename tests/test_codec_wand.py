@@ -129,6 +129,33 @@ def test_wand_equals_exhaustive(py_engine, k):
             assert gs == pytest.approx(ws, abs=1e-9)
 
 
+@pytest.mark.parametrize("k", [1, 5, 10, 50])
+def test_blockmax_vectorized_equals_exhaustive(py_engine, k):
+    """The serving-path scorer (block-granular pruning + numpy scoring)
+    must reproduce exhaustive BM25 exactly, like the per-posting WAND."""
+    for qid, query, _ in fixtures.gen_queries():
+        qb = query.encode(GB)
+        terms = sorted(set(py_engine.query_terms(qb)))
+        runs = _mk_runs(py_engine, terms)
+        got = wand.blockmax_topk_local(runs, py_engine.avgdl, k)
+        want = py_engine.search(qb, k)
+        assert [d for d, _ in got] == [d for d, _ in want], f"q={query!r} k={k}"
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_intersect_vec_equals_conjunctive(py_engine):
+    for qid, query, _ in fixtures.gen_queries():
+        qb = query.encode(GB)
+        terms = sorted(set(py_engine.query_terms(qb)))
+        runs = _mk_runs(py_engine, terms)
+        if len(runs) < len(terms):
+            continue
+        got = wand.intersect_topk_vec(runs, py_engine.avgdl, 10)
+        want = py_engine.search(qb, 10, conjunctive=True)
+        assert [d for d, _ in got] == [d for d, _ in want], f"q={query!r}"
+
+
 def test_intersect_equals_conjunctive(py_engine):
     for qid, query, _ in fixtures.gen_queries():
         qb = query.encode(GB)

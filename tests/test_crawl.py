@@ -1,0 +1,162 @@
+"""Crawler set-algebra operators (SURVEY.md §2.6) vs reference semantics.
+
+Golden cases are hand-derived from the cited reference code
+(tse/Page.cpp:799-835 NormalizeUrl, 270-364 IsFilterLink;
+tse/Url.cpp:404-423, 502-569 host/type filters); the Spark column
+implementations are additionally pinned equal to the pure-python ports
+over a mixed url population.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tse_spark.operators import crawl
+
+
+# ---------------------------------------------------------------------------
+# pure-python semantics
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "url,expect",
+    [
+        ("http://e.pku.cn", "http://e.pku.cn/"),          # add trailing /
+        ("http://e.pku.cn/", "http://e.pku.cn/"),
+        ("http://a.cn/x/./y", "http://a.cn/x/y"),         # /./ removal
+        ("http://a.cn/x/./y/./z", "http://a.cn/x/y/z"),
+        ("http://a.cn/b/../c", "http://a.cn/c"),          # /../ resolution
+        ("http://a.cn/b/c/../../d", "http://a.cn/d"),
+        ("http://a.cn/../x", None),                       # prefix < 10 chars
+        ("ftp://a.cn/x", None),                           # no http://
+        ("HTTP://A.cn/x", "HTTP://A.cn/x"),               # case-insensitive scheme
+        ("see http://a.cn/x", None),                      # http:// not at 0
+    ],
+)
+def test_normalize_url_py(url, expect):
+    assert crawl.normalize_url_py(url) == expect
+
+
+@pytest.mark.parametrize(
+    "url,expect",
+    [
+        ("", True),                                       # empty
+        ("http://a.example.cn/p/1", False),
+        ("http://a.cn/x?b=1&c=2", False),                 # single & / single ?
+        ("http://a.cn/x?a=1&b=2&c=3", True),              # & .. &
+        ("http://a.cn/x?a=1?b=2", True),                  # ? .. ?
+        ("http://a.cn/x-y+z", True),                      # - .. +
+        ("http://a.cn//x", True),                         # // .. (overlap w/ scheme)
+        ("http://a.cn/http/x", True),                     # http .. http
+        ("http://a.cn/cgi-bin/x", True),                  # deny list
+        ("http://a.cn/login", True),
+        ("x" * 300, True),                                # > URL_LEN
+    ],
+)
+def test_is_filter_link_py(url, expect):
+    assert crawl.is_filter_link_py(url) is expect
+
+
+def test_host_filters_py():
+    assert crawl.is_valid_host_py("www.pku.cn")
+    assert not crawl.is_valid_host_py("pku")               # < 6 chars
+    assert not crawl.is_valid_host_py("a b.example.cn")    # bad char
+    assert not crawl.is_foreign_host_py("site.example.cn")
+    assert not crawl.is_foreign_host_py("192.168.0.1")     # IP never foreign
+    assert crawl.is_foreign_host_py("site.example.de")
+    assert crawl.is_foreign_host_py("")
+    assert crawl.is_image_url_py("http://a.cn/x.JPG")
+    assert not crawl.is_image_url_py("http://a.cn/x.html")
+    assert not crawl.is_image_url_py("gif")                # no dot
+
+
+def test_extract_links_py():
+    html = (
+        '<a href="http://x.cn/a">one</a>'
+        "<img src='/pic.gif'>"
+        '<frame src=frame.html>'
+        '<a href="#anchor">skip</a>'
+        '<a href="javascript:void(0)">skip</a>'
+        '<LINK HREF="/style.css">'
+    )
+    links = crawl.extract_links_py(html, "http://base.cn/dir/page.html")
+    assert links == [
+        "http://x.cn/a",
+        "http://base.cn/pic.gif",
+        "http://base.cn/dir/frame.html",
+        "http://base.cn/style.css",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Spark columns == python semantics over a mixed population
+# ---------------------------------------------------------------------------
+
+URLS = [
+    "http://site1.example.cn/p/1",
+    "http://site2.example.com/img/pic.jpg",
+    "http://site3.example.de/x",
+    "http://192.168.0.1/x",
+    "http://a.cn/x?b=1&c=2",
+    "http://a.cn/x-y+z",
+    "http://a.cn/cgi-bin/q",
+    "http://short/x",
+    "http://ok.example.org/a.png",
+    "http://a.example.net/thread.php",
+    "http://b.example.tv/deep/path/page.html",
+    "x" * 300,
+]
+
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    return spark.createDataFrame([(u,) for u in URLS], "url string")
+
+
+def test_classify_matches_py(spark, urls_df):
+    rows = crawl.classify_urls(urls_df).collect()
+    assert len(rows) == len(URLS)
+    for r in rows:
+        u = r["url"]
+        assert r["filtered"] == crawl.is_filter_link_py(u), u
+        assert bool(r["is_image"]) == crawl.is_image_url_py(u), u
+        host = r["host"]
+        if host is not None:
+            assert bool(r["is_foreign"]) == crawl.is_foreign_host_py(host), u
+            assert bool(r["valid_host"]) == crawl.is_valid_host_py(host), u
+
+
+def test_normalize_urls_spark(spark):
+    raw = [
+        "http://e.pku.cn",
+        "http://a.cn/x/./y",
+        "http://a.cn/b/../c",
+        "ftp://nope/x",
+    ]
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    got = sorted(r["url"] for r in crawl.normalize_urls(df).collect())
+    want = sorted(
+        v for v in (crawl.normalize_url_py(u) for u in raw) if v is not None
+    )
+    assert got == want
+
+
+def test_frontier_wave(spark):
+    frontier = spark.createDataFrame(
+        [("http://a.cn/1",), ("http://a.cn/2",), ("http://a.cn/2",)],
+        "url string",
+    )
+    visited = spark.createDataFrame([("http://a.cn/1",)], "url string")
+    out = sorted(r["url"] for r in crawl.frontier_wave(frontier, visited).collect())
+    assert out == ["http://a.cn/2"]
+
+
+def test_crawl_wave(spark, pages_df):
+    visited = pages_df.select("url")
+    out = crawl.crawl_wave(pages_df.limit(50), visited)
+    rows = [r["url"] for r in out.collect()]
+    # every discovered url is normalized, unseen, and passes the gates
+    for u in rows:
+        assert crawl.normalize_url_py(u) is not None
+        assert not crawl.is_filter_link_py(u)
+        assert not crawl.is_image_url_py(u)
+    assert len(rows) == len(set(rows))

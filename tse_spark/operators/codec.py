@@ -179,15 +179,43 @@ def decode_block(blocks: bytes, ref: BlockRef):
     return docs, tfs, dls
 
 
-def decode_all(blocks: bytes):
-    """Decode every block — (doc_ids, tfs, dls) concatenated."""
-    ds, ts, ls = [], [], []
-    for ref in scan_blocks(blocks):
-        d, t, l = decode_block(blocks, ref)
-        ds.append(d)
-        ts.append(t)
-        ls.append(l)
-    if not ds:
+def decode_blocks(blocks: bytes, refs: list[BlockRef]):
+    """Batch-decode a subset of blocks — (doc_ids, tfs, dls) concatenated.
+
+    One varint_decode per SECTION across all requested blocks (varints
+    are self-delimiting, so concatenated streams decode in one pass),
+    not per block — numpy call overhead on ~128-value blocks otherwise
+    dominates query latency.  Per-block delta-gap reset is applied with
+    a segmented cumsum (global cumsum + per-block offset repeat).
+    """
+    if not refs:
         z = np.zeros(0, dtype=np.int64)
         return z, z.copy(), z.copy()
-    return np.concatenate(ds), np.concatenate(ts), np.concatenate(ls)
+    counts = np.array([r.count for r in refs], dtype=np.int64)
+    total = int(counts.sum())
+    g_buf = b"".join(blocks[r.g_off : r.g_off + r.g_len] for r in refs)
+    t_buf = b"".join(
+        blocks[r.g_off + r.g_len : r.g_off + r.g_len + r.t_len] for r in refs
+    )
+    d_buf = b"".join(
+        blocks[
+            r.g_off + r.g_len + r.t_len
+            : r.g_off + r.g_len + r.t_len + r.d_len
+        ]
+        for r in refs
+    )
+    gaps = varint_decode(g_buf, total)
+    tfs = varint_decode(t_buf, total)
+    dls = varint_decode(d_buf, total)
+    c = np.cumsum(gaps)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    firsts = np.array([r.first_doc for r in refs], dtype=np.int64)
+    # docs[j in block i] = first_i + (c[j] - c[start_i]); gaps[start_i]==0
+    offset = firsts - c[starts]
+    docs = c + np.repeat(offset, counts)
+    return docs, tfs, dls
+
+
+def decode_all(blocks: bytes):
+    """Decode every block — (doc_ids, tfs, dls) concatenated."""
+    return decode_blocks(blocks, scan_blocks(blocks))

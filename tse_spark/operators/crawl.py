@@ -1,0 +1,274 @@
+"""Crawler set-algebra operators (SURVEY.md §2.6, C1-C7, C11).
+
+The BASELINE contract starts from an existing pages table, so the HTTP
+fetch loop is out of scope — but the reference's *dedup/filter algebra*
+defines which pages exist, and is rebuilt here as DataFrame ops:
+
+- C2 URL normalization      (reference tse/Page.cpp:799-835)
+- C3 URL spam filter        (tse/Page.cpp:270-364: 7 doubled-substring
+                             rules + 75-entry deny substring list)
+- C5 host/type filters      (tse/Url.cpp:404-423 IsValidHost,
+                             502-540 IsForeignHost, 544-569 IsImageUrl)
+- C6 URL-seen dedup         (tse/Crawl.cpp:1413-1436 md5-set membership
+                             -> left_anti join)
+- C11 link extraction       (tse/hlink/hlink.l:44-60 A/AREA/BASE/FRAME/
+                             IFRAME/IMG/LINK href|src -> regex UDF)
+- crawl_wave                one BFS round of the frontier (C12's
+                             work-distribution loop as a DataFrame job)
+
+Everything except the iterative ``/../`` resolution and link extraction
+is pure JVM column expressions (regex/`contains`); those two are
+Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+URL_LEN = 256  # tse/Url.h:6
+HOST_LEN = 256  # tse/Url.h:7
+
+# 75-entry deny substring list, tse/Page.cpp:338-355 (config data — the
+# reference's robots-derived blocklist; matched case-insensitively on
+# the whole url)
+DENY_SUBSTRINGS: tuple[str, ...] = (
+    "cgi-bin", "htbin", "linder", "srs5", "uin-cgi",
+    "uhtbin", "snapshot", "=+", "=-", "script",
+    "gate", "search", "clickfile", "data/scop", "names",
+    "staff/", "enter", "user", "mail", "pst?",
+    "find?", "ccc?", "fwd?", "tcon?", "&amp",
+    "counter?", "forum", "cgisirsi", "{", "}",
+    "proxy", "login", "00.pl?", "sciserv.pl", "sign.asp",
+    "<", ">", "review.asp?", "result.asp?", "keyword",
+    '"', "'", "php?s=", "error", "showdate",
+    "niceprot.pl?", "volue.asp?id", ".css", ".asp?month", "prot.pl?",
+    "msg.asp", "register.asp", "database", "reg.asp", "qry?u",
+    "p?msg", "tj_all.asp?page", ".plot.", "comment.php", "nicezyme.pl?",
+    "entr", "compute-map?", "view-pdb?", "list.cgi?", "lists.cgi?",
+    "details.pl?", "aligner?", "raw.pl?", "interface.pl?", "memcp.php?",
+    "member.php?", "post.php?", "thread.php", "bbs/", "/bbs",
+)
+
+# 7 doubled-substring rules, tse/Page.cpp:281-334: filtered when the
+# second marker occurs after the first (for "-" the second marker is
+# "+"; for "//" the scan restarts one char after the first match, so
+# "///" already counts)
+_DOUBLED: tuple[tuple[str, str], ...] = (
+    ("?", "?"), ("-", "+"), ("&", "&"), ("//", "//"),
+    ("http", "http"), ("misc", "misc"), ("ipb", "ipb"),
+)
+
+HOME_TLDS: tuple[str, ...] = (
+    "cn", "com", "net", "org", "info", "biz", "tv", "cc", "hk", "tw"
+)  # tse/Url.cpp:523-527
+IMAGE_EXTS: tuple[str, ...] = (
+    "gif", "jpg", "jpeg", "png", "bmp", "tif", "psd"
+)  # tse/Url.cpp:556-559
+
+
+# ---------------------------------------------------------------------------
+# pure-python semantics (oracle for tests; also the normalize UDF body)
+# ---------------------------------------------------------------------------
+
+def normalize_url_py(url: str) -> str | None:
+    """C2: reference tse/Page.cpp:799-835, byte-faithful port.
+    Returns None where the reference returns false (drop the url)."""
+    if "http://" not in url.lower():
+        return None
+    idx = url.rfind("/")
+    if idx < 8:
+        return url + "/"
+    while "/./" in url:
+        i = url.find("/./")
+        url = url[:i] + url[i + 2 :]
+    while "/../" in url:
+        i = url.find("/../")
+        pre = url[:i]
+        suf = url[i + 4 :] if len(url) > i + 4 else ""
+        j = pre.rfind("/")
+        if j != -1:
+            pre = pre[: j + 1]
+        if len(pre) < 10:
+            return None
+        url = pre + suf
+    if not url.lower().startswith("http://"):
+        return None
+    return url
+
+
+def is_filter_link_py(url: str) -> bool:
+    """C3: true when the url should be dropped (tse/Page.cpp:270-364)."""
+    if not url or len(url) > URL_LEN:
+        return True
+    link = url.lower()
+    for first, second in _DOUBLED:
+        i = link.find(first)
+        if i != -1 and link.find(second, i + 1) != -1:
+            return True
+    return any(s in link for s in DENY_SUBSTRINGS)
+
+
+def is_valid_host_py(host: str) -> bool:
+    """C5a: tse/Url.cpp:404-423 — >= 6 chars, [A-Za-z0-9.:_-] only."""
+    return len(host) >= 6 and bool(re.fullmatch(r"[A-Za-z0-9.:_\-]+", host))
+
+
+def is_foreign_host_py(host: str) -> bool:
+    """C5b: tse/Url.cpp:502-540 — IPs are never foreign; otherwise the
+    last dot-label must be in the home-TLD allowlist."""
+    if not host or len(host) > HOST_LEN:
+        return True
+    if re.fullmatch(r"\d{1,3}(\.\d{1,3}){3}", host):
+        return False
+    tld = host.rsplit(".", 1)[-1].lower() if "." in host else ""
+    return tld not in HOME_TLDS
+
+
+def is_image_url_py(url: str) -> bool:
+    """C5c: tse/Url.cpp:544-569 — extension after the last dot."""
+    if not url or len(url) > HOST_LEN:
+        return False
+    ext = url.rsplit(".", 1)[-1].lower() if "." in url else ""
+    return ext in IMAGE_EXTS
+
+
+_LINK_RE = re.compile(
+    r"<\s*(?:a|area|base|frame|iframe|img|link)\b[^>]*?"
+    r"(?:href|src)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def extract_links_py(html: str, base_url: str | None = None) -> list[str]:
+    """C11: href/src of A/AREA/BASE/FRAME/IFRAME/IMG/LINK tags
+    (tse/hlink/hlink.l:44-60), relative URIs resolved against the page
+    url (the lexer's uri_recombine step, tse/uri/)."""
+    from urllib.parse import urljoin
+
+    out: list[str] = []
+    for m in _LINK_RE.finditer(html):
+        href = next(g for g in m.groups() if g is not None).strip()
+        if not href or href.startswith(("javascript:", "mailto:", "#")):
+            continue
+        out.append(urljoin(base_url, href) if base_url else href)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+def _deny_regex() -> str:
+    return "|".join(re.escape(s) for s in DENY_SUBSTRINGS)
+
+
+# The doubled rules as one regex.  The reference rescans from i+1, so
+# for the "//" rule an overlapping second match counts: "///" is
+# filtered — hence the explicit `///` alternative ("http"/"misc"/"ipb"
+# cannot self-overlap at shift >= 1, so plain X.*X is exact for them).
+_DOUBLED_REGEX = r"\?.*\?|-.*\+|&.*&|///|//.*//|http.*http|misc.*misc|ipb.*ipb"
+
+
+def is_filter_link_col(url_col):
+    """C3 as one JVM expression: length gate + doubled-rule regex + a
+    single alternation regex for the 75 deny substrings (all on the
+    lowercased url) — no Python in the row path."""
+    link = F.lower(url_col)
+    return (
+        (F.length(url_col) > URL_LEN)
+        | (F.length(url_col) == 0)
+        | link.rlike(_DOUBLED_REGEX)
+        | link.rlike(_deny_regex())
+    )
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """C2: normalized url column (nulls = dropped by the reference);
+    iterative /../ resolution needs a (vectorized) UDF."""
+
+    @F.pandas_udf("string")
+    def norm(u: pd.Series) -> pd.Series:
+        return u.map(normalize_url_py)
+
+    return df.withColumn(url_col, norm(F.col(url_col))).filter(
+        F.col(url_col).isNotNull()
+    )
+
+
+def classify_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """C3+C5 verdicts as JVM columns: (.., host, is_image, is_foreign,
+    valid_host, filtered)."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    ext = F.lower(
+        F.element_at(F.split(F.col(url_col), r"\."), -1)
+    )
+    tld = F.lower(F.element_at(F.split(host, r"\."), -1))
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return df.withColumns(
+        {
+            "host": host,
+            "is_image": (F.length(F.col(url_col)) <= HOST_LEN)
+            & F.col(url_col).contains(".")
+            & ext.isin(*IMAGE_EXTS),
+            "is_foreign": (~is_ip) & (~tld.isin(*HOME_TLDS)),
+            "valid_host": (F.length(host) >= 6)
+            & host.rlike(r"^[A-Za-z0-9.:_\-]+$"),
+            "filtered": is_filter_link_col(F.col(url_col)),
+        }
+    )
+
+
+def extract_links(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """C11: (url, out_url) edge list from the html column."""
+
+    @F.pandas_udf("array<string>")
+    def links(html: pd.Series, base: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                extract_links_py(
+                    h.decode("gb2312", errors="replace")
+                    if isinstance(h, (bytes, bytearray))
+                    else (h or ""),
+                    b,
+                )
+                for h, b in zip(html, base)
+            ]
+        )
+
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(links(F.col(html_col), F.col(url_col))).alias("out_url"),
+    )
+
+
+def frontier_wave(frontier: DataFrame, visited: DataFrame) -> DataFrame:
+    """C6: urls not yet seen — md5 anti-join (the reference's
+    setVisitedUrlMD5 membership gate, tse/Crawl.cpp:1413-1436)."""
+    f = frontier.withColumn("__md5", F.md5(F.col("url")))
+    v = visited.select(F.md5(F.col("url")).alias("__md5")).distinct()
+    return f.join(v, "__md5", "left_anti").drop("__md5").distinct()
+
+
+def crawl_wave(
+    pages: DataFrame, visited: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """One BFS round: extract -> normalize -> spam/host/type filters ->
+    unseen.  The reference's worker loop (tse/Crawl.cpp:222-631) as a
+    single declarative job; iterate = loop this per wave."""
+    links = extract_links(pages, html_col).select(
+        F.col("out_url").alias("url")
+    )
+    links = normalize_urls(links)
+    cls = classify_urls(links)
+    keep = cls.filter(
+        (~F.col("filtered"))
+        & (~F.col("is_image"))
+        & (~F.col("is_foreign"))
+        & F.col("valid_host")
+    ).select("url")
+    return frontier_wave(keep, visited)

@@ -4,9 +4,13 @@ Topology (replaces reference Query.cpp:59-82's whole-index-in-RAM map):
 
   1. broadcast the query terms; filter the postings table on term
      (parquet predicate pushdown — only the query's shard rows are read)
-  2. groupBy(shard) + applyInPandas: block-max WAND (or conjunctive
-     intersection) per doc-range shard — shards are disjoint doc ranges,
-     so shard-local top-k lists compose exactly
+  2. groupBy(shard) + applyInPandas: block-max-pruned vectorized BM25
+     (or conjunctive intersection) per doc-range shard — shards are
+     disjoint doc ranges, so shard-local top-k lists compose exactly.
+     wand.blockmax_topk_local uses the same per-block max-score skip
+     metadata as classic WAND but prunes at block granularity with numpy
+     scoring (the right trade on a Python runtime; the per-posting WAND
+     in wand.wand_topk_local remains as the reference implementation)
   3. global ORDER BY score DESC, doc_id LIMIT k (TakeOrderedAndProject)
 
 ``search_local`` is the low-latency path for interactive serving: the
@@ -18,6 +22,7 @@ without reloading the index per request.
 from __future__ import annotations
 
 import math
+from collections import OrderedDict
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -49,6 +54,10 @@ class SearchEngine:
         self.avgdl = avgdl
         self.dictionary = dictionary
         self._df_cache: dict[str, int] | None = None
+        # term -> merged doc-ascending blocks blob (hot-term posting
+        # cache for the interactive path; bounded LRU)
+        self._posting_cache: "OrderedDict[str, bytes]" = OrderedDict()
+        self.posting_cache_max_terms = 65536
 
     def warm(self) -> "SearchEngine":
         """Interactive-serving mode: pin the postings table in cluster
@@ -113,9 +122,9 @@ class SearchEngine:
             if conjunctive:
                 if len(runs) < n_terms:
                     return pd.DataFrame({"doc_id": [], "score": []})
-                res = wand_mod.intersect_topk_local(runs, avgdl, k)
+                res = wand_mod.intersect_topk_vec(runs, avgdl, k)
             else:
-                res = wand_mod.wand_topk_local(runs, avgdl, k)
+                res = wand_mod.blockmax_topk_local(runs, avgdl, k)
             return pd.DataFrame(
                 {
                     "doc_id": [d for d, _ in res],
@@ -128,6 +137,38 @@ class SearchEngine:
         )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def _term_blobs(self, terms: list[str]) -> dict[str, bytes]:
+        """Merged doc-ascending posting blob per term, LRU-cached on the
+        driver.  Shards are ascending disjoint doc-id ranges and blocks
+        are self-delimiting, so per-term shard blobs concatenate (in
+        shard order) into one valid run — one scoring pass per query
+        instead of one per shard, and repeat terms skip the Spark job
+        entirely (the reference reloads the WHOLE index per request,
+        Query.cpp:59-82; this keeps just the hot working set)."""
+        out: dict[str, bytes] = {}
+        missing: list[str] = []
+        for t in terms:
+            if t in self._posting_cache:
+                self._posting_cache.move_to_end(t)
+                out[t] = self._posting_cache[t]
+            else:
+                missing.append(t)
+        if missing:
+            by_term: dict[str, list[tuple[int, bytes]]] = {}
+            for r in self._shard_rows(missing).collect():
+                by_term.setdefault(r["term"], []).append(
+                    (r["shard"], bytes(r["blocks"]))
+                )
+            for t in missing:
+                blob = b"".join(
+                    b for _, b in sorted(by_term.get(t, []))
+                )
+                out[t] = blob
+                self._posting_cache[t] = blob
+                while len(self._posting_cache) > self.posting_cache_max_terms:
+                    self._posting_cache.popitem(last=False)
+        return out
+
     def search_local(
         self, query: str, k: int = 10, conjunctive: bool = False
     ) -> list[tuple[int, float]]:
@@ -139,21 +180,14 @@ class SearchEngine:
         idf = self._idf_map(terms)
         if not idf or (conjunctive and len(idf) < len(terms)):
             return []
-        rows = self._shard_rows(terms).collect()
-        by_shard: dict[int, list[tuple[float, bytes]]] = {}
-        shard_terms: dict[int, int] = {}
-        for r in rows:
-            by_shard.setdefault(r["shard"], []).append(
-                (idf[r["term"]], bytes(r["blocks"]))
-            )
-            shard_terms[r["shard"]] = shard_terms.get(r["shard"], 0) + 1
-        out: list[tuple[int, float]] = []
-        for shard, runs in by_shard.items():
-            if conjunctive:
-                if shard_terms[shard] < len(terms):
-                    continue
-                out.extend(wand_mod.intersect_topk_local(runs, self.avgdl, k))
-            else:
-                out.extend(wand_mod.wand_topk_local(runs, self.avgdl, k))
-        out.sort(key=lambda x: (-x[1], x[0]))
+        runs = [
+            (idf[t], blob)
+            for t, blob in self._term_blobs(list(idf)).items()
+        ]
+        if conjunctive:
+            if len(runs) < len(terms):
+                return []
+            out = wand_mod.intersect_topk_vec(runs, self.avgdl, k)
+        else:
+            out = wand_mod.blockmax_topk_local(runs, self.avgdl, k)
         return out[:k]

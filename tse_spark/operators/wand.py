@@ -198,6 +198,122 @@ def wand_topk_local(
     return top.result()
 
 
+def _score_arrays(idf, tfs, dls, avgdl):
+    k1, b = oracle.BM25_K1, oracle.BM25_B
+    tfs = tfs.astype(np.float64)
+    return idf * tfs * (k1 + 1.0) / (
+        tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
+    )
+
+
+def blockmax_topk_local(
+    term_runs: list[tuple[float, bytes]],
+    avgdl: float,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Block-max pruned, numpy-vectorized top-k BM25 over one shard.
+
+    Same skip metadata as :func:`wand_topk_local`, applied at BLOCK
+    granularity with vectorized scoring — on a Python runtime the
+    per-posting WAND loop costs ~1000x more per posting than a numpy
+    pass, so decoding whole surviving blocks and aggregating with
+    bincount wins unless pruning skips >99.9% of postings.
+
+    Soundness of the pruning: theta is seeded with the k-th best
+    single-term score of the highest-upper-bound term (every doc's
+    total >= its single-term score, so the final k-th best total
+    >= theta).  A block of term t is skipped only when
+    ``idf_t * block_max + sum(other terms' maxima) < theta``; any doc in
+    it has total < theta, so it is outside the true top-k, and its
+    partial score (missing t's contribution) is also < theta, so it
+    cannot displace a true top-k member either.
+    """
+    runs = []
+    for idf, blocks in term_runs:
+        if not blocks:
+            continue
+        refs = codec.scan_blocks(blocks)
+        if refs:
+            tmax = idf * max(r.max_score for r in refs)
+            runs.append((idf, blocks, refs, tmax))
+    if not runs:
+        return []
+
+    # theta seed: fully score the term with the largest upper bound
+    # (highest-idf terms give the strongest lower bound, and selective
+    # terms are also the cheapest to score fully)
+    seed = max(range(len(runs)), key=lambda i: runs[i][3])
+    theta = float("-inf")
+    seed_idf, seed_blocks, _, _ = runs[seed]
+    s_docs, s_tfs, s_dls = codec.decode_all(seed_blocks)
+    if len(s_docs) >= k:
+        s_scores = _score_arrays(seed_idf, s_tfs, s_dls, avgdl)
+        theta = float(np.partition(s_scores, len(s_scores) - k)[len(s_scores) - k])
+
+    sum_tmax = sum(r[3] for r in runs)
+    doc_parts: list[np.ndarray] = []
+    score_parts: list[np.ndarray] = []
+    for i, (idf, blocks, refs, tmax) in enumerate(runs):
+        others = sum_tmax - tmax
+        if i == seed:
+            doc_parts.append(s_docs)
+            score_parts.append(_score_arrays(seed_idf, s_tfs, s_dls, avgdl))
+            continue
+        keep = [r for r in refs if idf * r.max_score + others >= theta]
+        if not keep:
+            continue
+        d, t, dl = codec.decode_blocks(blocks, keep)
+        doc_parts.append(d)
+        score_parts.append(_score_arrays(idf, t, dl, avgdl))
+    if not doc_parts:
+        return []
+    docs = np.concatenate(doc_parts)
+    scores = np.concatenate(score_parts)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    agg = np.bincount(inv, weights=scores)
+    if len(uniq) > k:
+        kth = np.partition(agg, len(agg) - k)[len(agg) - k]
+        idx = np.flatnonzero(agg >= kth)  # all ties at the k-th score
+    else:
+        idx = np.arange(len(uniq))
+    cand = sorted(
+        ((int(uniq[i]), float(agg[i])) for i in idx),
+        key=lambda x: (-x[1], x[0]),
+    )
+    return cand[:k]
+
+
+def intersect_topk_vec(
+    term_runs: list[tuple[float, bytes]],
+    avgdl: float,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Vectorized conjunctive AND: intersect doc arrays term-by-term
+    (smallest first), then score only the surviving docs."""
+    if not term_runs:
+        return []
+    decoded = []
+    for idf, blocks in term_runs:
+        d, t, dl = codec.decode_all(blocks)
+        if len(d) == 0:
+            return []
+        decoded.append((idf, d, t, dl))
+    decoded.sort(key=lambda x: len(x[1]))
+    common = decoded[0][1]
+    for _, d, _, _ in decoded[1:]:
+        common = common[np.isin(common, d, assume_unique=True)]
+        if len(common) == 0:
+            return []
+    total = np.zeros(len(common), dtype=np.float64)
+    for idf, d, t, dl in decoded:
+        pos = np.searchsorted(d, common)
+        total += _score_arrays(idf, t[pos], dl[pos], avgdl)
+    order = sorted(
+        zip(common.tolist(), total.tolist()), key=lambda x: (-x[1], x[0])
+    )
+    return order[:k]
+
+
 def intersect_topk_local(
     term_runs: list[tuple[float, bytes]],
     avgdl: float,
