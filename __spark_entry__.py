@@ -396,6 +396,76 @@ def _q_pages_bm25(spark, sf):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _q_bpe_token_count(spark, sf):
+    from tse_spark.operators import textops
+
+    return textops.bpe_token_count(_t(spark, sf, "documents"))
+
+
+def _q_cosine_neardup(spark, sf):
+    from tse_spark.operators import similarity
+
+    return similarity.cosine_neardup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.4
+    )
+
+
+def _q_lsh_neardup(spark, sf):
+    """Rows-only: LSH-bucketed near-dup candidates (recall vs the exact
+    baseline is pytest-pinned; no DuckDB twin for the bucket hash)."""
+    from tse_spark.operators import similarity
+
+    return similarity.lsh_neardup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.4, n_planes=2, n_bands=8
+    )
+
+
+def _q_snapshot_by_url(spark, sf):
+    """Rows-only: md5-keyed page snapshot (Q11) on the pages fixture."""
+    from pyspark.sql import types as T
+
+    from tse_spark import fixtures
+    from tse_spark.operators import textops
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    pages = spark.createDataFrame(fixtures.gen_pages(200), schema=schema)
+    out = textops.snapshot_by_url(pages, "http://site3.example.cn/p/3")
+    return out.select("url", "text", "lang")
+
+
+def _q_media_image_features(spark, sf):
+    from tse_spark.operators import multimodal as mm
+
+    return mm.decode_image_features(mm.media_df(spark, 200))
+
+
+def _q_media_audio_features(spark, sf):
+    from pyspark.sql import functions as F2
+
+    from tse_spark.operators import multimodal as mm
+
+    out = mm.audio_features(mm.media_df(spark, 200))
+    return out.select(
+        "media_id", "sample_rate", "duration_s",
+        F2.round(F2.element_at("bands", 1), 4).alias("band0"),
+    )
+
+
+def _q_media_frame_sample(spark, sf):
+    from tse_spark.operators import multimodal as mm
+
+    out = mm.sample_video_frames(mm.media_df(spark, 200), every_n=4)
+    return out.select("media_id", "frame_no")
+
+
 # ----- crawler set-algebra (SURVEY.md §2.6) over synthesized urls -----
 
 def _synth_urls(spark, sf):
@@ -516,7 +586,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_rollup": _q_source_rollup,
         "url_classify": _q_url_classify,
         "frontier_wave": _q_frontier_wave,
+        "bpe_token_count": _q_bpe_token_count,
+        "cosine_neardup": _q_cosine_neardup,
         # rows-only engine paths (no DuckDB equivalent; pytest-verified)
+        "lsh_neardup": _q_lsh_neardup,
+        "snapshot_by_url": _q_snapshot_by_url,
+        "media_image_features": _q_media_image_features,
+        "media_audio_features": _q_media_audio_features,
+        "media_frame_sample": _q_media_frame_sample,
         "link_extract": _q_link_extract,
         "pages_bm25": _q_pages_bm25,
         "minhash_neardup": _q_minhash_neardup,
@@ -570,6 +647,17 @@ def _url_classify_sql() -> str:
        OR regexp_matches(lower(url), '{doubled}')
        OR regexp_matches(lower(url), '{deny}')) AS filtered
     FROM synth"""
+
+
+def _bpe_count_sql() -> str:
+    from tse_spark.operators import textops
+
+    pat = textops.BPE_ISH_RE.replace("'", "''")
+    return f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{pat}'))::BIGINT
+             AS n_bpe_tokens
+    FROM documents"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -770,6 +858,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id = 42""",
         "url_classify": _url_classify_sql(),
+        "bpe_token_count": _bpe_count_sql(),
+        "cosine_neardup": """
+        WITH p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(
+                   list_dot_product(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                            a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]))),
+                   4) AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4""",
         "frontier_wave": _SYNTH_URLS_SQL
         + """
         SELECT DISTINCT url FROM synth WHERE doc_id % 2 = 1""",

@@ -24,6 +24,15 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--index", required=True, help="index dir (build_index.py --out)")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--page", type=int, default=0,
+        help="result page (Q9 pagination: rows [page*k, (page+1)*k) of "
+        "the top-(page+1)*k)",
+    )
+    ap.add_argument(
+        "--cgi", action="store_true",
+        help="treat queries as CGI-encoded (T6: '+' -> space, %%xx decode)",
+    )
     ap.add_argument("--conjunctive", action="store_true")
     ap.add_argument("--dict", default=None)
     ap.add_argument(
@@ -63,25 +72,33 @@ def main(argv: list[str] | None = None) -> int:
 
     handle = pl.load_index(spark, args.index, dictionary)
     handle.engine.warm()
+    handle.engine.query_log_path = args.index.rstrip("/") + "/query_log.jsonl"
     for q in args.queries:
+        if args.cgi:
+            from urllib.parse import unquote_plus
+
+            q = unquote_plus(q)
         t0 = time.time()
+        fetch = args.k * (args.page + 1)
         if args.distributed:
             rows = handle.engine.search(
-                q, args.k, conjunctive=args.conjunctive
+                q, fetch, conjunctive=args.conjunctive
             ).collect()
             res = [[r["doc_id"], round(r["score"], 4)] for r in rows]
         else:
             res = [
                 [d, round(s, 4)]
                 for d, s in handle.engine.search_local(
-                    q, args.k, conjunctive=args.conjunctive
+                    q, fetch, conjunctive=args.conjunctive
                 )
             ]
+        res = res[args.page * args.k : (args.page + 1) * args.k]
         print(
             json.dumps(
                 {
                     "query": q,
                     "k": args.k,
+                    "page": args.page,
                     "ms": round((time.time() - t0) * 1000, 2),
                     "results": res,
                 },

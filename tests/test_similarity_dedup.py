@@ -1,0 +1,62 @@
+"""Embedding near-dup operators: exact baseline vs numpy oracle, and
+LSH-bucketed recall pinned against the exact pairs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tse_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def np_pairs(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    out = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = int(ids[i]), int(ids[j])
+            key = (min(a, b), max(a, b))
+            out[key] = round(float(cos[i, j]), 4)
+    return out
+
+
+def test_exact_neardup_matches_numpy(emb, np_pairs):
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.cosine_neardup_pairs(emb, 0.35).collect()
+    }
+    want = {k: v for k, v in np_pairs.items() if v >= 0.35}
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=2e-4)
+
+
+def test_lsh_neardup_subset_and_recall(emb, np_pairs):
+    exact = {k for k, v in np_pairs.items() if v >= 0.35}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_neardup_pairs(
+            emb, 0.35, n_planes=2, n_bands=8
+        ).collect()
+    }
+    # candidates are a SUBSET of the exact pairs (filter is exact cosine)
+    assert got <= exact
+    # banded OR-construction: p(candidate) = 1-(1-(1-theta/pi)^2)^8,
+    # ~0.95+ at the 0.35-cosine threshold on this fixture
+    if exact:
+        recall = len(got) / len(exact)
+        assert recall >= 0.7, f"recall {recall:.2f} over {len(exact)} pairs"

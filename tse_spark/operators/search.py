@@ -58,6 +58,32 @@ class SearchEngine:
         # cache for the interactive path; bounded LRU)
         self._posting_cache: "OrderedDict[str, bytes]" = OrderedDict()
         self.posting_cache_max_terms = 65536
+        # Q13 (reference Query.cpp:233-261 appends a timestamped query
+        # line): JSONL query log, enabled by setting a path
+        self.query_log_path: str | None = None
+
+    def _log_query(self, query: str, k: int, n: int, ms: float) -> None:
+        if not self.query_log_path:
+            return
+        import json
+        import time as _t
+
+        with open(self.query_log_path, "a", encoding="utf-8") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "ts": _t.strftime(
+                            "%Y-%m-%dT%H:%M:%SZ", _t.gmtime()
+                        ),
+                        "query": query,
+                        "k": k,
+                        "n_results": n,
+                        "ms": round(ms, 2),
+                    },
+                    ensure_ascii=False,
+                )
+                + "\n"
+            )
 
     def warm(self) -> "SearchEngine":
         """Interactive-serving mode: pin the postings table in cluster
@@ -180,14 +206,20 @@ class SearchEngine:
         idf = self._idf_map(terms)
         if not idf or (conjunctive and len(idf) < len(terms)):
             return []
+        import time as _t
+
+        t0 = _t.time()
         runs = [
             (idf[t], blob)
             for t, blob in self._term_blobs(list(idf)).items()
         ]
         if conjunctive:
             if len(runs) < len(terms):
-                return []
-            out = wand_mod.intersect_topk_vec(runs, self.avgdl, k)
+                out: list[tuple[int, float]] = []
+            else:
+                out = wand_mod.intersect_topk_vec(runs, self.avgdl, k)
         else:
             out = wand_mod.blockmax_topk_local(runs, self.avgdl, k)
-        return out[:k]
+        out = out[:k]
+        self._log_query(query, k, len(out), (_t.time() - t0) * 1000.0)
+        return out

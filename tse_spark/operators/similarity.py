@@ -102,3 +102,88 @@ def lsh_ann_topk(
     bucketed = emb.withColumn("bucket", lsh_bucket_col(planes))
     cand = bucketed.filter(F.col("bucket") == qsig)
     return cosine_topk(cand.drop("bucket"), query_vec, k)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+def cosine_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """All id_a < id_b pairs with cosine >= threshold — exact baseline
+    via self-join; JVM-side dot products.  O(n^2): correctness oracle
+    and small-corpus tool; the scale path is :func:`lsh_neardup_pairs`.
+    """
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        pairs.withColumn("cos", F.round(cos, 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 2,
+    n_bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Scale path for embedding near-dup: BANDED sign-LSH (the MinHash
+    band/OR construction on hyperplane signs).  Each band hashes the
+    vector to the packed signs of ``n_planes`` hyperplanes; vectors
+    sharing ANY band signature become candidates (explode bands ->
+    (band, sig) equi-join — one shuffle, no cross join), then the exact
+    cosine filters candidates.  Candidate probability for a pair at
+    angle theta is 1-(1-(1-theta/pi)^planes)^bands — tune planes/bands
+    to the threshold; recall < 1 by construction and is pytest-pinned
+    vs the exact baseline."""
+    dim = len(emb.select("embedding").first()["embedding"])
+    band_cols = []
+    for bi in range(n_bands):
+        planes = _hyperplanes(dim, n_planes, seed + 101 * bi)
+        band_cols.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                lsh_bucket_col(planes).alias("sig"),
+            )
+        )
+    sigs = emb.select(
+        "vec_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select(
+        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = sigs.select("band", "sig", F.col("vec_id").alias("id_a"))
+    b = sigs.select("band", "sig", F.col("vec_id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos", F.round(cos, 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -117,3 +117,32 @@ def snippet(docs: DataFrame, needle: str, width: int = 40) -> DataFrame:
             ).alias("snip"),
         )
     )
+
+
+# GPT-2-flavoured pretokenizer regex (contractions, letter runs, short
+# digit groups, punctuation runs) — plain alternation so the same
+# pattern runs under Java regex (Spark) and RE2 (DuckDB oracle)
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]{1,3}|[^\sa-z0-9]+"
+
+
+def bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bpe_tokens) — BPE-ish pretokenization count, fully
+    JVM-side via regexp_extract_all (complements the whitespace counter
+    in :func:`token_count`; a real BPE merges would follow this split)."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_ISH_RE), F.lit(0)
+    )
+    return docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_bpe_tokens")
+    )
+
+
+def snapshot_by_url(pages: DataFrame, url: str) -> DataFrame:
+    """Q11 (reference Snapshot.cpp:42-120): fetch the stored page for
+    one url — md5-keyed point lookup (the reference binary-searches
+    Url.idx.sort_uniq on md5(url); here the md5 comparison lets a table
+    bucketed/sorted by md5(url) prune to one file)."""
+    target = F.md5(F.lit(url))
+    return pages.filter(F.md5(F.col("url")) == target).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
