@@ -150,11 +150,10 @@ def run_scaling() -> dict:
             return {"error": proc.stderr[-500:]}
         return json.loads(line)
 
-    # shared-tenancy VM throughput swings ~1.5x minute to minute, so the
-    # two levels are run in tightly interleaved (big, small) pairs and
-    # efficiency is taken from the best pair — adjacent runs see the
-    # most similar machine conditions
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    # shared-tenancy VM throughput swings up to ~1.5x between runs
+    # (no guest-visible steal, likely host co-tenancy), so the two
+    # levels are interleaved and summarized per level by the MEDIAN
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     pairs: list[tuple[dict, dict]] = []
     for _ in range(reps):
         big = one_build(big_n, f"/tmp/tse_bench_idx_big_{BENCH_DOCS}")
@@ -166,11 +165,12 @@ def run_scaling() -> dict:
                 {"big": big, "small": small}
             )
     if pairs:
-        best = max(
-            pairs,
-            key=lambda p: p[0]["docs_per_sec"] / p[1]["docs_per_sec"],
-        )
-        out["big"], out["small"] = best
+        def med(runs):
+            runs = sorted(runs, key=lambda r: r["seconds"])
+            return runs[len(runs) // 2]
+
+        out["big"] = med([b for b, _ in pairs])
+        out["small"] = med([s for _, s in pairs])
         out["big"]["index_dir"] = f"/tmp/tse_bench_idx_big_{BENCH_DOCS}"
         out["small"]["index_dir"] = f"/tmp/tse_bench_idx_small_{BENCH_DOCS}"
         out["all_pairs"] = [

@@ -211,3 +211,38 @@ def make_tokenize_udf(dict_broadcast, lowercase: bool = True):
         )
 
     return tokenize_udf
+
+
+def make_doc_terms_udf(dict_broadcast):
+    """pandas UDF: text -> struct<dl int, terms array<string>,
+    tfs array<int>> — the DOCUMENT-MAJOR tf representation.
+
+    Parallel string/int arrays (not array<struct>) so Arrow moves plain
+    columnar list buffers; a corpus stores one row per doc instead of
+    one per (doc, term), which shrinks the tf checkpoint and makes the
+    posting build's Arrow transfer ~100x fewer rows.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("dl", T.IntegerType(), False),
+            T.StructField("terms", T.ArrayType(T.StringType()), False),
+            T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def doc_terms_udf(text: pd.Series) -> pd.DataFrame:
+        d = dict_broadcast.value
+        pairs = text.map(lambda s: term_freqs(s, d))
+        return pd.DataFrame(
+            {
+                "dl": pairs.map(lambda ps: sum(tf for _, tf in ps)),
+                "terms": pairs.map(lambda ps: [t for t, _ in ps]),
+                "tfs": pairs.map(lambda ps: [c for _, c in ps]),
+            }
+        )
+
+    return doc_terms_udf

@@ -131,9 +131,9 @@ def build_docs(
     shuffle) followed by the rank shuffle, both dedup and id assignment
     ride ONE exchange on the md5-range bucket — duplicates share
     md5(url), hence a bucket, so ``lag`` spots them and ``dense_rank``
-    counts each url once.  The payload (html bytes) crosses the wire
-    exactly once; heavy per-byte work (extraction automaton, content
-    md5) runs after the shuffle, once per surviving doc.
+    counts each url once.  Extraction + content-md5 run on the scan side
+    and html is dropped before the exchange, so only the extracted text
+    crosses the wire.
     """
     from pyspark.sql.window import Window
 
@@ -141,6 +141,16 @@ def build_docs(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     num_buckets = min(max(num_partitions * 8, 1), 65536)
+
+    # heavy per-byte work (extraction automaton, content md5) BEFORE the
+    # exchange, so the raw html bytes never cross the wire — the shuffle
+    # then carries only the extracted text; ~1% of pages are url-dupes
+    # whose extraction is wasted, a good trade against shuffling html
+    if force_extract or "text" not in pages.columns:
+        pages = pages.withColumn(
+            "text", extraction.make_extract_text_udf()(F.col("html"))
+        )
+    pages = pages.withColumn("content_md5", F.md5(F.col("html"))).drop("html")
 
     h, bucket = _hkey_bucket("url", num_buckets)
     with_b = pages.withColumn("__hkey", h).withColumn("__bucket", bucket)
@@ -176,11 +186,6 @@ def build_docs(
             (F.col("__offset") + F.col("__rank") - F.lit(1)).cast("long"),
         )
     )
-    if force_extract or "text" not in pages.columns:
-        docs = docs.withColumn(
-            "text", extraction.make_extract_text_udf()(F.col("html"))
-        )
-    docs = docs.withColumn("content_md5", F.md5(F.col("html")))
     return docs.select("doc_id", "url", "warc_ts", "text", "lang", "content_md5")
 
 
@@ -340,4 +345,32 @@ def bm25_topk(
         agg.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def build_doc_terms(docs: DataFrame, dict_broadcast) -> DataFrame:
+    """Document-major tf: ``(doc_id, dl, terms array, tfs array)`` — one
+    row per doc.  The row-major ``(doc_id, term, tf, dl)`` view is
+    ``explode(arrays_zip(...))`` away when needed; the posting build
+    consumes the arrays directly (operators/postings.py)."""
+    from tse_spark.functions.extraction import make_doc_terms_udf
+
+    udf = make_doc_terms_udf(dict_broadcast)
+    r = docs.select("doc_id", udf(F.col("text")).alias("r"))
+    return r.select(
+        "doc_id",
+        F.col("r.dl").cast("long").alias("dl"),
+        F.col("r.terms").alias("terms"),
+        F.col("r.tfs").alias("tfs"),
+    )
+
+
+def doc_terms_to_tf(doc_terms: DataFrame) -> DataFrame:
+    """Row-major view of the document-major tf (for stats/joins)."""
+    z = F.explode(F.arrays_zip("terms", "tfs")).alias("p")
+    return doc_terms.select("doc_id", "dl", z).select(
+        "doc_id",
+        F.col("p.terms").alias("term"),
+        F.col("p.tfs").cast("long").alias("tf"),
+        "dl",
     )

@@ -7,8 +7,9 @@ North_rule topology: salted repartition-by-term -> vectorized codec UDF
 - spreads a hot term ("的" at web scale) across all shards — the skew
   fix called out in SURVEY.md §4;
 - keeps each (term, shard) run doc-id-contiguous and disjoint, so
-  shard-level results compose by concatenation (sorted-merge combine is
-  a header-preserving concat, no re-encode);
+  shard-level QUERY results compose exactly (per-shard top-k union);
+  the build merges map-side partial runs per (term, shard) with a
+  decode + re-encode (vectorized; partial doc ranges may interleave);
 - makes query serving embarrassingly parallel: WAND per shard over
   disjoint doc ranges, then a global top-k.
 
@@ -52,74 +53,199 @@ def build_posting_shards(
     num_shards: int = 32,
     block_size: int = codec.BLOCK_SIZE,
 ) -> DataFrame:
-    """(doc_id, term, tf, dl) -> compressed posting shards.
+    """(doc_id, term, tf, dl) -> compressed posting shards, in two
+    vectorized phases:
 
-    Repartition by (term, shard) + sortWithinPartitions + a streaming
-    mapInPandas encoder: each (term, shard) run is doc-id-contiguous and
-    becomes one output row of delta-gap varint blocks with per-block
-    max-score skip metadata.  mapInPandas (not applyInPandas) because a
-    web-scale vocabulary yields millions of tiny groups and applyInPandas
-    pays per-group pandas overhead; the streaming encoder amortizes it
-    across a whole Arrow batch.
+    1. **map-side combine**: each scan batch is locally sorted and every
+       (term, shard) run is encoded into a PARTIAL block blob before the
+       exchange — the shuffle then moves one row per (term, shard,
+       batch) instead of one per (doc, term), cutting shuffle rows by
+       ~the average per-partition df;
+    2. **sorted-merge combine**: repartition the partials by
+       (term, shard) (the salt — a hot term's shards spread across the
+       cluster), sort, and a streaming mapInPandas merges each group's
+       partials into the final delta-gap varint blocks with per-block
+       max-score skip metadata.
+
+    mapInPandas (not applyInPandas) throughout: a web-scale vocabulary
+    yields millions of tiny groups and applyInPandas pays per-group
+    pandas overhead; the streaming encoders amortize it across whole
+    Arrow batches, carrying runs that span batch boundaries.
     """
     shard_range = max(1, math.ceil(n_docs / num_shards))
-    t = tf_dl.withColumn("shard", shard_of(F.col("doc_id"), shard_range))
+    doc_major = "terms" in tf_dl.columns
+    if doc_major:
+        # document-major input (doc_id, dl, terms[], tfs[]): Arrow moves
+        # one row per DOC with plain list buffers; flattening happens in
+        # numpy inside the encoder (np.repeat + concatenate)
+        t = tf_dl.select("doc_id", "dl", "terms", "tfs")
+    else:
+        t = tf_dl.withColumn("shard", shard_of(F.col("doc_id"), shard_range))
 
-    def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Encode every complete (term, shard) run inside one sorted
-        frame; one output row per run, one DataFrame per call."""
+    # ---- map side: partial posting runs per (term, shard) per batch ----
+    # The raw tf relation is one row per (doc, term): shuffling it raw
+    # moves tens of millions of tiny rows.  Encoding PARTIAL runs before
+    # the exchange (map-side combine) cuts shuffle rows by ~the average
+    # per-partition df and moves the codec work to the scan side, which
+    # is CPU-bound and scales with cores.
+    partial_schema = (
+        "term string, shard long, df long, cf long, "
+        "max_score double, first_doc long, blocks binary"
+    )
+
+    # Accumulate scan batches to this many rows before sorting/encoding:
+    # a lone Arrow batch (~10k rows ~ 80 docs) holds ~1 row per TAIL
+    # (term, shard) group, so per-group encode overhead would dominate
+    # and the shuffle would barely shrink.  ~500k rows (~20 MB of ints +
+    # short strings) spans thousands of docs, giving tail terms real
+    # runs while bounding worker memory.
+    ACC_ROWS = 500_000
+
+    def _flatten_doc_major(pdf: pd.DataFrame) -> pd.DataFrame:
+        lens = pdf["terms"].map(len).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "term": np.concatenate(
+                    [np.asarray(a, dtype=object) for a in pdf["terms"]]
+                )
+                if len(pdf)
+                else np.zeros(0, dtype=object),
+                "doc_id": np.repeat(
+                    pdf["doc_id"].to_numpy(dtype=np.int64), lens
+                ),
+                "tf": np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in pdf["tfs"]]
+                )
+                if len(pdf)
+                else np.zeros(0, dtype=np.int64),
+                "dl": np.repeat(pdf["dl"].to_numpy(dtype=np.int64), lens),
+            }
+        )
+
+    def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        if doc_major:
+            pdf = _flatten_doc_major(pdf)
+            pdf["shard"] = pdf["doc_id"].to_numpy() // shard_range
+        # group locally by integer term codes (hash factorize), not by
+        # the term strings — lexsort on half a million python strings
+        # costs more than the encoding itself
+        codes, _ = pd.factorize(pdf["term"], sort=False)
+        order = np.lexsort(
+            (
+                pdf["doc_id"].to_numpy(),
+                pdf["shard"].to_numpy(),
+                codes,
+            )
+        )
+        codes = codes[order]
+        terms = pdf["term"].to_numpy(dtype=object)[order]
+        shards = pdf["shard"].to_numpy(dtype=np.int64)[order]
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
+        dls = pdf["dl"].to_numpy(dtype=np.int64)[order]
+        change = np.flatnonzero(
+            (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
+        )
+        bounds = np.concatenate(([0], change + 1, [len(terms)]))
+        blobs, gmax = codec.encode_many(
+            docs, tfs, dls, bounds, avgdl, block_size
+        )
+        starts = bounds[:-1]
+        cfs = np.add.reduceat(tfs, starts)
+        return pd.DataFrame(
+            {
+                "term": terms[starts],
+                "shard": shards[starts],
+                "df": np.diff(bounds),
+                "cf": cfs,
+                "max_score": gmax,
+                "first_doc": docs[starts],
+                "blocks": blobs,
+            }
+        )
+
+    # doc-major rows each hold ~avgdl/2 postings, so far fewer rows
+    # reach the same posting count per chunk
+    acc_target = max(ACC_ROWS // 128, 1024) if doc_major else ACC_ROWS
+
+    def encode_map(it):
+        acc: list[pd.DataFrame] = []
+        n = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            acc.append(pdf)
+            n += len(pdf)
+            if n >= acc_target:
+                yield _encode_chunk(pd.concat(acc, ignore_index=True))
+                acc, n = [], 0
+        if acc:
+            yield _encode_chunk(pd.concat(acc, ignore_index=True))
+
+    partials = t.mapInPandas(encode_map, schema=partial_schema)
+
+    # ---- reduce side: merge partial runs per (term, shard) ----
+    def merge_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Merge partial runs: ONE batched decode of every partial blob
+        in the frame, a per-group re-sort (partial doc ranges from
+        different map partitions can interleave — input splits mix
+        bucket files — so blind concat is not valid), ONE batched
+        re-encode."""
         terms = pdf["term"].to_numpy(dtype=object)
         shards = pdf["shard"].to_numpy(dtype=np.int64)
-        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
         change = np.flatnonzero(
             (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
         )
-        bounds = np.concatenate(([0], change + 1, [len(pdf)]))
-        out: dict[str, list] = {
-            "term": [], "shard": [], "df": [], "cf": [],
-            "max_score": [], "blocks": [],
-        }
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            blocks, mx = codec.encode_postings(
-                docs[a:b], tfs[a:b], dls[a:b], avgdl, block_size
-            )
-            out["term"].append(terms[a])
-            out["shard"].append(int(shards[a]))
-            out["df"].append(b - a)
-            out["cf"].append(int(tfs[a:b].sum()))
-            out["max_score"].append(mx)
-            out["blocks"].append(blocks)
-        return pd.DataFrame(out)
+        pbounds = np.concatenate(([0], change + 1, [len(pdf)]))
+        blobs = pdf["blocks"].to_numpy(dtype=object)
+        dfs = pdf["df"].to_numpy(dtype=np.int64)
 
-    def encode_stream(it):
-        """Stream Arrow batches of one sorted partition; a (term, shard)
-        run can span batch boundaries, so the trailing (possibly
-        incomplete) run is carried into the next batch.  Memory is
-        O(batch + largest single run), never O(partition) — the sorted-
-        merge-combine shape from the north_star, vectorized."""
+        mega = b"".join(bytes(b) for b in blobs)
+        docs, tfs, dls = codec.decode_all(mega)
+        # row-level group bounds = cumulative partial dfs at group edges
+        row_cum = np.concatenate(([0], np.cumsum(dfs)))
+        bounds = row_cum[pbounds]
+        counts = np.diff(bounds)
+        gidx = np.repeat(np.arange(len(counts)), counts)
+        order = np.lexsort((docs, gidx))
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        blocks, gmax = codec.encode_many(
+            docs, tfs, dls, bounds, avgdl, block_size
+        )
+        starts = pbounds[:-1]
+        return pd.DataFrame(
+            {
+                "term": terms[starts],
+                "shard": shards[starts],
+                "df": counts,
+                "cf": np.add.reduceat(tfs, bounds[:-1].clip(max=max(len(tfs) - 1, 0))),
+                "max_score": gmax,
+                "blocks": blocks,
+            }
+        )
+
+    def merge_stream(it):
         buf: pd.DataFrame | None = None
         for pdf in it:
             if buf is not None and len(buf):
                 pdf = pd.concat([buf, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
             last_t = pdf["term"].iloc[-1]
             last_s = pdf["shard"].iloc[-1]
             tail = (pdf["term"] == last_t) & (pdf["shard"] == last_s)
             complete = pdf[~tail]
             buf = pdf[tail]
             if len(complete):
-                yield encode_groups(complete)
+                yield merge_groups(complete)
         if buf is not None and len(buf):
-            yield encode_groups(buf)
+            yield merge_groups(buf)
 
-    # hash-partition on (term, shard): a hot term's shards spread across
-    # the cluster (the salt), each partition sorted so runs are adjacent
     num_parts = tf_dl.sparkSession.sparkContext.defaultParallelism
-    d = t.repartition(num_parts, "term", "shard").sortWithinPartitions(
-        "term", "shard", "doc_id"
+    d = partials.repartition(num_parts, "term", "shard").sortWithinPartitions(
+        "term", "shard", "first_doc"
     )
-    return d.mapInPandas(encode_stream, schema=POSTINGS_SCHEMA)
+    return d.mapInPandas(merge_stream, schema=POSTINGS_SCHEMA)
 
 
 def term_stats(postings: DataFrame) -> DataFrame:

@@ -85,10 +85,14 @@ class IndexPipeline:
     def _from_docs(self, docs, fp0, man, resume) -> "IndexHandle":
         b_dict = self.spark.sparkContext.broadcast(self.dictionary)
         if self.tokenizer == "tse":
-            build_tf = lambda: ib.build_tf_dl(docs, b_dict)
+            # document-major tf (one row per doc, term/tf arrays):
+            # ~avgdl x fewer rows through parquet and Arrow
+            build_tf = lambda: ib.build_doc_terms(docs, b_dict)
+            doc_major = True
         else:
             build_tf = lambda: po.with_doclen(ib.build_tf_ws(docs))
-        fp_tf = cp.fingerprint("tf", fp0)
+            doc_major = False
+        fp_tf = cp.fingerprint("tf", fp0, "fmt2" if doc_major else "fmt1")
         tf = cp.run_stage(self.spark, man, "tf", fp_tf, build_tf, resume)
 
         # corpus stats (cheap scalar job; cached in meta.json on resume)
@@ -100,11 +104,15 @@ class IndexPipeline:
             if meta.get("fingerprint") != fp_tf:
                 meta = None
         if meta is None:
+            dl_per_doc = (
+                tf
+                if doc_major
+                else tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+            )
             row = (
-                tf.groupBy("doc_id")
-                .agg(F.first("dl").alias("dl"))
-                .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
-                .collect()[0]
+                dl_per_doc.agg(
+                    F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+                ).collect()[0]
             )
             meta = {
                 "n_docs": int(row["n"]),
