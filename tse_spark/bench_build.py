@@ -42,6 +42,12 @@ def build_session(cpus: int) -> SparkSession:
         # on a real many-file table with default 128 MB splits
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "0")
+        # straggler re-launch (see session.get_spark): a co-tenant CPU
+        # stall on one core otherwise serializes a whole stage wave
+        .config("spark.speculation", "true")
+        .config("spark.speculation.interval", "100ms")
+        .config("spark.speculation.multiplier", "2")
+        .config("spark.speculation.quantile", "0.75")
         .config("spark.driver.memory", "24g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -179,15 +179,43 @@ def minhash_neardup(
     min_jaccard: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature -> banded
-    candidates -> exact-Jaccard verification of candidates only."""
+    candidates -> exact-Jaccard verification of candidates only.
+
+    Verification joins each candidate pair with the two docs' shingle
+    SETS and intersects JVM-side (``array_intersect``) — cost is
+    O(|candidates| * shingles/doc), never the quadratic all-pairs
+    shingle self-join (which at web scale is exactly what LSH exists to
+    avoid)."""
     sh = shingles(docs, n)
     cand = lsh_candidate_pairs(
         minhash_signatures(sh, num_hashes), num_hashes, bands
     )
-    exact = jaccard_pairs(sh, min_jaccard=min_jaccard)
-    return cand.join(exact, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("s"))
+    j = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sa") + F.size("sb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
     )
+    return j.select("doc_a", "doc_b", "jaccard")
 
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -313,7 +313,16 @@ def bm25_topk(
         return spark.createDataFrame(
             [], "doc_id long, score double"
         )
-    qt = spark.createDataFrame([(t,) for t in terms], "term string")
+    if len(terms) <= 64:
+        # short queries: a pushed-down IN predicate prunes the tf scan
+        # with zero extra jobs (a broadcast join would schedule a
+        # createDataFrame job + a broadcast exchange per side)
+        tf_q = tf.filter(F.col("term").isin(terms))
+        df_q = dfreq.filter(F.col("term").isin(terms))
+    else:
+        qt = spark.createDataFrame([(t,) for t in terms], "term string")
+        tf_q = tf.join(F.broadcast(qt), "term")
+        df_q = dfreq.join(F.broadcast(qt), "term")
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
@@ -321,8 +330,7 @@ def bm25_topk(
     )
     k1, b = oracle.BM25_K1, oracle.BM25_B
     per_term = (
-        tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(dfreq.join(F.broadcast(qt), "term")), "term")
+        tf_q.join(F.broadcast(df_q), "term")
         .join(doclen, "doc_id")
         .withColumn(
             "s",
