@@ -79,6 +79,18 @@ def _tf_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ib.build_tf_ws(_t(spark, sf_dir, "documents"))
 
 
+_TF_CACHE: dict[str, DataFrame] = {}
+
+
+def _tf_ws_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One cached tf per sf_dir, shared by every bm25 call — bounded
+    (max one entry per sf under test) instead of a fresh cached lineage
+    per query (the round-1 leak)."""
+    if sf_dir not in _TF_CACHE:
+        _TF_CACHE[sf_dir] = _tf_ws(spark, sf_dir).cache()
+    return _TF_CACHE[sf_dir]
+
+
 def _bm25(
     spark: SparkSession, sf_dir: str, terms: list[str], conjunctive: bool
 ) -> DataFrame:
@@ -86,7 +98,7 @@ def _bm25(
 
     # tf feeds doclen + dfreq + corpus stats + the scoring join; cache it
     # so the tokenize/aggregate lineage runs once, not once per consumer
-    tf = _tf_ws(spark, sf_dir).cache()
+    tf = _tf_ws_cached(spark, sf_dir)
     doclen = ib.build_doclen(tf)
     # df is only consumed for the query terms — prune BEFORE the
     # full-vocabulary aggregation shuffle (same df values for those terms)
@@ -308,6 +320,32 @@ def _q_tpch_q3(spark, sf):
     )
 
 
+def _q_search_render(spark, sf):
+    """Q10 + T8 full (reference index/DisplayRst.cpp:82-261): BM25 top-k
+    joined back to docs with per-term highlighted context windows and
+    the (synthesized) url — the row a search user actually sees."""
+    from tse_spark.operators import textops
+
+    topk = _bm25(spark, sf, BM25_QUERY, False)
+    docs = _t(spark, sf, "documents").withColumn("url", _synth_url_col())
+    return textops.render_results(
+        topk, docs, BM25_QUERY, width=64, extra_cols=("url",)
+    )
+
+
+def _q_content_type_gate(spark, sf):
+    """C9 mime gate (reference tse/Crawl.cpp:439-451) over the media
+    table (media_id = doc_id, deterministic kinds/mimes)."""
+    from tse_spark.operators import multimodal as mm
+    from tse_spark.operators import textops
+
+    media = mm.media_df(spark, _n_docs(spark, sf))
+    out = textops.content_type_gate(
+        media, allowed=("image/png", "audio/wav")
+    )
+    return out.select("media_id", "kind", "mime")
+
+
 def _q_point_lookup(spark, sf):
     return (
         _t(spark, sf, "documents")
@@ -366,7 +404,9 @@ def _q_wand_conjunctive(spark, sf):
 def _q_pages_bm25(spark, sf):
     """TSE pipeline end-to-end on the synthesized GB2312 pages fixture:
     extraction automaton + FMM tokenization + BM25.  Pure-Python-oracle
-    verified in tests/test_index_build.py; no DuckDB equivalent."""
+    verified in tests/test_index_build.py; no DuckDB equivalent.  Row
+    count scales with the sf under test (documents count / 2, floor
+    200)."""
     from pyspark.sql import types as T
 
     from tse_spark import fixtures
@@ -381,7 +421,8 @@ def _q_pages_bm25(spark, sf):
             T.StructField("lang", T.StringType(), False),
         ]
     )
-    pages = spark.createDataFrame(fixtures.gen_pages(500), schema=schema)
+    n_pages = max(200, _n_docs(spark, sf) // 2)
+    pages = spark.createDataFrame(fixtures.gen_pages(n_pages), schema=schema)
     docs = ib.build_docs(pages, num_partitions=4)
     d = spark.sparkContext.broadcast(fixtures.mini_dict_bytes())
     tf = ib.build_tf(docs, d)
@@ -425,59 +466,78 @@ def _q_lsh_neardup(spark, sf):
     )
 
 
-def _q_snapshot_by_url(spark, sf):
-    """Rows-only: md5-keyed page snapshot (Q11) on the pages fixture."""
-    from pyspark.sql import types as T
+SNAPSHOT_URL = "http://site42.example.de/cgi-bin/q42"  # synth url of doc 42
 
-    from tse_spark import fixtures
+
+def _q_snapshot_by_url(spark, sf):
+    """Q11 md5-keyed page snapshot over the synth-url'd documents table
+    (scales with sf; DuckDB oracle mirrors the construction + md5)."""
     from tse_spark.operators import textops
 
-    schema = T.StructType(
-        [
-            T.StructField("url", T.StringType(), False),
-            T.StructField("warc_ts", T.TimestampType(), False),
-            T.StructField("html", T.BinaryType(), False),
-            T.StructField("text", T.StringType(), False),
-            T.StructField("lang", T.StringType(), False),
-        ]
-    )
-    pages = spark.createDataFrame(fixtures.gen_pages(200), schema=schema)
-    out = textops.snapshot_by_url(pages, "http://site3.example.cn/p/3")
+    pages = _t(spark, sf, "documents").withColumn("url", _synth_url_col())
+    out = textops.snapshot_by_url(pages, SNAPSHOT_URL)
     return out.select("url", "text", "lang")
 
 
+_NDOCS_CACHE: dict[str, int] = {}
+
+
+def _n_docs(spark, sf):
+    """documents row count per sf_dir (cached — one tiny count job); the
+    media/pages fixtures derive their sizes from it so every driver
+    query scales with the sf under test."""
+    if sf not in _NDOCS_CACHE:
+        _NDOCS_CACHE[sf] = _t(spark, sf, "documents").count()
+    return _NDOCS_CACHE[sf]
+
+
 def _q_media_image_features(spark, sf):
+    """Oracle-checked end-to-end: Spark decodes the ACTUAL payload bytes
+    (mapInPandas over binary blobs); the DuckDB oracle recomputes the
+    expected features from media_id via the arithmetic generation law
+    (multimodal._payload_bytes) — verifying generate -> store -> decode
+    round-trips exactly."""
     from tse_spark.operators import multimodal as mm
 
-    return mm.decode_image_features(mm.media_df(spark, 200))
+    out = mm.decode_image_features(mm.media_df(spark, _n_docs(spark, sf)))
+    return out.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round("mean_px", 4).alias("mean_px"),
+        F.round("std_px", 4).alias("std_px"),
+    )
 
 
 def _q_media_audio_features(spark, sf):
-    from pyspark.sql import functions as F2
-
     from tse_spark.operators import multimodal as mm
 
-    out = mm.audio_features(mm.media_df(spark, 200))
+    out = mm.audio_features(mm.media_df(spark, _n_docs(spark, sf)))
     return out.select(
-        "media_id", "sample_rate", "duration_s",
-        F2.round(F2.element_at("bands", 1), 4).alias("band0"),
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round(F.element_at("bands", 1), 4).alias("band0"),
     )
 
 
 def _q_media_frame_sample(spark, sf):
     from tse_spark.operators import multimodal as mm
 
-    out = mm.sample_video_frames(mm.media_df(spark, 200), every_n=4)
-    return out.select("media_id", "frame_no")
+    out = mm.sample_video_frames(
+        mm.media_df(spark, _n_docs(spark, sf)), every_n=4
+    )
+    return out.select(
+        "media_id", F.col("frame_no").cast("long").alias("frame_no")
+    )
 
 
 # ----- crawler set-algebra (SURVEY.md §2.6) over synthesized urls -----
 
-def _synth_urls(spark, sf):
-    """Deterministic url table derived from documents.doc_id — the same
-    construction is expressed in the DuckDB oracle SQL so the classify
-    verdicts can be value-compared."""
-    d = _t(spark, sf, "documents").select("doc_id")
+def _synth_url_col():
+    """Deterministic url column from doc_id — the same construction is
+    expressed in the DuckDB oracle SQL (_SYNTH_URLS_SQL) so url-bearing
+    results can be value-compared."""
     doc = F.col("doc_id")
     dom = (
         F.when(doc % 4 == 0, ".example.cn")
@@ -492,10 +552,15 @@ def _synth_urls(spark, sf):
         .when(doc % 5 == 3, F.concat(F.lit("/a"), doc.cast("string"), F.lit("?b=1&c=2&d=3")))
         .otherwise(F.concat(F.lit("/x-"), doc.cast("string"), F.lit("+z")))
     )
-    url = F.concat(
+    return F.concat(
         F.lit("http://site"), (doc % 97).cast("string"), dom, path
     )
-    return d.withColumn("url", url)
+
+
+def _synth_urls(spark, sf):
+    """Deterministic url table derived from documents.doc_id."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    return d.withColumn("url", _synth_url_col())
 
 
 def _q_url_classify(spark, sf):
@@ -517,25 +582,56 @@ def _q_frontier_wave(spark, sf):
     return crawl.frontier_wave(frontier, visited)
 
 
-def _q_link_extract(spark, sf):
-    """Rows-only: link extraction over the GB2312 pages fixture
-    (pytest-verified vs the pure-python port; no DuckDB twin)."""
-    from pyspark.sql import types as T
+def _synth_html_col():
+    """Deterministic html per doc exercising the link-extraction regex:
+    double-quoted absolute href, quoted/unquoted root-relative src/href
+    (resolved against the page url by the UDF's urljoin), and a
+    javascript: link that must be dropped.  The DuckDB oracle constructs
+    the EXPECTED edge list from the same law — a known-answer test of
+    the real regex + uri-resolution path."""
+    doc = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit('<html><body><a href="http://peer.example.cn/p/'),
+        doc,
+        F.lit('">p</a><img src="/img'),
+        doc,
+        F.lit(".png\"><a href='/rel"),
+        doc,
+        F.lit("'>r</a><frame src=/f"),
+        doc,
+        F.lit("><a href=javascript:alert(1)>j</a></body></html>"),
+    )
 
-    from tse_spark import fixtures
+
+def _q_link_extract(spark, sf):
+    """C11 link extraction over documents-derived synthetic html
+    (scales with sf; oracle-checked — see _synth_html_col)."""
     from tse_spark.operators import crawl
 
-    schema = T.StructType(
-        [
-            T.StructField("url", T.StringType(), False),
-            T.StructField("warc_ts", T.TimestampType(), False),
-            T.StructField("html", T.BinaryType(), False),
-            T.StructField("text", T.StringType(), False),
-            T.StructField("lang", T.StringType(), False),
-        ]
+    pages = (
+        _t(spark, sf, "documents")
+        .withColumn("url", _synth_url_col())
+        .withColumn("html", _synth_html_col())
     )
-    pages = spark.createDataFrame(fixtures.gen_pages(300), schema=schema)
     return crawl.extract_links(pages)
+
+
+def _q_link_outdegree(spark, sf):
+    """S5 full Link4SE record: (url, outdegree, out_urls) per page over
+    the documents-derived synthetic html (oracle-checked)."""
+    from tse_spark.operators import crawl
+
+    pages = (
+        _t(spark, sf, "documents")
+        .withColumn("url", _synth_url_col())
+        .withColumn("html", _synth_html_col())
+    )
+    out = crawl.link_outdegree(pages)
+    return out.select(
+        "url",
+        "outdegree",
+        F.array_join("out_urls", ",").alias("out_urls"),
+    )
 
 
 def _q_minhash_neardup(spark, sf):
@@ -556,7 +652,9 @@ def _q_lsh_ann(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     qv = similarity.get_query_vec(emb, 0)
-    return similarity.lsh_ann_topk(spark, emb, qv, K, n_planes=4)
+    return similarity.lsh_ann_topk(
+        spark, emb, qv, K, n_planes=2, n_bands=8
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -589,17 +687,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _q_tpch_q3,
         "point_lookup": _q_point_lookup,
         "source_rollup": _q_source_rollup,
+        "search_render": _q_search_render,
+        "content_type_gate": _q_content_type_gate,
         "url_classify": _q_url_classify,
         "frontier_wave": _q_frontier_wave,
         "bpe_token_count": _q_bpe_token_count,
         "cosine_neardup": _q_cosine_neardup,
-        # rows-only engine paths (no DuckDB equivalent; pytest-verified)
-        "lsh_neardup": _q_lsh_neardup,
         "snapshot_by_url": _q_snapshot_by_url,
         "media_image_features": _q_media_image_features,
         "media_audio_features": _q_media_audio_features,
         "media_frame_sample": _q_media_frame_sample,
         "link_extract": _q_link_extract,
+        "link_outdegree": _q_link_outdegree,
+        # rows-only engine paths (no DuckDB equivalent; pytest-verified)
+        "lsh_neardup": _q_lsh_neardup,
         "pages_bm25": _q_pages_bm25,
         "minhash_neardup": _q_minhash_neardup,
         "simhash": _q_simhash,
@@ -629,6 +730,106 @@ WITH synth AS (
   FROM documents
 )
 """
+
+
+# the synth url / host constructions as standalone SQL expressions
+# (over a ``doc_id`` column), reused by the snapshot / link / render
+# oracles; must stay in lockstep with _synth_url_col()
+_SYNTH_HOST_EXPR = """'site' || (doc_id % 97)::VARCHAR
+  || CASE doc_id % 4 WHEN 0 THEN '.example.cn' WHEN 1 THEN '.example.com'
+                     WHEN 2 THEN '.example.de' ELSE '.example.org' END"""
+_SYNTH_URL_EXPR = f"""'http://' || {_SYNTH_HOST_EXPR}
+  || CASE doc_id % 5
+       WHEN 0 THEN '/p/' || doc_id::VARCHAR
+       WHEN 1 THEN '/img' || doc_id::VARCHAR || '.jpg'
+       WHEN 2 THEN '/cgi-bin/q' || doc_id::VARCHAR
+       WHEN 3 THEN '/a' || doc_id::VARCHAR || '?b=1&c=2&d=3'
+       ELSE '/x-' || doc_id::VARCHAR || '+z' END"""
+
+
+def _render_sql() -> str:
+    """search_render oracle: BM25 top-10 + per-term context windows +
+    <font> highlight, mirroring textops.render_results exactly (same
+    window width/length arithmetic, same replace order)."""
+    width = 64
+    parts = []
+    for t in BM25_QUERY:
+        tl = t.lower()
+        length = 2 * width + len(tl)
+        parts.append(
+            f"CASE WHEN strpos(lower(text), '{tl}') > 0 THEN "
+            f"substr(lower(text), "
+            f"greatest(strpos(lower(text), '{tl}') - {width}, 1), {length})"
+            f" END"
+        )
+    snip = f"concat_ws(' ... ', {', '.join(parts)})"
+    for t in BM25_QUERY:
+        tl = t.lower()
+        snip = f"replace({snip}, '{tl}', '<font>{tl}</font>')"
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return (
+        _TOK
+        + _BM25_SQL.format(terms=terms)
+        + f"""
+        , topk AS (
+          SELECT doc_id, round(sum(s), 4) AS score
+          FROM perterm GROUP BY doc_id
+          ORDER BY sum(s) DESC, doc_id LIMIT 10),
+        rend AS (
+          SELECT doc_id, {_SYNTH_URL_EXPR} AS url, text FROM documents)
+        SELECT r.doc_id, t.score, r.url, {snip} AS snippet
+        FROM topk t JOIN rend r ON r.doc_id = t.doc_id"""
+    )
+
+
+# media generation law in SQL (lockstep with multimodal._payload_bytes
+# / _meta_for): payload byte j of media_id i is (i*131 + j*7) % 256
+_MEDIA_IMAGE_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         64 + ((doc_id * 131) % 64) * 4 AS sz,
+         16 + (doc_id * 37) % 64 AS w,
+         16 + (doc_id * 53) % 64 AS h
+  FROM documents WHERE doc_id % 3 IN (0, 2)),
+px AS (
+  SELECT media_id, w, h,
+         list_transform(range(w * h),
+           p -> CAST((media_id * 131 + (p % sz) * 7) % 256 AS DOUBLE)) AS l
+  FROM m)
+SELECT media_id, w AS width, h AS height,
+       round(list_avg(l), 4) AS mean_px,
+       round(sqrt(greatest(
+         list_avg(list_transform(l, x -> x * x))
+           - list_avg(l) * list_avg(l), 0)), 4) AS std_px
+FROM px"""
+
+_MEDIA_AUDIO_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         64 + ((doc_id * 131) % 64) * 4 AS sz,
+         8000 + 100 * ((doc_id * 29) % 9) AS sr
+  FROM documents WHERE doc_id % 3 = 1),
+d AS (SELECT media_id, sr, sz, sz + ((8 - (sz % 8)) % 8) AS padded FROM m)
+SELECT media_id, sr AS sample_rate,
+       round(padded * 1.0 / sr, 6) AS duration_s,
+       round(list_avg(list_transform(range(padded // 8),
+         j -> abs(CAST((media_id * 131 + j * 7) % 256 AS DOUBLE) - 128.0))),
+         4) AS band0
+FROM d"""
+
+_MEDIA_FRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, 1 + (doc_id * 17) % 32 AS nf
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT media_id, unnest(range(0, nf, 4)) AS frame_no FROM m"""
+
+_CONTENT_TYPE_GATE_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image'
+                       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime
+FROM documents WHERE doc_id % 3 IN (0, 1)"""
 
 
 def _url_classify_sql() -> str:
@@ -781,10 +982,13 @@ def oracle_sql() -> dict[str, str]:
                  unnest(list_transform(range(1, len(arr)),
                         i -> arr[i] || ' ' || arr[i+1])) AS shingle
           FROM arrs WHERE len(arr) >= 2),
-        sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
         cool AS (
           SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
         shc AS (SELECT sh.* FROM sh JOIN cool USING (shingle)),
+        -- sizes over the CAPPED sets: the metric is exact Jaccard of
+        -- the hot-shingle-capped sets (self-consistent; see
+        -- dedup.jaccard_pairs docstring)
+        sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shc GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  count(*)::BIGINT AS inter
@@ -826,9 +1030,13 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         sess AS (
           SELECT user_id, ts,
-                 sum(new_sess) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_id
+                 -- ::BIGINT: DuckDB window sum yields HUGEINT, which
+                 -- pandas materializes as float64 and the driver's
+                 -- value hash then sees 3.0 vs Spark's int64 3
+                 (sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING))::BIGINT
+                   AS session_id
           FROM marked)
         SELECT user_id, session_id, count(*)::BIGINT AS n_events,
                min(epoch_ms(ts) // 1000) AS t_start,
@@ -886,4 +1094,37 @@ def oracle_sql() -> dict[str, str]:
         "source_rollup": """
         SELECT source, lang, count(*)::BIGINT AS n_docs
         FROM documents GROUP BY ROLLUP (source, lang)""",
+        "search_render": _render_sql(),
+        "content_type_gate": _CONTENT_TYPE_GATE_SQL,
+        "media_image_features": _MEDIA_IMAGE_SQL,
+        "media_audio_features": _MEDIA_AUDIO_SQL,
+        "media_frame_sample": _MEDIA_FRAMES_SQL,
+        "snapshot_by_url": f"""
+        WITH p AS (
+          SELECT doc_id, {_SYNTH_URL_EXPR} AS url, text, lang
+          FROM documents)
+        SELECT url, text, lang FROM p
+        WHERE md5(url) = md5('{SNAPSHOT_URL}')""",
+        "link_extract": f"""
+        WITH synth AS (
+          SELECT doc_id, {_SYNTH_URL_EXPR} AS url,
+                 {_SYNTH_HOST_EXPR} AS host
+          FROM documents)
+        SELECT url, unnest(list_value(
+          'http://peer.example.cn/p/' || doc_id::VARCHAR,
+          'http://' || host || '/img' || doc_id::VARCHAR || '.png',
+          'http://' || host || '/rel' || doc_id::VARCHAR,
+          'http://' || host || '/f' || doc_id::VARCHAR)) AS out_url
+        FROM synth""",
+        "link_outdegree": f"""
+        WITH synth AS (
+          SELECT doc_id, {_SYNTH_URL_EXPR} AS url,
+                 {_SYNTH_HOST_EXPR} AS host
+          FROM documents)
+        SELECT url, 4 AS outdegree,
+               'http://peer.example.cn/p/' || doc_id::VARCHAR || ','
+               || 'http://' || host || '/img' || doc_id::VARCHAR || '.png,'
+               || 'http://' || host || '/rel' || doc_id::VARCHAR || ','
+               || 'http://' || host || '/f' || doc_id::VARCHAR AS out_urls
+        FROM synth""",
     }

@@ -6,10 +6,17 @@ master is hardcoded here):
 
     python -m zipfile -c /tmp/tse_spark.zip tse_spark
     spark-submit --py-files /tmp/tse_spark.zip \
+        --conf spark.speculation=true \
+        --conf spark.speculation.quantile=0.75 \
+        --conf spark.speculation.multiplier=2 \
         scripts/build_index.py \
         --pages  /data/pages_parquet_or_iceberg_dir \
         --out    /data/tse_index \
         --shards 4096 --block-size 128
+
+The spark.speculation flags re-launch straggler tasks on shared
+clusters; they belong HERE (cluster mode) because Spark never starts
+the speculation scheduler under a local[N] master.
 
 The same invocation at two cluster sizes (N and 4N executors) is the
 scaling measurement; in the sandbox, bench.py reproduces it with

@@ -48,8 +48,21 @@ SQL_CHECKED = sorted(entrymod.oracle_sql())
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_query_matches_oracle(spark, duck, name):
     fn = entrymod.queries()[name]
-    got = normalize(fn(spark, SF_DIR).toPandas())
-    want = normalize(duck.execute(entrymod.oracle_sql()[name]).df())
+    raw_got = fn(spark, SF_DIR).toPandas()
+    raw_want = duck.execute(entrymod.oracle_sql()[name]).df()
+    # the driver's value hash distinguishes int64 3 from float64 3.0
+    # (the round-1 events_sessionize failure mode): require matching
+    # numeric KIND per column, not just equal values
+    for c in raw_got.columns:
+        if c in raw_want.columns:
+            g_int = pd.api.types.is_integer_dtype(raw_got[c])
+            w_int = pd.api.types.is_integer_dtype(raw_want[c])
+            assert g_int == w_int, (
+                f"{name}.{c}: dtype kind mismatch "
+                f"(spark {raw_got[c].dtype} vs oracle {raw_want[c].dtype})"
+            )
+    got = normalize(raw_got)
+    want = normalize(raw_want)
     assert list(got.columns) == list(want.columns), name
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)}"
     pd.testing.assert_frame_equal(

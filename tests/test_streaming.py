@@ -1,0 +1,107 @@
+"""Streaming variants equal the batch operators on the same input.
+
+The stream runs with trigger(availableNow=True) over a copy of the
+events fixture and a long watermark; in append mode only windows closed
+by the final watermark are emitted, so the batch comparison is
+restricted to sessions/windows that closed before the max event time
+minus the watermark delay.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tse_spark.operators import events as ev
+from tse_spark.streaming import (
+    hourly_window_agg_stream,
+    read_events_stream,
+    sessionize_stream,
+)
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+WATERMARK_S = 2 * 3600
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(SRC, d / "events.parquet")
+    return str(d)
+
+
+def _run_stream(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _max_ts(spark):
+    row = spark.read.parquet(SRC).agg(
+        F.max(F.col("ts").cast("timestamp").cast("long")).alias("m")
+    ).collect()[0]
+    return row["m"]
+
+
+def test_sessionize_stream_matches_batch(spark, stream_dir):
+    got = _run_stream(
+        spark,
+        sessionize_stream(read_events_stream(spark, stream_dir)),
+        "sess_stream",
+    ).collect()
+    horizon = _max_ts(spark) - WATERMARK_S
+    batch = (
+        ev.sessionize(spark.read.parquet(SRC))
+        .filter(
+            # streaming append mode only emits sessions closed by the
+            # final watermark: session end + gap <= watermark horizon
+            (F.col("t_end") + 30 * 60) <= horizon
+        )
+        .collect()
+    )
+    want = {(r["user_id"], r["n_events"], r["t_start"], r["t_end"]) for r in batch}
+    emitted = {
+        (r["user_id"], r["n_events"], r["t_start"], r["t_end"]) for r in got
+    }
+    # every batch-closed session must be emitted with identical bounds
+    assert want <= emitted
+    assert len(want) > 0
+    # and nothing emitted may contradict the batch sessionization
+    all_batch = {
+        (r["user_id"], r["n_events"], r["t_start"], r["t_end"])
+        for r in ev.sessionize(spark.read.parquet(SRC)).collect()
+    }
+    assert emitted <= all_batch
+
+
+def test_hourly_stream_matches_batch(spark, stream_dir):
+    got = _run_stream(
+        spark,
+        hourly_window_agg_stream(read_events_stream(spark, stream_dir)),
+        "hourly_stream",
+    ).collect()
+    horizon = _max_ts(spark) - WATERMARK_S
+    batch = (
+        ev.hourly_window_agg(spark.read.parquet(SRC))
+        .filter((F.col("hour_start") + 3600) <= horizon)
+        .collect()
+    )
+    want = {
+        (r["hour_start"], r["event_type"], r["n"], r["total"]) for r in batch
+    }
+    emitted = {
+        (r["hour_start"], r["event_type"], r["n"], r["total"]) for r in got
+    }
+    assert want <= emitted
+    assert len(want) > 0
+    all_batch = {
+        (r["hour_start"], r["event_type"], r["n"], r["total"])
+        for r in ev.hourly_window_agg(spark.read.parquet(SRC)).collect()
+    }
+    assert emitted <= all_batch

@@ -42,12 +42,10 @@ def build_session(cpus: int) -> SparkSession:
         # on a real many-file table with default 128 MB splits
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "0")
-        # straggler re-launch (see session.get_spark): a co-tenant CPU
-        # stall on one core otherwise serializes a whole stage wave
-        .config("spark.speculation", "true")
-        .config("spark.speculation.interval", "100ms")
-        .config("spark.speculation.multiplier", "2")
-        .config("spark.speculation.quantile", "0.75")
+        # NOTE: spark.speculation is intentionally absent — Spark never
+        # starts the speculation scheduler under a local[N] master, so
+        # it would be a silent no-op here.  On a real cluster pass it
+        # via spark-submit --conf (see scripts/build_index.py).
         .config("spark.driver.memory", "24g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

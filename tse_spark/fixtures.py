@@ -72,7 +72,7 @@ VOCAB: tuple[str, ...] = (
 
 # bump when generated fixture CONTENT changes (invalidates the parquet
 # cache markers used by write_pages_parquet*)
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 
 def mini_dict_bytes() -> frozenset[bytes]:
@@ -101,7 +101,7 @@ _GARNISH: tuple[str, ...] = (
 
 
 def gen_pages(
-    n_rows: int, seed: int = SEED, length_scale: int = 1
+    n_rows: int, seed: int = SEED, length_scale: int = 1, start: int = 0
 ) -> pd.DataFrame:
     """Deterministic pages table as a pandas DataFrame.
 
@@ -110,6 +110,11 @@ def gen_pages(
     url variants.  ``length_scale`` multiplies tokens-per-doc (1 ->
     15-60 tokens, tiny unit-test pages; 8 -> 120-480 tokens ~ 1-4 KB
     text, Common-Crawl-like body sizes for throughput benchmarks).
+
+    ``start`` offsets the global row index used for urls / lang / garnish
+    so independently generated chunks (parallel sharded generation) have
+    globally unique urls — content is then a function of
+    (chunk seed, start, n_rows) only, independent of who generates it.
     """
     rng = np.random.RandomState(seed)
     probs = _zipf_probs(len(VOCAB))
@@ -127,16 +132,17 @@ def gen_pages(
     ts_col: list[_dt.datetime] = []
 
     for i in range(n_rows):
-        if i % 101 == 7 and i > 0:
+        g = start + i  # global row index (url identity / garnish cycle)
+        if g % 101 == 7 and i > 0:
             # exact duplicate of the previous row's url AND content
             urls.append(urls[-1])
             htmls.append(htmls[-1])
             texts.append(texts[-1])
             lang_col.append(lang_col[-1])
-            ts_col.append(epoch + _dt.timedelta(seconds=137 * i))
+            ts_col.append(epoch + _dt.timedelta(seconds=137 * g))
             continue
-        scheme = "HTTP" if i % 97 == 13 else "http"
-        urls.append(f"{scheme}://site{i % 97}.example.cn/p/{i}")
+        scheme = "HTTP" if g % 97 == 13 else "http"
+        urls.append(f"{scheme}://site{g % 97}.example.cn/p/{g}")
         toks = [VOCAB[t] for t in flat[offsets[i] : offsets[i + 1]]]
         # sprinkle GB punctuation attached between tokens
         body_parts: list[str] = []
@@ -146,18 +152,18 @@ def gen_pages(
                 body_parts.append(GB_PUNCT[j % len(GB_PUNCT)])
         body = " ".join(body_parts)
         title = " ".join(toks[:3])
-        garnish = _GARNISH[i % len(_GARNISH)]
+        garnish = _GARNISH[g % len(_GARNISH)]
         html = (
             f"<html>\n<head><title>{title}</title></head>\n"
             f"<body class=\"m\">\n<h1>{title}</h1>\n"
             f"<p>{body}</p>\n{garnish}\n"
-            f"<div id=\"f\">footer {i % 13}</div>\n</body>\n</html>\n"
+            f"<div id=\"f\">footer {g % 13}</div>\n</body>\n</html>\n"
         )
         hb = html.encode(ENCODING)
         htmls.append(hb)
         texts.append(oracle.extract_text(hb).decode(ENCODING))
-        lang_col.append(langs[i % 3])
-        ts_col.append(epoch + _dt.timedelta(seconds=137 * i))
+        lang_col.append(langs[g % 3])
+        ts_col.append(epoch + _dt.timedelta(seconds=137 * g))
 
     return pd.DataFrame(
         {
@@ -201,6 +207,21 @@ def gen_queries() -> list[tuple[int, str, int]]:
     return [(i, q, 10) for i, q in enumerate(qs)]
 
 
+def _gen_chunk_to_parquet(task: tuple) -> str:
+    """Worker for the parallel sharded writer: generate one chunk with
+    its own deterministic seed and write it as a part file."""
+    path, idx, start, n, seed, length_scale = task
+    pdf = gen_pages(n, seed, length_scale, start=start)
+    fname = os.path.join(path, f"part-{idx:05d}.parquet")
+    pdf.to_parquet(
+        fname,
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    return fname
+
+
 def write_pages_parquet_sharded(
     path: str,
     n_rows: int,
@@ -214,6 +235,12 @@ def write_pages_parquet_sharded(
     sandbox stand-in for a many-file Common-Crawl-scale table.  Cache
     key is (n_rows, n_files, seed, length_scale); generation is
     deterministic.
+
+    Chunks are generated in PARALLEL (mp.Pool), each from its own
+    chunk-derived seed and global row offset — content is a pure
+    function of the cache key, independent of pool size (the serial
+    pandas loop at 400k docs took ~15 min, longer than the whole bench
+    budget; 32-way it is ~30 s).
     """
     os.makedirs(path, exist_ok=True)
     marker = os.path.join(
@@ -221,18 +248,23 @@ def write_pages_parquet_sharded(
     )
     if os.path.exists(marker):
         return path
-    pdf = gen_pages(n_rows, seed, length_scale)
-    per = (len(pdf) + n_files - 1) // n_files
+    import multiprocessing as mp
+
+    per = (n_rows + n_files - 1) // n_files
+    tasks = []
     for i in range(n_files):
-        chunk = pdf.iloc[i * per : (i + 1) * per]
-        if len(chunk) == 0:
+        start = i * per
+        n = min(per, n_rows - start)
+        if n <= 0:
             break
-        chunk.to_parquet(
-            os.path.join(path, f"part-{i:05d}.parquet"),
-            index=False,
-            coerce_timestamps="us",
-            allow_truncated_timestamps=True,
-        )
+        tasks.append((path, i, start, n, seed + 7919 * (i + 1), length_scale))
+    procs = min(len(tasks), os.cpu_count() or 8)
+    if procs > 1:
+        with mp.Pool(procs) as pool:
+            pool.map(_gen_chunk_to_parquet, tasks)
+    else:
+        for t in tasks:
+            _gen_chunk_to_parquet(t)
     with open(marker, "w") as f:
         f.write("ok")
     return path

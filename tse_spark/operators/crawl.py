@@ -221,11 +221,7 @@ def classify_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-def extract_links(
-    pages: DataFrame, html_col: str = "html", url_col: str = "url"
-) -> DataFrame:
-    """C11: (url, out_url) edge list from the html column."""
-
+def _links_udf():
     @F.pandas_udf("array<string>")
     def links(html: pd.Series, base: pd.Series) -> pd.Series:
         return pd.Series(
@@ -240,10 +236,34 @@ def extract_links(
             ]
         )
 
+    return links
+
+
+def extract_links(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """C11: (url, out_url) edge list from the html column."""
+    links = _links_udf()
     return pages.select(
         F.col(url_col).alias("url"),
         F.explode(links(F.col(html_col), F.col(url_col))).alias("out_url"),
     )
+
+
+def link_outdegree(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """S5 full: per-page link record ``(url, outdegree, out_urls)`` —
+    the reference's Link4SE sink writes each page's url, its out-degree
+    and the out-link list as one record (tse/Crawl.cpp:965-1027).
+    Computed straight off the extraction UDF's array (size + the array
+    itself): NO shuffle — the edge list in :func:`extract_links` is the
+    exploded view of the same array."""
+    links = _links_udf()
+    return pages.select(
+        F.col(url_col).alias("url"),
+        links(F.col(html_col), F.col(url_col)).alias("out_urls"),
+    ).select("url", F.size("out_urls").alias("outdegree"), "out_urls")
 
 
 def frontier_wave(frontier: DataFrame, visited: DataFrame) -> DataFrame:

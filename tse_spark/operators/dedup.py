@@ -71,8 +71,15 @@ def jaccard_pairs(
     drops shingles shared by more than that many docs before the join
     (hot-key cap — a stopword shingle at web scale would otherwise
     produce a quadratic pair explosion).
+
+    Metric semantics under the cap: BOTH the intersection and the set
+    sizes are computed over the CAPPED shingle sets, so the result is
+    the exact Jaccard similarity of the transformed sets
+    J(A', B') with A' = A minus hot shingles — a self-consistent,
+    well-defined metric (not exact J(A, B); high-df shingles carry no
+    near-dup signal, which is also why MinHash pipelines drop them).
+    The DuckDB oracle mirrors the same definition.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     s = sh
     if max_shingle_df is not None:
         hot = (
@@ -82,6 +89,7 @@ def jaccard_pairs(
             .select("shingle")
         )
         s = sh.join(hot, "shingle", "left_semi")
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (

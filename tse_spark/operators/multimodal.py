@@ -53,53 +53,63 @@ _KINDS = ("image", "audio", "video")
 _MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
 
 
+def _payload_bytes(i: int) -> bytes:
+    """Deterministic payload for media_id ``i``: byte j is
+    ``(i*131 + j*7) % 256``.  The law is intentionally plain modular
+    arithmetic (not a hash) so a SQL oracle can recompute the expected
+    DECODED features from media_id alone — the Spark side still decodes
+    the actual bytes, so the oracle cross-checks the whole
+    generate -> store -> decode round trip."""
+    size = 64 + ((i * 131) % 64) * 4
+    j = np.arange(size, dtype=np.int64)
+    return ((i * 131 + j * 7) % 256).astype(np.uint8).tobytes()
+
+
+def _meta_for(i: int, kind: str) -> dict:
+    return {
+        "width": 16 + (i * 37) % 64 if kind in ("image", "video") else None,
+        "height": 16 + (i * 53) % 64 if kind in ("image", "video") else None,
+        "sample_rate": 8000 + 100 * ((i * 29) % 9) if kind == "audio" else None,
+        "n_frames": 1 + (i * 17) % 32 if kind == "video" else None,
+    }
+
+
 def gen_media(n_rows: int, seed: int = 42) -> pd.DataFrame:
-    """Deterministic opaque media blobs + typed metadata (no external
-    data; payload bytes are seeded SHA-256 streams)."""
+    """Deterministic media blobs + typed metadata (no external data;
+    see :func:`_payload_bytes` for the SQL-mirrorable generation law).
+    ``seed`` is accepted for API stability but unused — content is a
+    pure function of media_id."""
+    return _gen_media_pdf(np.arange(n_rows, dtype=np.int64))
+
+
+def _gen_media_pdf(ids: np.ndarray) -> pd.DataFrame:
     rows = []
-    for i in range(n_rows):
+    for i in ids:
+        i = int(i)
         kind = _KINDS[i % 3]
-        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
-        size = 64 + (h[0] << 2)
-        payload = (h * ((size // len(h)) + 1))[:size]
-        meta = {
-            "width": 16 + h[1] % 64 if kind in ("image", "video") else None,
-            "height": 16 + h[2] % 64 if kind in ("image", "video") else None,
-            "sample_rate": 8000 + 100 * (h[3] % 9) if kind == "audio" else None,
-            "n_frames": 1 + h[4] % 32 if kind == "video" else None,
-        }
         rows.append(
             {
                 "media_id": i,
                 "kind": kind,
                 "mime": _MIMES[kind],
-                "payload": payload,
-                "meta": meta,
+                "payload": _payload_bytes(i),
+                "meta": _meta_for(i, kind),
             }
         )
     return pd.DataFrame(rows)
 
 
 def media_df(spark: SparkSession, n_rows: int = 300) -> DataFrame:
-    pdf = gen_media(n_rows)
-    return spark.createDataFrame(
-        [
-            (
-                int(r.media_id),
-                r.kind,
-                r.mime,
-                bytes(r.payload),
-                (
-                    r.meta["width"],
-                    r.meta["height"],
-                    r.meta["sample_rate"],
-                    r.meta["n_frames"],
-                ),
-            )
-            for r in pdf.itertuples()
-        ],
-        schema=MEDIA_SCHEMA,
-    )
+    """Distributed media table: generation runs inside mapInPandas over
+    ``spark.range`` splits (content is a pure function of media_id, so
+    the result is identical at any parallelism) — no driver-side
+    materialization, scales to any n_rows."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield _gen_media_pdf(pdf["id"].to_numpy())
+
+    return spark.range(n_rows).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
@@ -241,11 +251,14 @@ def audio_features(
                 if pad:
                     a = np.pad(a, (0, pad))
                 bands = np.abs(a.reshape(n_bands, -1)).mean(axis=1)
+                # raw (unrounded) duration: rounding policy belongs to
+                # the query layer (Spark F.round HALF_UPs like DuckDB;
+                # Python round() half-evens and would diverge)
                 recs.append(
                     (
                         int(r.media_id),
                         sr,
-                        round(a.size / sr, 6),
+                        a.size / sr,
                         [float(x) for x in bands],
                     )
                 )

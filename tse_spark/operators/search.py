@@ -53,10 +53,12 @@ class SearchEngine:
         self.n_docs = n_docs
         self.avgdl = avgdl
         self.dictionary = dictionary
-        self._df_cache: dict[str, int] | None = None
-        # term -> merged doc-ascending blocks blob (hot-term posting
-        # cache for the interactive path; bounded LRU)
-        self._posting_cache: "OrderedDict[str, bytes]" = OrderedDict()
+        # term -> (df, merged doc-ascending blocks blob): ONE bounded
+        # LRU for the interactive path, filled lazily by one pruned job
+        # per set of missing terms.  df rides along with the shard rows
+        # (each shard row carries its df), so the stats lookup costs no
+        # extra job.  df = 0 entries are cached negatives (term absent).
+        self._term_cache: "OrderedDict[str, tuple[int, bytes]]" = OrderedDict()
         self.posting_cache_max_terms = 65536
         # Q13 (reference Query.cpp:233-261 appends a timestamped query
         # line): JSONL query log, enabled by setting a path
@@ -85,20 +87,22 @@ class SearchEngine:
                 + "\n"
             )
 
-    def warm(self) -> "SearchEngine":
+    def warm(self, preload_terms: list[str] | None = None) -> "SearchEngine":
         """Interactive-serving mode: pin the postings table in cluster
-        memory and the (small) term->df map on the driver, so a query
-        costs ONE pruned job instead of stats-lookup + postings jobs.
-        The reference does the opposite — it reloads the entire index
-        from disk on every CGI request (Query.cpp:59-82).  At 10^12-doc
-        scale the driver map should be replaced by an LRU of hot terms;
-        the postings persist() is per-executor and scales out."""
+        memory so a query's pruned fetch hits executor RAM, and
+        optionally preload a hot-term list into the driver LRU.  The
+        reference does the opposite — it reloads the entire index from
+        disk on every CGI request (Query.cpp:59-82).
+
+        Deliberately does NOT collect the full term->df map: at
+        10^12-doc scale the vocabulary is 10^8+ terms and a full-vocab
+        driver collect is the thing that would not survive — stats ride
+        along with each pruned posting fetch instead (one job per set of
+        cache-missing terms, amortized to zero for hot terms)."""
         self.postings = self.postings.persist()
         self.postings.count()
-        self._df_cache = {
-            r["term"]: r["df"]
-            for r in self.term_stats.select("term", "df").collect()
-        }
+        if preload_terms:
+            self._term_entries(sorted(set(preload_terms)))
         return self
 
     # -- query analysis (same tokenizer + eligibility as the index side) --
@@ -109,20 +113,29 @@ class SearchEngine:
         )
 
     def _idf_map(self, terms: list[str]) -> dict[str, float]:
-        if self._df_cache is not None:
-            return {
-                t: bm25_idf(self.n_docs, self._df_cache[t])
-                for t in terms
-                if t in self._df_cache
-            }
-        rows = self.term_stats.filter(
-            F.col("term").isin(terms)
-        ).select("term", "df").collect()
-        return {r["term"]: bm25_idf(self.n_docs, r["df"]) for r in rows}
+        """term -> idf for present terms; consults the LRU first, falls
+        back to one pruned term_stats job for the rest (the distributed
+        search path needs stats but not driver-side blobs)."""
+        out: dict[str, float] = {}
+        missing: list[str] = []
+        for t in terms:
+            e = self._term_cache.get(t)
+            if e is not None:
+                if e[0] > 0:
+                    out[t] = bm25_idf(self.n_docs, e[0])
+            else:
+                missing.append(t)
+        if missing:
+            rows = self.term_stats.filter(
+                F.col("term").isin(missing)
+            ).select("term", "df").collect()
+            for r in rows:
+                out[r["term"]] = bm25_idf(self.n_docs, r["df"])
+        return out
 
     def _shard_rows(self, terms: list[str]) -> DataFrame:
         return self.postings.filter(F.col("term").isin(terms)).select(
-            "shard", "term", "blocks"
+            "shard", "term", "df", "blocks"
         )
 
     def search(
@@ -163,56 +176,64 @@ class SearchEngine:
         )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def _term_blobs(self, terms: list[str]) -> dict[str, bytes]:
-        """Merged doc-ascending posting blob per term, LRU-cached on the
-        driver.  Shards are ascending disjoint doc-id ranges and blocks
-        are self-delimiting, so per-term shard blobs concatenate (in
-        shard order) into one valid run — one scoring pass per query
-        instead of one per shard, and repeat terms skip the Spark job
-        entirely (the reference reloads the WHOLE index per request,
-        Query.cpp:59-82; this keeps just the hot working set)."""
-        out: dict[str, bytes] = {}
+    def _term_entries(self, terms: list[str]) -> dict[str, tuple[int, bytes]]:
+        """(df, merged doc-ascending posting blob) per term, LRU-cached
+        on the driver; ONE pruned collect for all cache-missing terms.
+        Shards are ascending disjoint doc-id ranges and blocks are
+        self-delimiting, so per-term shard blobs concatenate (in shard
+        order) into one valid run — one scoring pass per query instead
+        of one per shard, and repeat terms skip the Spark job entirely
+        (the reference reloads the WHOLE index per request,
+        Query.cpp:59-82; this keeps just the hot working set).  df rides
+        along in the same rows, so stats cost no separate job; absent
+        terms cache as (0, b'') negatives."""
+        out: dict[str, tuple[int, bytes]] = {}
         missing: list[str] = []
         for t in terms:
-            if t in self._posting_cache:
-                self._posting_cache.move_to_end(t)
-                out[t] = self._posting_cache[t]
+            e = self._term_cache.get(t)
+            if e is not None:
+                self._term_cache.move_to_end(t)
+                out[t] = e
             else:
                 missing.append(t)
         if missing:
             by_term: dict[str, list[tuple[int, bytes]]] = {}
+            dfs: dict[str, int] = {}
             for r in self._shard_rows(missing).collect():
                 by_term.setdefault(r["term"], []).append(
                     (r["shard"], bytes(r["blocks"]))
                 )
+                dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
             for t in missing:
-                blob = b"".join(
-                    b for _, b in sorted(by_term.get(t, []))
-                )
-                out[t] = blob
-                self._posting_cache[t] = blob
-                while len(self._posting_cache) > self.posting_cache_max_terms:
-                    self._posting_cache.popitem(last=False)
+                blob = b"".join(b for _, b in sorted(by_term.get(t, [])))
+                entry = (dfs.get(t, 0), blob)
+                out[t] = entry
+                self._term_cache[t] = entry
+                while len(self._term_cache) > self.posting_cache_max_terms:
+                    self._term_cache.popitem(last=False)
         return out
 
     def search_local(
         self, query: str, k: int = 10, conjunctive: bool = False
     ) -> list[tuple[int, float]]:
         """Low-latency in-process serving: one collect of the query's
-        shard rows, then WAND on the driver with shard results merged."""
+        shard rows (stats + blobs together), then WAND on the driver
+        with shard results merged."""
         terms = self.query_terms(query)
         if not terms:
             return []
-        idf = self._idf_map(terms)
+        entries = self._term_entries(terms)
+        idf = {
+            t: bm25_idf(self.n_docs, df)
+            for t, (df, _) in entries.items()
+            if df > 0
+        }
         if not idf or (conjunctive and len(idf) < len(terms)):
             return []
         import time as _t
 
         t0 = _t.time()
-        runs = [
-            (idf[t], blob)
-            for t, blob in self._term_blobs(list(idf)).items()
-        ]
+        runs = [(idf[t], entries[t][1]) for t in idf]
         if conjunctive:
             if len(runs) < len(terms):
                 out: list[tuple[int, float]] = []

@@ -83,25 +83,62 @@ def lsh_ann_topk(
     emb: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 2,
+    n_bands: int = 8,
     seed: int = 7,
+    hamming_probe: int = 1,
 ) -> DataFrame:
-    """ANN: restrict to the query's LSH bucket (plus nothing else — a
-    single-probe variant), exact-rank candidates.  At scale the bucketed
-    table is written partitioned by bucket -> partition pruning turns the
-    scan into one bucket read."""
+    """Multi-probe banded sign-LSH ANN (the round-1 single-probe variant
+    had a recall cliff at scale: one exact-bucket read misses most true
+    neighbors as n grows).
+
+    Candidates = vectors sharing ANY of ``n_bands`` band signatures with
+    the query (the same OR-construction as :func:`lsh_neardup_pairs`),
+    where each band's probe set is the query's signature plus all
+    signatures within Hamming distance ``hamming_probe`` (flip each
+    plane's sign bit) — so candidate probability for a neighbor at angle
+    theta is 1-(1-p)^bands with p boosted by the extra probes.
+
+    Plan: one scan computes the band signatures, an equi-join against
+    the broadcast probe list selects candidates, exact cosine re-ranks
+    candidates only.  At 10^12 rows the signatures are precomputed and
+    the table is written partitioned by (band, sig): the broadcast IN
+    probe list then partition-prunes the scan to bands*probes bucket
+    reads — never a full scan, never all-pairs."""
     dim = len(query_vec)
-    planes = _hyperplanes(dim, n_planes, seed)
-    qsig = int(
-        sum(
-            (1 << i)
-            for i, p in enumerate(planes)
-            if float(np.dot(p, query_vec)) >= 0
+    probe_rows: list[tuple[int, int]] = []
+    band_sig_cols = []
+    for bi in range(n_bands):
+        planes = _hyperplanes(dim, n_planes, seed + 101 * bi)
+        qsig = int(
+            sum(
+                (1 << i)
+                for i, p in enumerate(planes)
+                if float(np.dot(p, query_vec)) >= 0
+            )
         )
+        sigs = {qsig}
+        if hamming_probe >= 1:
+            sigs |= {qsig ^ (1 << i) for i in range(n_planes)}
+        probe_rows += [(bi, s) for s in sorted(sigs)]
+        band_sig_cols.append(
+            F.struct(
+                F.lit(bi).alias("band"), lsh_bucket_col(planes).alias("sig")
+            )
+        )
+    probes = spark.createDataFrame(probe_rows, "band int, sig long")
+    sigs_df = emb.select(
+        "vec_id", F.explode(F.array(*band_sig_cols)).alias("bs")
+    ).select(
+        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    bucketed = emb.withColumn("bucket", lsh_bucket_col(planes))
-    cand = bucketed.filter(F.col("bucket") == qsig)
-    return cosine_topk(cand.drop("bucket"), query_vec, k)
+    cand_ids = (
+        sigs_df.join(F.broadcast(probes), ["band", "sig"])
+        .select("vec_id")
+        .distinct()
+    )
+    cand = emb.join(cand_ids, "vec_id", "left_semi")
+    return cosine_topk(cand, query_vec, k)
 
 
 # ---------------------------------------------------------------------------

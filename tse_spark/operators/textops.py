@@ -137,12 +137,73 @@ def bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def render_results(
+    topk: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    width: int = 64,
+    tag: str = "font",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Q10 result rendering (reference index/DisplayRst.cpp:82-261): join
+    the ranked top-k (doc_id, score) back to the docs table and build the
+    user-facing row — per-query-term context windows (the reference cuts
+    128/256-byte windows per term, DisplayRst.cpp:211-249) joined with
+    ``...`` and every term occurrence highlighted with a ``<font>`` tag
+    (DisplayRst.cpp:238-244).
+
+    The top-k is k rows — broadcast it into the docs scan, so rendering
+    is one pruned scan-side join, no shuffle of the docs table.  All
+    string work is JVM expressions (instr/substring/replace): SQL-
+    expressible, hence DuckDB-oracle-checked.
+    """
+    lower = F.lower(F.col("text"))
+    windows = []
+    for t in terms:
+        tl = t.lower()
+        pos = F.instr(lower, tl)
+        windows.append(
+            F.when(
+                pos > 0,
+                F.substring(
+                    lower,
+                    F.greatest(pos - width, F.lit(1)),
+                    2 * width + len(tl),
+                ),
+            )
+        )
+    snip = F.concat_ws(" ... ", *windows)
+    for t in terms:
+        tl = t.lower()
+        snip = F.replace(
+            snip, F.lit(tl), F.lit(f"<{tag}>{tl}</{tag}>")
+        )
+    joined = docs.join(F.broadcast(topk), "doc_id")
+    return joined.select(
+        "doc_id",
+        "score",
+        *extra_cols,
+        snip.alias("snippet"),
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def content_type_gate(
+    df: DataFrame,
+    allowed: tuple[str, ...] = ("text/html", "text/plain"),
+    mime_col: str = "mime",
+) -> DataFrame:
+    """C9 content-type gate (reference tse/Crawl.cpp:439-451: the fetch
+    loop drops responses whose Content-Type is not in the allowed list).
+    A trivial pushed-down IN filter — kept as a named operator so the
+    pipeline surface matches the reference's."""
+    return df.filter(F.col(mime_col).isin(*allowed))
+
+
 def snapshot_by_url(pages: DataFrame, url: str) -> DataFrame:
     """Q11 (reference Snapshot.cpp:42-120): fetch the stored page for
     one url — md5-keyed point lookup (the reference binary-searches
     Url.idx.sort_uniq on md5(url); here the md5 comparison lets a table
-    bucketed/sorted by md5(url) prune to one file)."""
+    bucketed/sorted by md5(url) prune to one file).  Returns the
+    matching rows with all input columns (callers project)."""
     target = F.md5(F.lit(url))
-    return pages.filter(F.md5(F.col("url")) == target).select(
-        "url", "warc_ts", "html", "text", "lang"
-    )
+    return pages.filter(F.md5(F.col("url")) == target)

@@ -29,8 +29,11 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
         pass
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    # spark.speculation is a static conf — pass it at spark-submit time
-    # (scripts/build_index.py documents the recommended flags)
+    # On a real (non-local) cluster, also pass straggler re-launch flags
+    # at spark-submit time: --conf spark.speculation=true
+    # --conf spark.speculation.quantile=0.75 — Spark never starts the
+    # speculation scheduler under local[N] masters, so setting them here
+    # would be a no-op.
     return spark
 
 
@@ -54,14 +57,6 @@ def get_spark(
         # coalesce post-shuffle UDF stages to a handful of partitions on
         # MB-scale test corpora; keep parallelism tracking core count
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-        # straggler mitigation: re-launch tasks running far beyond the
-        # stage median.  Standard practice on shared clusters; on this
-        # shared-tenancy sandbox VM a co-tenant can stall one core for
-        # tens of seconds, serializing an otherwise-parallel stage.
-        .config("spark.speculation", "true")
-        .config("spark.speculation.interval", "100ms")
-        .config("spark.speculation.multiplier", "2")
-        .config("spark.speculation.quantile", "0.75")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
