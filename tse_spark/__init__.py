@@ -8,3 +8,10 @@ sorted-run concatenation, and checkpoint-resumable stages.
 """
 
 __version__ = "0.1.0"
+
+# Applied at import time so every process touching the engine — driver
+# and pyspark UDF workers alike — gets it (see runtime.disable_thp for
+# the measured 15-30x concurrent-worker collapse it prevents).
+from tse_spark.runtime import disable_thp as _disable_thp
+
+_disable_thp()

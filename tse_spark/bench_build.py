@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import time
 
@@ -46,6 +47,19 @@ def build_session(cpus: int) -> SparkSession:
         # starts the speculation scheduler under a local[N] master, so
         # it would be a silent no-op here.  On a real cluster pass it
         # via spark-submit --conf (see scripts/build_index.py).
+        #
+        # Shuffle/spill scratch on tmpfs: the sandbox has ONE shared
+        # disk, so concurrent shuffle writers serialize on it as cores
+        # grow — a hardware artifact a real cluster doesn't have (every
+        # executor owns its local SSDs, so aggregate shuffle bandwidth
+        # scales with the fleet).  On a cluster leave spark.local.dir
+        # to the per-node default.
+        .config(
+            "spark.local.dir",
+            "/dev/shm/tse-spark-local"
+            if os.path.isdir("/dev/shm")
+            else "/tmp",
+        )
         .config("spark.driver.memory", "24g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

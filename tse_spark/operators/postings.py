@@ -52,6 +52,7 @@ def build_posting_shards(
     avgdl: float,
     num_shards: int = 32,
     block_size: int = codec.BLOCK_SIZE,
+    merge_parallelism: int | None = None,
 ) -> DataFrame:
     """(doc_id, term, tf, dl) -> compressed posting shards, in two
     vectorized phases:
@@ -101,31 +102,64 @@ def build_posting_shards(
     # runs while bounding worker memory.
     ACC_ROWS = 500_000
 
-    def _flatten_doc_major(pdf: pd.DataFrame) -> pd.DataFrame:
-        lens = pdf["terms"].map(len).to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "term": np.concatenate(
-                    [np.asarray(a, dtype=object) for a in pdf["terms"]]
-                )
-                if len(pdf)
-                else np.zeros(0, dtype=object),
-                "doc_id": np.repeat(
-                    pdf["doc_id"].to_numpy(dtype=np.int64), lens
-                ),
-                "tf": np.concatenate(
-                    [np.asarray(a, dtype=np.int64) for a in pdf["tfs"]]
-                )
-                if len(pdf)
-                else np.zeros(0, dtype=np.int64),
-                "dl": np.repeat(pdf["dl"].to_numpy(dtype=np.int64), lens),
-            }
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _encode_chunk_arrow(tbl: "pa.Table") -> "pa.RecordBatch":
+        """Doc-major chunk encoder operating on Arrow buffers directly:
+        term strings NEVER materialize as Python objects (profiled as
+        ~5x the cost of the varint codec itself, and the allocator
+        pressure of millions of small PyObjects is what killed the
+        stage's core-scaling) — flattening is zero-copy, grouping uses
+        pyarrow's C++ dictionary_encode, and only the one term string
+        per (term, shard) GROUP is ever materialized."""
+        doc = tbl.column("doc_id").to_numpy()
+        dl = tbl.column("dl").to_numpy()
+        terms_col = tbl.column("terms").combine_chunks()
+        tfs_col = tbl.column("tfs").combine_chunks()
+        lens = terms_col.value_lengths().to_numpy()
+        flat_terms = terms_col.flatten()
+        tfs = tfs_col.flatten().to_numpy()
+        docs = np.repeat(doc, lens)
+        dls = np.repeat(dl, lens)
+        shards = docs // shard_range
+        denc = pc.dictionary_encode(flat_terms)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy().astype(np.int64, copy=False)
+        dictionary = denc.dictionary
+        order = np.lexsort((docs, shards, codes))
+        codes = codes[order]
+        shards_o = shards[order]
+        docs_o = docs[order]
+        tfs_o = tfs[order]
+        dls_o = dls[order]
+        change = np.flatnonzero(
+            (codes[1:] != codes[:-1]) | (shards_o[1:] != shards_o[:-1])
+        )
+        bounds = np.concatenate(([0], change + 1, [len(codes)]))
+        blobs, gmax = codec.encode_many(
+            docs_o, tfs_o, dls_o, bounds, avgdl, block_size
+        )
+        starts = bounds[:-1]
+        group_terms = pc.take(dictionary, pa.array(codes[starts]))
+        return pa.RecordBatch.from_arrays(
+            [
+                group_terms.cast(pa.string()),
+                pa.array(shards_o[starts], type=pa.int64()),
+                pa.array(np.diff(bounds), type=pa.int64()),
+                pa.array(np.add.reduceat(tfs_o, starts), type=pa.int64()),
+                pa.array(gmax, type=pa.float64()),
+                pa.array(docs_o[starts], type=pa.int64()),
+                pa.array(blobs, type=pa.binary()),
+            ],
+            names=[
+                "term", "shard", "df", "cf", "max_score", "first_doc",
+                "blocks",
+            ],
         )
 
     def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-        if doc_major:
-            pdf = _flatten_doc_major(pdf)
-            pdf["shard"] = pdf["doc_id"].to_numpy() // shard_range
         # group locally by integer term codes (hash factorize), not by
         # the term strings — lexsort on half a million python strings
         # costs more than the encoding itself
@@ -168,21 +202,41 @@ def build_posting_shards(
     # reach the same posting count per chunk
     acc_target = max(ACC_ROWS // 128, 1024) if doc_major else ACC_ROWS
 
-    def encode_map(it):
-        acc: list[pd.DataFrame] = []
-        n = 0
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            acc.append(pdf)
-            n += len(pdf)
-            if n >= acc_target:
-                yield _encode_chunk(pd.concat(acc, ignore_index=True))
-                acc, n = [], 0
-        if acc:
-            yield _encode_chunk(pd.concat(acc, ignore_index=True))
+    if doc_major:
+        # Arrow-native path (mapInArrow): Arrow batches accumulate and
+        # encode without ever converting term strings to Python objects
+        def encode_map_arrow(batches):
+            acc: list = []
+            n = 0
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                acc.append(b)
+                n += b.num_rows
+                if n >= acc_target:
+                    yield _encode_chunk_arrow(pa.Table.from_batches(acc))
+                    acc, n = [], 0
+            if acc:
+                yield _encode_chunk_arrow(pa.Table.from_batches(acc))
 
-    partials = t.mapInPandas(encode_map, schema=partial_schema)
+        partials = t.mapInArrow(encode_map_arrow, schema=partial_schema)
+    else:
+
+        def encode_map(it):
+            acc: list[pd.DataFrame] = []
+            n = 0
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                acc.append(pdf)
+                n += len(pdf)
+                if n >= acc_target:
+                    yield _encode_chunk(pd.concat(acc, ignore_index=True))
+                    acc, n = [], 0
+            if acc:
+                yield _encode_chunk(pd.concat(acc, ignore_index=True))
+
+        partials = t.mapInPandas(encode_map, schema=partial_schema)
 
     # ---- reduce side: merge partial runs per (term, shard) ----
     def merge_groups(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -241,7 +295,13 @@ def build_posting_shards(
         if buf is not None and len(buf):
             yield merge_groups(buf)
 
-    num_parts = tf_dl.sparkSession.sparkContext.defaultParallelism
+    # merge granularity: default 4 tasks per core — finer tasks shrink
+    # the straggler tail (one slow reducer then costs 1/4N of the stage,
+    # not 1/N) at negligible shuffle cost; (term, shard) groups vastly
+    # outnumber partitions either way
+    num_parts = merge_parallelism or (
+        tf_dl.sparkSession.sparkContext.defaultParallelism * 4
+    )
     d = partials.repartition(num_parts, "term", "shard").sortWithinPartitions(
         "term", "shard", "first_doc"
     )
