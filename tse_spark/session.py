@@ -13,6 +13,26 @@ import os
 
 from pyspark.sql import SparkSession
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def export_worker_sitecustomize() -> None:
+    """Prepend the repo root (holding ``sitecustomize.py``) to PYTHONPATH
+    **before** the JVM starts, so the pyspark worker daemon — and by
+    fork-inheritance every Python worker, including ones whose UDFs were
+    cloudpickled by value and never import tse_spark — runs the THP
+    opt-out at interpreter startup.  See sitecustomize.py for the
+    measured 16x collapse this prevents.  Must be called before
+    SparkSession creation; a no-op afterwards (env is only read at
+    daemon launch)."""
+    if os.environ.get("TSE_SPARK_KEEP_THP") == "1":
+        return
+    pp = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _REPO_ROOT + (os.pathsep + pp if pp else "")
+        )
+
 
 def tune_runtime(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable defaults to an externally created session
@@ -46,6 +66,7 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    export_worker_sitecustomize()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
