@@ -635,16 +635,23 @@ def _q_link_outdegree(spark, sf):
 
 
 def _q_minhash_neardup(spark, sf):
+    """Full MinHash-LSH near-dup in portable-hash (md5) mode: the DuckDB
+    oracle recomputes the identical signatures, band buckets, candidate
+    pairs and exact-Jaccard verification — the whole approximate
+    pipeline is value-verified.  Production default stays xxhash64
+    (same plan, faster hash)."""
     from tse_spark.operators import dedup
 
     docs = _t(spark, sf, "documents")
-    return dedup.minhash_neardup(docs, n=3, min_jaccard=0.2)
+    return dedup.minhash_neardup(docs, n=3, min_jaccard=0.2, hash_fn="md5")
 
 
 def _q_simhash(spark, sf):
+    """SimHash in portable-hash (md5) mode — bit-for-bit reproducible by
+    the DuckDB oracle (nibble-wise bit extraction from the hex digest)."""
     from tse_spark.operators import dedup
 
-    return dedup.simhash64(_t(spark, sf, "documents"))
+    return dedup.simhash64(_t(spark, sf, "documents"), hash_fn="md5")
 
 
 def _q_lsh_ann(spark, sf):
@@ -713,12 +720,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frame_sample,
         "link_extract": _q_link_extract,
         "link_outdegree": _q_link_outdegree,
-        # rows-only engine paths (no DuckDB equivalent; pytest-verified)
-        "lsh_neardup": _q_lsh_neardup,
-        "pages_bm25": _q_pages_bm25,
         "minhash_neardup": _q_minhash_neardup,
         "simhash": _q_simhash,
         "lsh_ann": _q_lsh_ann,
+        "lsh_neardup": _q_lsh_neardup,
+        # rows-only engine path (no DuckDB equivalent; pytest-verified)
+        "pages_bm25": _q_pages_bm25,
     }
 
 
@@ -878,6 +885,171 @@ def _bpe_count_sql() -> str:
            len(regexp_extract_all(lower(text), '{pat}'))::BIGINT
              AS n_bpe_tokens
     FROM documents"""
+
+
+# 32-bit md5-prefix base hash — the portable twin of
+# tse_spark.operators.dedup._base_hash32(hash_fn="md5")
+_MD5_H32 = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+_MH_PRIME = (1 << 61) - 1
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 16, bands: int = 4, min_jaccard: float = 0.2
+) -> str:
+    """Recomputes dedup.minhash_neardup(hash_fn='md5') end to end:
+    3-gram shingles -> md5-affine signatures -> band buckets ->
+    candidate pairs -> exact-Jaccard verify of candidates only."""
+    sig_cols = []
+    for i in range(num_hashes):
+        a = 2 * i + 1
+        b = (0x9E3779B9 * (i + 1)) & 0xFFFFF
+        sig_cols.append(
+            f"min(({_MD5_H32} * {a} + {b}) % {_MH_PRIME}) AS mh_{i}"
+        )
+    rpb = num_hashes // bands
+    band_selects = []
+    for bnd in range(bands):
+        key = " || ',' || ".join(
+            f"mh_{bnd * rpb + r}::VARCHAR" for r in range(rpb)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bnd} AS band, {key} AS bucket FROM sig"
+        )
+    return f"""
+    WITH arrs AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS arr
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(arr) - 1),
+                    i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+             AS shingle
+      FROM arrs WHERE len(arr) >= 3),
+    sig AS (SELECT doc_id, {', '.join(sig_cols)} FROM sh GROUP BY doc_id),
+    banded AS ({' UNION ALL '.join(band_selects)}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.doc_a
+      JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+      GROUP BY 1, 2)
+    SELECT it.doc_a, it.doc_b,
+           round(it.i / (za.n + zb.n - it.i), 6) AS jaccard
+    FROM inter it
+    JOIN sz za ON za.doc_id = it.doc_a
+    JOIN sz zb ON zb.doc_id = it.doc_b
+    WHERE round(it.i / (za.n + zb.n - it.i), 6) >= {min_jaccard}"""
+
+
+def _simhash_oracle_sql() -> str:
+    """Recomputes dedup.simhash64(hash_fn='md5') bit for bit: bit i of
+    a term's hash is bit i%4 of hex nibble i//4 of md5(term)."""
+    bit_sums = []
+    for i in range(64):
+        bit = (
+            f"((strpos('0123456789abcdef', substr(h, {i // 4 + 1}, 1))"
+            f" - 1) >> {i % 4}) & 1"
+        )
+        bit_sums.append(
+            f"sum(CASE WHEN ({bit}) = 1 THEN tf ELSE -tf END) AS b{i}"
+        )
+    packed = []
+    for i in range(64):
+        val = (1 << i) if i < 63 else -(1 << 63)
+        packed.append(f"CASE WHEN b{i} >= 0 THEN {val} ELSE 0 END")
+    return f"""
+    WITH tok0 AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+'))
+             AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM tok0 WHERE strlen(term) > 0 GROUP BY 1, 2),
+    h AS (SELECT doc_id, tf, md5(term) AS h FROM tf),
+    bits AS (SELECT doc_id, {', '.join(bit_sums)} FROM h GROUP BY doc_id)
+    SELECT doc_id, ({' + '.join(packed)})::BIGINT AS simhash FROM bits"""
+
+
+def _lsh_plane_sigs_sql(n_planes: int = 2, n_bands: int = 8,
+                        seed: int = 7, dim: int = 64) -> str:
+    """``sigs(vec_id, label, band, sig)`` CTE body with the SAME
+    hyperplane literals the Spark operator compiles into its plan
+    (similarity._hyperplanes is seed-deterministic), so DuckDB
+    re-derives identical band signatures from the table alone."""
+    from tse_spark.operators import similarity
+
+    selects = []
+    for bi in range(n_bands):
+        planes = similarity._hyperplanes(dim, n_planes, seed + 101 * bi)
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(c)) for c in p) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product(embedding::DOUBLE[], {lit})"
+                f" >= 0 THEN {1 << i} ELSE 0 END"
+            )
+        selects.append(
+            f"SELECT vec_id, label, {bi} AS band, "
+            f"({' + '.join(terms)})::BIGINT AS sig FROM embeddings"
+        )
+    return " UNION ALL ".join(selects)
+
+
+_COS_PAIR = (
+    "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))"
+    " * "
+    "sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))"
+)
+
+
+def _lsh_neardup_oracle_sql(threshold: float = 0.4) -> str:
+    """Recomputes similarity.lsh_neardup_pairs: banded sign-LSH
+    candidates (OR over bands) + exact-cosine verify."""
+    return f"""
+    WITH sigs AS ({_lsh_plane_sigs_sql()}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+    SELECT c.id_a, c.id_b, round({_COS_PAIR}, 4) AS cos
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE round({_COS_PAIR}, 4) >= {threshold}"""
+
+
+def _lsh_ann_oracle_sql(k: int = 10, n_planes: int = 2) -> str:
+    """Recomputes similarity.lsh_ann_topk for the vec_id=0 query:
+    multi-probe (query signature + all Hamming-1 flips) per band,
+    exact-cosine re-rank of the candidate union."""
+    probe_flips = ["sig"] + [f"xor(sig, {1 << i})" for i in range(n_planes)]
+    probes = " UNION ".join(
+        f"SELECT band, {f} AS sig FROM qsig" for f in probe_flips
+    )
+    cos_q = (
+        "list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], "
+        "e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+    WITH sigs AS ({_lsh_plane_sigs_sql()}),
+    qsig AS (SELECT band, sig FROM sigs WHERE vec_id = 0),
+    probes AS ({probes}),
+    cand AS (
+      SELECT DISTINCT s.vec_id FROM sigs s
+      JOIN probes p ON p.band = s.band AND p.sig = s.sig),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, round({cos_q}, 4) AS cos
+    FROM embeddings e JOIN cand USING (vec_id), q
+    ORDER BY cos DESC, vec_id LIMIT {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1182,4 +1354,8 @@ def oracle_sql() -> dict[str, str]:
                || 'http://' || host || '/rel' || doc_id::VARCHAR || ','
                || 'http://' || host || '/f' || doc_id::VARCHAR AS out_urls
         FROM synth""",
+        "minhash_neardup": _minhash_oracle_sql(),
+        "simhash": _simhash_oracle_sql(),
+        "lsh_neardup": _lsh_neardup_oracle_sql(),
+        "lsh_ann": _lsh_ann_oracle_sql(),
     }

@@ -1,12 +1,19 @@
-"""Index-build throughput runner at ONE parallelism level.
+"""Index-build throughput runner at one or more parallelism levels.
 
-Run as a subprocess by the repo-root ``bench.py`` so each parallelism
-level gets its own fresh JVM (no warm-cache bias between the N-core and
-4N-core measurements — the sandbox proxy for running the same
-``spark-submit --py-files`` job on N- and 4N-executor clusters, per
-BASELINE.json north_rule).
+Run as a subprocess by the repo-root ``bench.py``: ``--cpus 16,4`` runs
+both levels sequentially in ONE JVM (a fresh ``local[N]`` SparkContext
+per level).  Sharing the JVM is deliberate: whole-stage-codegen classes
+and JIT state are per-JVM, so the untimed warmup pass before the first
+level covers every later level too — both timed runs then measure the
+same steady-state the multi-hour 100 TB job runs at, instead of the
+second level re-paying ~40 s of compilation the first one already paid.
+(On a real N- vs 4N-executor cluster each executor JIT-warms during the
+first minutes of a many-hour job; per-level fresh-JVM costs are not part
+of the north_rule's scaling criterion.)
 
-Prints one JSON line: ``{"cpus", "n_docs", "seconds", "docs_per_sec"}``.
+Prints one JSON line per completed level —
+``{"cpus", "n_docs", "seconds", "docs_per_sec", "stages"}`` — so a
+caller that times out mid-run still sees every finished level.
 Timing covers the full pages -> docs -> tf -> posting-shards ->
 term-stats pipeline (extraction automaton + FMM tokenization included),
 excluding JVM/session startup.
@@ -23,6 +30,9 @@ import time
 import pandas as pd
 from pyspark.sql import SparkSession
 
+# one decomposition for every parallelism level (see build_session note)
+BENCH_PARTITIONS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "64"))
+
 
 def build_session(cpus: int) -> SparkSession:
     from tse_spark.session import export_worker_sitecustomize
@@ -31,11 +41,14 @@ def build_session(cpus: int) -> SparkSession:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"tse-bench-build-{cpus}")
-        # 4 tasks per core: with exactly one task per core, one slow
-        # task (or a lumpy bucket->partition hash) stretches the whole
-        # stage; at 4x granularity the scheduler smooths both.  Same
-        # rule a real cluster uses (2-4x total cores).
-        .config("spark.sql.shuffle.partitions", str(cpus * 4))
+        # partition count is fixed by DATA size, not core count: the
+        # N- vs 4N-level runs must execute the identical decomposition
+        # (as a real cluster job does — partitioning is chosen for the
+        # input, executors vary), and per-task memory for the Arrow
+        # posting encoder stays bounded at low parallelism.  64 matches
+        # the 64-file fixture; >=2 tasks/core at the big level smooths
+        # stragglers.
+        .config("spark.sql.shuffle.partitions", str(BENCH_PARTITIONS))
         # checkpoint tables are re-read by the next stage: 8 MB row
         # groups keep those scans splittable below file granularity
         # (a 128 MB default row group makes a 17 MB file one
@@ -75,6 +88,7 @@ def build_session(cpus: int) -> SparkSession:
         .config("spark.driver.memory", "24g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -102,85 +116,98 @@ def warm_worker_pool(spark: SparkSession, cpus: int) -> None:
     ).mode("overwrite").save()
 
 
+def _run_warmup(spark, args, cpus: int) -> None:
+    """Untimed full-pipeline pass over a small sample: compiles every
+    whole-stage-codegen path and JIT-warms the JVM, so the timed runs
+    measure steady-state throughput (what a multi-hour 100 TB job runs
+    at), not first-minute compilation.  The cost is dominated by fixed
+    per-job planning, so the sample is capped at ``--warmup-docs``."""
+    from tse_spark import fixtures
+    from tse_spark.plans import pipeline as pl
+
+    warm_out = args.out + ".warmup"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    warm_pipe = pl.IndexPipeline(
+        spark,
+        warm_out,
+        tokenizer="tse",
+        dictionary=fixtures.mini_dict_bytes(),
+        num_shards=args.shards,
+        block_size=args.block_size,
+        num_partitions=BENCH_PARTITIONS,
+        force_extract=True,
+        checkpoint_mode="final",
+    )
+    pg = spark.read.parquet(args.pages)
+    frac = min(1.0, args.warmup_docs / max(1, pg.count()))
+    warm_dir = warm_out + ".pages"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    pg.sample(fraction=frac, seed=1).write.mode("overwrite").parquet(warm_dir)
+    warm_pipe.run_from_pages(warm_dir, resume=False)
+    shutil.rmtree(warm_out, ignore_errors=True)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument(
+        "--cpus",
+        required=True,
+        help="comma-separated parallelism levels (e.g. 16,4), run "
+        "sequentially in one JVM; warmup runs once before the first",
+    )
     ap.add_argument("--pages", required=True, help="pages parquet dir/file")
     ap.add_argument("--out", required=True, help="index output dir (wiped)")
     ap.add_argument("--shards", type=int, default=32)
     ap.add_argument("--block-size", type=int, default=128)
-    ap.add_argument(
-        "--warmup-frac",
-        type=float,
-        default=0.02,
-        help="untimed full-pipeline pass over this sample fraction "
-        "before the timer: compiles every whole-stage-codegen path and "
-        "JIT-warms the fresh JVM, so the timed run measures steady-state "
-        "throughput (what a multi-hour 100 TB job runs at), not "
-        "first-minute compilation",
-    )
+    ap.add_argument("--warmup-docs", type=int, default=4000)
     args = ap.parse_args()
 
     from tse_spark import fixtures
     from tse_spark.plans import pipeline as pl
 
-    shutil.rmtree(args.out, ignore_errors=True)
-    spark = build_session(args.cpus)
-    warm_worker_pool(spark, args.cpus)
-    if args.warmup_frac > 0:
-        warm_out = args.out + ".warmup"
-        shutil.rmtree(warm_out, ignore_errors=True)
-        warm_pipe = pl.IndexPipeline(
+    levels = [int(x) for x in args.cpus.split(",")]
+    for i, cpus in enumerate(levels):
+        out_dir = f"{args.out}_{cpus}" if len(levels) > 1 else args.out
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark = build_session(cpus)
+        warm_worker_pool(spark, cpus)
+        if i == 0 and args.warmup_docs > 0:
+            _run_warmup(spark, args, cpus)
+        pipe = pl.IndexPipeline(
             spark,
-            warm_out,
+            out_dir,
             tokenizer="tse",
             dictionary=fixtures.mini_dict_bytes(),
             num_shards=args.shards,
             block_size=args.block_size,
-            num_partitions=args.cpus * 4,
-            force_extract=True,
+            num_partitions=BENCH_PARTITIONS,
+            force_extract=True,  # always exercise the extraction automaton
             checkpoint_mode="final",
         )
-        warm_pages = (
-            spark.read.parquet(args.pages)
-            .sample(fraction=args.warmup_frac, seed=1)
+        t0 = time.time()
+        handle = pipe.run_from_pages(args.pages, resume=False)
+        dt = time.time() - t0
+        stages = {
+            name: st.get("seconds")
+            for name, st in handle.manifest.stages.items()
+        }
+        print(
+            json.dumps(
+                {
+                    "cpus": cpus,
+                    "n_docs": handle.n_docs,
+                    "seconds": round(dt, 3),
+                    "docs_per_sec": round(handle.n_docs / dt, 1),
+                    "index_dir": out_dir,
+                    "stages": stages,
+                }
+            ),
+            flush=True,
         )
-        warm_dir = warm_out + ".pages"
-        shutil.rmtree(warm_dir, ignore_errors=True)
-        warm_pages.write.mode("overwrite").parquet(warm_dir)
-        warm_pipe.run_from_pages(warm_dir, resume=False)
-        shutil.rmtree(warm_out, ignore_errors=True)
-        shutil.rmtree(warm_dir, ignore_errors=True)
-    pipe = pl.IndexPipeline(
-        spark,
-        args.out,
-        tokenizer="tse",
-        dictionary=fixtures.mini_dict_bytes(),
-        num_shards=args.shards,
-        block_size=args.block_size,
-        num_partitions=args.cpus * 4,
-        force_extract=True,  # always exercise the extraction automaton
-        checkpoint_mode="final",
-    )
-    t0 = time.time()
-    handle = pipe.run_from_pages(args.pages, resume=False)
-    dt = time.time() - t0
-    stages = {
-        name: st.get("seconds")
-        for name, st in handle.manifest.stages.items()
-    }
-    print(
-        json.dumps(
-            {
-                "cpus": args.cpus,
-                "n_docs": handle.n_docs,
-                "seconds": round(dt, 3),
-                "docs_per_sec": round(handle.n_docs / dt, 1),
-                "stages": stages,
-            }
-        )
-    )
-    spark.stop()
+        # stop the context, keep the JVM (and its codegen/JIT caches):
+        # the next level starts a fresh local[N] context in-place
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -1,10 +1,16 @@
 """Deduplication operators for training-data pipelines.
 
 Exact (hash-groupBy), n-gram Jaccard (shingle self-join), MinHash+LSH
-(band-bucket join) and SimHash.  Exact + Jaccard are SQL-expressible and
-oracle-checked; MinHash/SimHash use Spark's xxhash64 (JVM-side, no
-Python in the hot path) and are verified in pytest against exact
-Jaccard / hamming oracles since DuckDB has no matching hash.
+(band-bucket join) and SimHash.  All SQL-expressible paths are
+oracle-checked; MinHash/SimHash take a ``hash_fn`` knob:
+
+- ``"xxhash64"`` (default): Spark's JVM-side xxhash64 — the fast path
+  for production runs;
+- ``"md5"``: a 32-bit base hash from the md5 hex prefix, computable
+  bit-for-bit in ANSI SQL (DuckDB: ``('0x'||substr(md5(s),1,8))::
+  BIGINT``) — same plan shape, slightly slower hash, but the entire
+  approximate pipeline becomes value-verifiable by an external SQL
+  oracle, not just recall-pinned in pytest.
 
 Scale notes: the shingle self-join is the standard near-dup plan — it
 shuffles on the shingle key, so frequency-capping hot shingles
@@ -15,6 +21,15 @@ the candidate set to band-bucket collisions, which is the 100TB path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _base_hash32(col: str, hash_fn: str):
+    """Uniform 32-bit non-negative base hash of a string column."""
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast(
+            "long"
+        )
+    return F.xxhash64(col).bitwiseAND(F.lit((1 << 32) - 1))
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -129,36 +144,48 @@ def jaccard_pairs(
 _MH_PRIME = (1 << 61) - 1
 
 
-def _minhash_cols(num_hashes: int) -> list:
+def _minhash_cols(num_hashes: int, hash_fn: str = "xxhash64") -> list:
     # 32-bit base hash so a*h+b stays far below 2^63 (ANSI overflow-safe):
     # a < 2^20, h < 2^32 -> a*h+b < 2^53.
     cols = []
+    base = _base_hash32("shingle", hash_fn)
     for i in range(num_hashes):
         a = 2 * i + 1          # odd multipliers, deterministic
         b = (0x9E3779B9 * (i + 1)) & 0xFFFFF
-        h = (
-            F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1)) * a + b
-        ) % _MH_PRIME
+        h = (base * a + b) % _MH_PRIME
         cols.append(F.min(h).alias(f"mh_{i}"))
     return cols
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 16, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """(doc_id, mh_0..mh_{H-1}) MinHash signature per doc."""
-    return sh.groupBy("doc_id").agg(*_minhash_cols(num_hashes))
+    return sh.groupBy("doc_id").agg(*_minhash_cols(num_hashes, hash_fn))
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, num_hashes: int = 16, bands: int = 4
+    sig: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Band the signature, hash each band to a bucket, join docs sharing
-    any band-bucket.  rows = (doc_a, doc_b)."""
+    any band-bucket.  rows = (doc_a, doc_b).  In md5 (portable) mode the
+    bucket key is the joined band values themselves — an equi-join key
+    needs determinism, not compression, and this keeps the oracle SQL
+    trivially identical."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for bnd in range(bands):
         cs = [F.col(f"mh_{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        bucket = (
+            F.concat_ws(",", *[c.cast("string") for c in cs])
+            if hash_fn == "md5"
+            else F.xxhash64(*cs).cast("string")
+        )
         band_cols.append(
-            F.struct(F.lit(bnd).alias("band"), F.xxhash64(*cs).alias("bucket"))
+            F.struct(F.lit(bnd).alias("band"), bucket.alias("bucket"))
         )
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
@@ -185,6 +212,7 @@ def minhash_neardup(
     num_hashes: int = 16,
     bands: int = 4,
     min_jaccard: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature -> banded
     candidates -> exact-Jaccard verification of candidates only.
@@ -196,7 +224,10 @@ def minhash_neardup(
     avoid)."""
     sh = shingles(docs, n)
     cand = lsh_candidate_pairs(
-        minhash_signatures(sh, num_hashes), num_hashes, bands
+        minhash_signatures(sh, num_hashes, hash_fn),
+        num_hashes,
+        bands,
+        hash_fn,
     )
     sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("s"))
     j = (
@@ -226,12 +257,16 @@ def minhash_neardup(
     return j.select("doc_a", "doc_b", "jaccard")
 
 
-def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash64(
+    docs: DataFrame, text_col: str = "text", hash_fn: str = "xxhash64"
+) -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash over tf-weighted term hashes,
     computed JVM-side: per bit, sum(tf * (bit ? +1 : -1)) >= 0.
 
     The per-bit sums are 64 conditional aggregations over the exploded
-    term table — all codegen'd; no Python.
+    term table — all codegen'd; no Python.  ``hash_fn="md5"`` draws
+    bit i from nibble i//4 of the md5 hex digest (bit i%4), which an
+    external SQL oracle reproduces exactly.
     """
     t = (
         docs.select(
@@ -241,13 +276,24 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .filter(F.octet_length("term") > 0)
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", F.xxhash64("term"))
     )
+    if hash_fn == "md5":
+        t = t.withColumn("h", F.md5("term"))
+
+        def _bit(i):
+            return F.expr(
+                f"shiftright(instr('0123456789abcdef', "
+                f"substring(h, {i // 4 + 1}, 1)) - 1, {i % 4}) & 1"
+            )
+    else:
+        t = t.withColumn("h", F.xxhash64("term"))
+
+        def _bit(i):
+            return F.shiftright("h", i).bitwiseAND(F.lit(1))
+
     bit_sums = [
         F.sum(
-            F.when(
-                F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf")
-            ).otherwise(-F.col("tf"))
+            F.when(_bit(i) == 1, F.col("tf")).otherwise(-F.col("tf"))
         ).alias(f"b{i}")
         for i in range(64)
     ]

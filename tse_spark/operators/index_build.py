@@ -93,14 +93,22 @@ def assign_doc_ids(
     h, bucket = _hkey_bucket(order_col, num_buckets)
     with_b = df.withColumn("__hkey", h).withColumn("__bucket", bucket)
 
-    counts = with_b.groupBy("__bucket").count().collect()
-    offsets: list[tuple[int, int]] = []
-    acc = 0
-    for row in sorted(counts, key=lambda r: r["__bucket"]):
-        offsets.append((int(row["__bucket"]), acc))
-        acc += row["count"]
-    offs_df = spark.createDataFrame(
-        offsets, "__bucket int, __offset long"
+    # exclusive prefix sum of per-bucket counts as a broadcast subplan
+    # (no driver collect; single-partition window over NB rows only)
+    offs_df = (
+        with_b.groupBy("__bucket")
+        .count()
+        .select(
+            "__bucket",
+            F.coalesce(
+                F.sum("count").over(
+                    Window.orderBy("__bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__offset"),
+        )
     )
 
     w = Window.partitionBy("__bucket").orderBy("__hkey")
@@ -155,18 +163,29 @@ def build_docs(
     h, bucket = _hkey_bucket("url", num_buckets)
     with_b = pages.withColumn("__hkey", h).withColumn("__bucket", bucket)
 
-    # exact distinct-url count per bucket (url-pruned scan, JVM hash agg)
-    counts = (
+    # bucket -> global offset = exclusive prefix sum of exact per-bucket
+    # distinct-url counts.  Declared as a broadcast subplan instead of a
+    # driver collect: the url-pruned count scan and the NB-row cumsum
+    # window run inside the same query (one py4j round-trip fewer per
+    # build — measured fixed cost, not data cost).  The single-partition
+    # window is over NB <= 65536 aggregated rows, never the data.
+    from pyspark.sql.window import Window as _W
+
+    offs_df = (
         with_b.groupBy("__bucket")
-        .agg(F.count_distinct("__hkey").alias("n"))
-        .collect()
+        .agg(F.count_distinct("__hkey").alias("__n"))
+        .select(
+            "__bucket",
+            F.coalesce(
+                F.sum("__n").over(
+                    _W.orderBy("__bucket").rowsBetween(
+                        _W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__offset"),
+        )
     )
-    offsets: list[tuple[int, int]] = []
-    acc = 0
-    for row in sorted(counts, key=lambda r: r["__bucket"]):
-        offsets.append((int(row["__bucket"]), acc))
-        acc += row["n"]
-    offs_df = spark.createDataFrame(offsets, "__bucket int, __offset long")
 
     # one shuffle by bucket; two window specs share it (same partition
     # key, compatible sort prefixes -> Catalyst plans one Exchange)
