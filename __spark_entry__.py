@@ -634,6 +634,44 @@ def _q_link_outdegree(spark, sf):
     )
 
 
+# T1 synth: three header shapes over the documents table — normal (two
+# LF-LF blocks), CRLF (reference quirk: \r resets the pair counter ->
+# dropped), oversized first block (pair beyond byte 1021 -> dropped).
+# CASE order matters for doc_ids divisible by both 13 and 17.
+_T1_SYNTH_SPARK = """
+  CASE
+    WHEN doc_id % 17 = 0 THEN
+      'HTTP/1.1 200 OK' || chr(13) || chr(10) || chr(13) || chr(10) || text
+    WHEN doc_id % 13 = 0 THEN
+      'X-Pad: ' || repeat('h', 1200) || chr(10) || chr(10)
+      || 'X-Doc: ' || cast(doc_id AS string) || chr(10) || chr(10) || text
+    ELSE
+      'HTTP/1.1 200 OK' || chr(10) || 'Server: tse/1.0' || chr(10) || chr(10)
+      || 'X-Doc: ' || cast(doc_id AS string) || chr(10) || chr(10) || text
+  END
+"""
+
+
+def _q_http_header_skip(spark, sf):
+    """T1 HTTP-header skip (reference index/DocSegment.cpp:133-156) as a
+    pure JVM expression over synthesized raw responses; kept docs return
+    the body, dropped docs (CRLF / oversized header) return NULLs."""
+    from tse_spark.functions import extraction
+
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.selectExpr("doc_id", f"({_T1_SYNTH_SPARK}) AS raw")
+        .selectExpr(
+            "doc_id", f"({extraction.http_body_expr('raw')}) AS body"
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(length(body) AS bigint) AS body_len",
+            "substring(body, 1, 40) AS body_head",
+        )
+    )
+
+
 def _q_minhash_neardup(spark, sf):
     """Full MinHash-LSH near-dup in portable-hash (md5) mode: the DuckDB
     oracle recomputes the identical signatures, band buckets, candidate
@@ -720,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frame_sample,
         "link_extract": _q_link_extract,
         "link_outdegree": _q_link_outdegree,
+        "http_header_skip": _q_http_header_skip,
         "minhash_neardup": _q_minhash_neardup,
         "simhash": _q_simhash,
         "lsh_ann": _q_lsh_ann,
@@ -1354,6 +1393,43 @@ def oracle_sql() -> dict[str, str]:
                || 'http://' || host || '/rel' || doc_id::VARCHAR || ','
                || 'http://' || host || '/f' || doc_id::VARCHAR AS out_urls
         FROM synth""",
+        "http_header_skip": """
+        WITH raws AS (
+          SELECT doc_id,
+            CASE
+              WHEN doc_id % 17 = 0 THEN
+                'HTTP/1.1 200 OK' || chr(13) || chr(10) || chr(13)
+                || chr(10) || text
+              WHEN doc_id % 13 = 0 THEN
+                'X-Pad: ' || repeat('h', 1200) || chr(10) || chr(10)
+                || 'X-Doc: ' || doc_id::VARCHAR || chr(10) || chr(10)
+                || text
+              ELSE
+                'HTTP/1.1 200 OK' || chr(10) || 'Server: tse/1.0'
+                || chr(10) || chr(10)
+                || 'X-Doc: ' || doc_id::VARCHAR || chr(10) || chr(10)
+                || text
+            END AS raw
+          FROM documents),
+        s1 AS (
+          SELECT doc_id, raw,
+                 strpos(raw, chr(10) || chr(10)) AS p1
+          FROM raws),
+        s2 AS (
+          SELECT doc_id, p1, substring(raw, p1 + 2) AS rest1 FROM s1),
+        s3 AS (
+          SELECT doc_id, p1, rest1,
+                 strpos(rest1, chr(10) || chr(10)) AS p2
+          FROM s2),
+        b AS (
+          SELECT doc_id,
+                 CASE WHEN p1 BETWEEN 1 AND 1021
+                       AND p2 BETWEEN 1 AND 1021
+                      THEN substring(rest1, p2 + 2) END AS body
+          FROM s3)
+        SELECT doc_id, strlen(body)::BIGINT AS body_len,
+               substring(body, 1, 40) AS body_head
+        FROM b""",
         "minhash_neardup": _minhash_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         "lsh_neardup": _lsh_neardup_oracle_sql(),

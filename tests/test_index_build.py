@@ -125,3 +125,38 @@ def test_bm25_rank_identical_to_oracle(
         )
         for r, (_, s) in zip(got, want):
             assert r["score"] == pytest.approx(s, abs=1e-6)
+
+
+def test_http_body_expr_matches_oracle(spark):
+    """T1 JVM expression == pure-Python oracle on every golden/boundary
+    shape (ASCII payloads; the expression is byte==char here)."""
+    from pyspark.sql import functions as F
+
+    from tse_spark.functions import extraction
+
+    cases = [
+        b"H1\n\nH2\n\nbody",
+        b"H1\n\nH2\n\n",
+        b"H1\r\n\r\nH2\r\n\r\nbody",
+        b"a\n\r\nb\n\nc\n\nd",
+        b"no pair at all",
+        b"H1\n\n\nX\n\nbody",
+        b"h" * 1020 + b"\n\nH2\n\nbody",
+        b"h" * 1021 + b"\n\nH2\n\nbody",
+        b"h" * 1022 + b"\n\nH2\n\nbody",
+        b"H1\n\n" + b"h" * 1021 + b"\n\nbody",
+        b"H1\n\n" + b"h" * 1019 + b"\n\nbody",
+    ]
+    df = spark.createDataFrame(
+        [(i, c.decode("ascii")) for i, c in enumerate(cases)], "i int, raw string"
+    )
+    got = {
+        r["i"]: r["body"]
+        for r in df.selectExpr(
+            "i", f"({extraction.http_body_expr('raw')}) AS body"
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        want = oracle.skip_http_headers(c)
+        want = want.decode("ascii") if want is not None else None
+        assert got[i] == want, (i, got[i], want)

@@ -207,3 +207,48 @@ def test_raw_tse_search_tf_order_discarded():
     }
     # conjunctive AND + lexicographic docid-string order ("10" < "2")
     assert oracle.raw_tse_search(docs, [b"web", b"data"]) == ["10", "2"]
+
+
+# ---------------------------------------------------------------------------
+# T1: HTTP-header skip (reference index/DocSegment.cpp:133-156)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        (b"H1\n\nH2\n\nbody", b"body"),
+        (b"H1\n\nH2\n\n", b""),
+        # \r resets the consecutive-\n counter: CRLF headers drop
+        (b"H1\r\n\r\nH2\r\n\r\nbody", None),
+        # \n\r\n is NOT a pair (reset in the middle)
+        (b"a\n\r\nb\n\nc\n\nd", b"c\n\nd"[3:]),
+        (b"no pair at all", None),
+        # triple newline: block 2 starts at the leftover \n
+        (b"H1\n\n\nX\n\nbody", b"body"),
+    ],
+)
+def test_skip_http_headers_golden(raw, expected):
+    assert oracle.skip_http_headers(raw) == expected
+
+
+@pytest.mark.parametrize(
+    "pad,kept",
+    [
+        # pair starting at byte p (1-based): second \n read as byte p+1;
+        # drop when 1023 bytes were read, i.e. keep iff p <= 1021
+        (1020, True),   # p = 1021
+        (1021, False),  # p = 1022: pair found AS the limit hits -> drop
+        (1022, False),  # p = 1023: limit hits first
+    ],
+)
+def test_skip_http_headers_limit(pad, kept):
+    raw = b"h" * pad + b"\n\nH2\n\nbody"
+    got = oracle.skip_http_headers(raw)
+    assert (got == b"body") if kept else (got is None)
+
+
+def test_skip_http_headers_second_block_limit():
+    raw = b"H1\n\n" + b"h" * 1021 + b"\n\nbody"
+    assert oracle.skip_http_headers(raw) is None
+    raw = b"H1\n\n" + b"h" * 1019 + b"\n\nbody"
+    assert oracle.skip_http_headers(raw) == b"body"

@@ -112,6 +112,31 @@ def term_freqs(text: str, dictionary: frozenset[bytes]) -> list[tuple[str, int]]
 
 
 # ---------------------------------------------------------------------------
+# T1: HTTP-header skip (reference index/DocSegment.cpp:133-156)
+# ---------------------------------------------------------------------------
+
+def http_body_expr(raw_col: str) -> str:
+    """SQL expression (Spark dialect; ``strpos``-swap gives the DuckDB
+    twin) implementing the reference's two-block header skip as a pure
+    JVM expression — no Python in the row path.
+
+    Keep-condition per block: the first CONSECUTIVE ``\\n\\n`` pair must
+    start at position <= 1021, because the reference loop drops the doc
+    the moment 1023 bytes are read — even when the pair's second byte
+    lands exactly there (oracle.skip_http_headers documents the quirk;
+    ``\\r`` resets the pair counter, so CRLF headers always drop).
+    Returns NULL for dropped documents.
+    """
+    nn = "chr(10) || chr(10)"
+    p1 = f"locate({nn}, {raw_col})"
+    rest1 = f"substring({raw_col}, {p1} + 2)"
+    p2 = f"locate({nn}, {rest1})"
+    body = f"substring({rest1}, {p2} + 2)"
+    keep = f"({p1} BETWEEN 1 AND 1021) AND ({p2} BETWEEN 1 AND 1021)"
+    return f"CASE WHEN {keep} THEN {body} ELSE NULL END"
+
+
+# ---------------------------------------------------------------------------
 # pandas UDF factories (bind the broadcast dictionary at call time)
 # ---------------------------------------------------------------------------
 

@@ -101,6 +101,44 @@ def extract_text(html: bytes) -> bytes:
     return squeeze_ws(replace_nbsp(remove_tags(html)))
 
 
+# T1: HTTP-header skip (reference index/DocSegment.cpp:133-156,
+# HEADER_BUF_SIZE=1024 at :18).
+HEADER_BUF_SIZE = 1024
+
+
+def skip_http_headers(raw: bytes) -> bytes | None:
+    """Skip two consecutive-``\\n\\n``-terminated blocks; ``None`` =
+    drop the document (reference ``continue``).
+
+    Faithful quirks of the reference loop:
+
+    - ``newlines`` counts CONSECUTIVE ``\\n`` only — any other byte
+      (including ``\\r``) resets it, so CRLF headers never match and
+      such documents are dropped;
+    - the doc is dropped whenever 1023 bytes were read, even if the
+      second ``\\n`` arrived exactly at byte 1023 (the reference checks
+      ``bytesRead == HEADER_BUF_SIZE-1`` after the loop, unconditionally);
+    - running out of input before a pair is found is a drop (the C code
+      would read past the buffer; no fixture document does this).
+    """
+    pos = 0
+    for _ in range(2):
+        newlines = 0
+        bytes_read = 0
+        while newlines != 2 and bytes_read != HEADER_BUF_SIZE - 1:
+            if pos >= len(raw):
+                return None
+            if raw[pos : pos + 1] == b"\n":
+                newlines += 1
+            else:
+                newlines = 0
+            pos += 1
+            bytes_read += 1
+        if bytes_read == HEADER_BUF_SIZE - 1:
+            return None
+    return raw[pos:]
+
+
 def ascii_lower(s: bytes) -> bytes:
     """Byte-wise ``A-Z`` -> ``a-z``; all other bytes untouched
     (reference index/StrFun.cpp:13-20).  Safe on GB2312: double-byte
