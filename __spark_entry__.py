@@ -652,6 +652,23 @@ _T1_SYNTH_SPARK = """
 """
 
 
+def _q_url_segment(spark, sf):
+    """K3 ImgSE URL segmenter (reference index/ChSeg/HzSeg.cpp:207-263)
+    over the synthesized url table: host cut, last-dot extension cut,
+    per-piece segmentation.  The synth urls are ASCII, so the DuckDB
+    oracle derives the expected token string from doc_id directly; the
+    FMM/hanzi and %xx paths are pytest-verified (test_oracle.py)."""
+    from tse_spark import fixtures
+    from tse_spark.functions import extraction
+
+    d = spark.sparkContext.broadcast(fixtures.mini_dict_bytes())
+    urls = _synth_urls(spark, sf)
+    udf = extraction.make_segment_url_udf(d)
+    return urls.select(
+        "doc_id", F.array_join(udf(F.col("url")), " ").alias("terms")
+    )
+
+
 def _q_http_header_skip(spark, sf):
     """T1 HTTP-header skip (reference index/DocSegment.cpp:133-156) as a
     pure JVM expression over synthesized raw responses; kept docs return
@@ -759,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": _q_link_extract,
         "link_outdegree": _q_link_outdegree,
         "http_header_skip": _q_http_header_skip,
+        "url_segment": _q_url_segment,
         "minhash_neardup": _q_minhash_neardup,
         "simhash": _q_simhash,
         "lsh_ann": _q_lsh_ann,
@@ -1430,6 +1448,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, strlen(body)::BIGINT AS body_len,
                substring(body, 1, 40) AS body_head
         FROM b""",
+        "url_segment": """
+        SELECT doc_id,
+          CASE doc_id % 5
+            WHEN 0 THEN 'p ' || doc_id::VARCHAR
+            WHEN 1 THEN 'img' || doc_id::VARCHAR
+            WHEN 2 THEN 'cgi-bin q' || doc_id::VARCHAR
+            WHEN 3 THEN 'a' || doc_id::VARCHAR || '?b=1&c=2&d=3'
+            ELSE 'x-' || doc_id::VARCHAR || '+z'
+          END AS terms
+        FROM documents""",
         "minhash_neardup": _minhash_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         "lsh_neardup": _lsh_neardup_oracle_sql(),

@@ -252,3 +252,46 @@ def test_skip_http_headers_second_block_limit():
     assert oracle.skip_http_headers(raw) is None
     raw = b"H1\n\n" + b"h" * 1019 + b"\n\nbody"
     assert oracle.skip_http_headers(raw) == b"body"
+
+
+# ---------------------------------------------------------------------------
+# T6/K3: Translate (%xx) + URL segmenter (reference HzSeg.cpp:169-263)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        (b"a%41b", b"aAb"),            # uppercase hex letter path
+        (b"a%61b", b"aab"),            # digit+lowercase-letter mix
+        (b"%2Fx", b"/x"),
+        (b"no-escapes", b"no-escapes"),
+        (b"tail%4", b"tail%4"),        # % within 2 bytes of end: pass through
+        (b"a+b", b"a+b"),              # '+' NOT mapped to space (Translate)
+    ],
+)
+def test_cgi_decode_golden(raw, expected):
+    assert oracle.cgi_decode(raw) == expected
+
+
+def test_segment_url_ascii():
+    toks = oracle.segment_url(b"http://img.example.com/cgi-bin/Pic42.jpg")
+    assert toks == [b"cgi-bin", b"pic42"]  # host cut, ext cut, lowercased
+
+
+def test_segment_url_last_dot_chops_later_pieces():
+    # rfind('.') runs over the whole remaining path: the dot in the
+    # FIRST piece erases everything after it (faithful reference quirk)
+    toks = oracle.segment_url(b"http://h.example.cn/a.b/c/d")
+    assert toks == [b"a"]
+
+
+def test_segment_url_no_scheme_keeps_path():
+    assert oracle.segment_url(b"/p/q42") == [b"p", b"q42"]
+
+
+def test_segment_url_cgi_and_fmm():
+    d = fixtures.mini_dict_bytes()
+    word = next(iter(sorted(d)))  # a known dictionary word (GB2312)
+    enc = "".join(f"%{b:02X}" for b in word).encode("ascii")
+    toks = oracle.segment_url(b"http://x.cn/" + enc + b"/v", d)
+    assert toks == [word, b"v"]

@@ -238,6 +238,25 @@ def make_tokenize_udf(dict_broadcast, lowercase: bool = True):
     return tokenize_udf
 
 
+def make_segment_url_udf(dict_broadcast):
+    """pandas UDF: url string -> array<string> of K3 segment tokens
+    (oracle.segment_url; FMM only touches hanzi path pieces)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def segment_url_udf(url: pd.Series) -> pd.Series:
+        d = dict_broadcast.value
+        return url.map(
+            lambda s: [
+                t.decode(ENCODING)
+                for t in oracle.segment_url(s.encode(ENCODING), d)
+            ]
+        )
+
+    return segment_url_udf
+
+
 def make_doc_terms_udf(dict_broadcast):
     """pandas UDF: text -> struct<dl int, terms array<string>,
     tfs array<int>> — the DOCUMENT-MAJOR tf representation.

@@ -146,6 +146,59 @@ def ascii_lower(s: bytes) -> bytes:
     return bytes(b + 32 if 0x41 <= b <= 0x5A else b for b in s)
 
 
+def cgi_decode(s: bytes) -> bytes:
+    """``%xx`` decode, reference ``CHzSeg::Translate``
+    (index/ChSeg/HzSeg.cpp:169-201): the two chars after ``%`` are
+    hex-valued via ``(c & 0xdf) - 'A' + 10`` when >= ``'A'`` else
+    ``c - '0'`` — no validation, any bytes accepted, ``+`` NOT mapped
+    to space.  One deviation: a ``%`` within 2 bytes of the end is
+    passed through (the C code reads past the buffer there)."""
+    out = bytearray()
+    j = 0
+    n = len(s)
+    while j < n:
+        c = s[j]
+        if c == 0x25 and j + 2 < n:  # '%'
+
+            def hexv(ch: int) -> int:
+                if ch >= 0x41:  # 'A'
+                    return (ch & 0xDF) - 0x41 + 10
+                return ch - 0x30
+            out.append((hexv(s[j + 1]) * 16 + hexv(s[j + 2])) & 0xFF)
+            j += 3
+        else:
+            out.append(c)
+            j += 1
+    return bytes(out)
+
+
+def segment_url(
+    url: bytes, dictionary: frozenset[bytes] = frozenset()
+) -> list[bytes]:
+    """K3: ImgSE URL segmenter (reference index/ChSeg/HzSeg.cpp:207-263).
+
+    ``Translate`` (%xx decode) -> drop scheme+host (cut through the
+    first ``/`` after position 7 when ``http://`` occurs anywhere) ->
+    erase from the LAST ``.`` to the end (the reference rfinds over the
+    whole remaining path, so a dot in an EARLIER piece chops every
+    later piece too — faithful quirk) -> split the remainder on ``/``
+    and sentence-segment each piece (FMM for hanzi, whitespace-split
+    lowercased ASCII).  Returns the flat token list."""
+    u = cgi_decode(url)
+    if u.find(b"http://") != -1:
+        n = u.find(b"/", 7)
+        if n != -1:
+            u = u[n + 1:]
+    r = u.rfind(b".")
+    if r != -1:
+        u = u[:r]
+    toks: list[bytes] = []
+    for piece in u.split(b"/"):
+        if piece:
+            toks += tokenize(piece, dictionary)
+    return toks
+
+
 # ---------------------------------------------------------------------------
 # tokenization (spec mode)
 # ---------------------------------------------------------------------------
