@@ -210,10 +210,9 @@ def one_build_pair(levels: list[int], pages_dir: str, idx_out: str) -> list[dict
                 pass
     b1, s1 = _cpu_stat()
     for out in outs:
-        if b1 > b0:
-            # fraction of the window's busy cycles stolen by the
-            # hypervisor: >2-3% means a co-tenant was competing and
-            # the wall-clock numbers are pessimistic
+        # bench_build records a per-timed-leg steal_frac; fall back to
+        # the whole-subprocess window only when it's absent
+        if "steal_frac" not in out and b1 > b0:
             out["steal_frac"] = round((s1 - s0) / (b1 - b0), 3)
     if timed_out and not outs:
         outs = [{"error": f"build timed out (budget left {left():.0f}s)"}]

@@ -34,6 +34,17 @@ from pyspark.sql import SparkSession
 BENCH_PARTITIONS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "64"))
 
 
+def _cpu_stat() -> tuple[float, float]:
+    """(busy, steal) jiffies from /proc/stat — per-leg evidence of
+    hypervisor co-tenancy during the timed window."""
+    try:
+        with open("/proc/stat") as f:
+            v = [float(x) for x in f.readline().split()[1:9]]
+        return sum(v) - v[3] - v[4], v[7]
+    except Exception:
+        return 0.0, 0.0
+
+
 def build_session(cpus: int) -> SparkSession:
     from tse_spark.session import export_worker_sitecustomize
 
@@ -185,26 +196,30 @@ def main() -> None:
             force_extract=True,  # always exercise the extraction automaton
             checkpoint_mode="final",
         )
+        b0, s0 = _cpu_stat()
         t0 = time.time()
         handle = pipe.run_from_pages(args.pages, resume=False)
         dt = time.time() - t0
+        b1, s1 = _cpu_stat()
         stages = {
             name: st.get("seconds")
             for name, st in handle.manifest.stages.items()
         }
-        print(
-            json.dumps(
-                {
-                    "cpus": cpus,
-                    "n_docs": handle.n_docs,
-                    "seconds": round(dt, 3),
-                    "docs_per_sec": round(handle.n_docs / dt, 1),
-                    "index_dir": out_dir,
-                    "stages": stages,
-                }
-            ),
-            flush=True,
-        )
+        rec = {
+            "cpus": cpus,
+            "n_docs": handle.n_docs,
+            "seconds": round(dt, 3),
+            "docs_per_sec": round(handle.n_docs / dt, 1),
+            "index_dir": out_dir,
+            "stages": stages,
+        }
+        if b1 + s1 > b0 + s0:
+            # share of this leg's cycles stolen by the hypervisor: the
+            # wall clock is pessimistic by roughly 1/(1-steal)
+            rec["steal_frac"] = round(
+                (s1 - s0) / max(1.0, (b1 - b0) + (s1 - s0)), 3
+            )
+        print(json.dumps(rec), flush=True)
         # stop the context, keep the JVM (and its codegen/JIT caches):
         # the next level starts a fresh local[N] context in-place
         spark.stop()
