@@ -164,7 +164,12 @@ def _cpu_stat() -> tuple[float, float]:
         return 0.0, 0.0
 
 
-def one_build_pair(levels: list[int], pages_dir: str, idx_out: str) -> list[dict]:
+def one_build_pair(
+    levels: list[int],
+    pages_dir: str,
+    idx_out: str,
+    deadline: float | None = None,
+) -> list[dict]:
     """Run all parallelism levels in ONE bench_build subprocess (one
     JVM: the warmup pass JIT/codegen-warms every level — see
     tse_spark/bench_build.py docstring).  Returns one dict per
@@ -189,9 +194,12 @@ def one_build_pair(levels: list[int], pages_dir: str, idx_out: str) -> list[dict
             capture_output=True,
             text=True,
             cwd=REPO,
-            # never outlive the global budget: a timed-out pair still
-            # yields every level that finished before the deadline
-            timeout=max(60.0, min(1500.0, left() - 10.0)),
+            # never outlive the budget: a timed-out run still yields
+            # every level that finished before the deadline
+            timeout=max(
+                60.0,
+                min(1500.0, left() - 10.0 if deadline is None else deadline),
+            ),
         )
         stdout = proc.stdout
         if proc.returncode != 0 and not stdout.strip():
@@ -272,32 +280,30 @@ def run_scaling() -> None:
         out["speedup"] = round(ratio, 3)
         out["scaling_efficiency"] = round(ratio / (big_n / small_n), 3)
 
-    # each rep = one subprocess running big then small in one JVM (big
-    # first: its timed run directly follows the warmup pass); every
-    # completed level immediately tightens its level's min and is
-    # flushed, so a timeout loses at most one level
-    # reserve room for the headline + serving phases that follow
+    # ONE subprocess runs [big, small] * reps as sequential contexts in
+    # one JVM: warmup is paid once, every leg prints as it completes
+    # (a timeout keeps the finished legs), and repeated legs land in
+    # different co-tenancy windows so the per-level MIN dodges steal
+    # bursts.  The subprocess deadline leaves `reserve` seconds for the
+    # headline + serving phases that follow.
     reserve = 150.0
-    # first-rep estimate: ~100 s fixed (JVM + warmup + worker pools)
-    # plus measured ~0.7 ms/doc across both timed levels; replaced by
-    # the actual rep duration after the first rep completes
+    # minimum useful budget: ~100 s fixed (JVM + warmup + worker pools)
+    # plus measured ~0.7 ms/doc for one big+small pair
     est = 100.0 + BENCH_DOCS * 7e-4
-    for rep in range(reps):
-        if left() - est < reserve:
-            out["note"] = f"stopped after {rep} pairs (budget)"
-            break
-        t_rep = time.time()
+    if left() - est < reserve:
+        out["note"] = "skipped (budget)"
+    else:
         rs = one_build_pair(
-            [big_n, small_n],
+            [big_n, small_n] * reps,
             pages_dir,
             f"{SCRATCH}/tse_bench_idx_{BENCH_DOCS}",
+            deadline=left() - reserve,
         )
         for r in rs:
             if "error" in r:
                 out.setdefault("errors", []).append(r)
             else:
                 runs[r["cpus"]].append(r)
-        est = min(est, time.time() - t_rep + 20.0)
         summarize()
         flush()
 
