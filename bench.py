@@ -138,13 +138,29 @@ def hw_probe(small_n: int, big_n: int) -> dict:
     import multiprocessing as mp
 
     out: dict = {}
-    per = {}
-    for n in (small_n, big_n):
-        with mp.Pool(n) as p:
-            res = p.map(_burn, range(n))
-        per[n] = sum(res)
+
+    def attempt() -> tuple[dict, float]:
+        b0, s0 = _cpu_stat()
+        per = {}
+        for n in (small_n, big_n):
+            with mp.Pool(n) as p:
+                res = p.map(_burn, range(n))
+            per[n] = sum(res)
+        b1, s1 = _cpu_stat()
+        steal = (s1 - s0) / max(1.0, (b1 - b0) + (s1 - s0))
+        return per, steal
+
+    # a steal burst during the probe corrupts the ceiling estimate
+    # (observed: nonsense eff 1.34 under 19% steal); keep the quieter
+    # of up to two attempts and report its steal alongside
+    per, steal = attempt()
+    if steal > 0.05:
+        per2, steal2 = attempt()
+        if steal2 < steal:
+            per, steal = per2, steal2
     out[f"cpu_total_{small_n}"] = per[small_n]
     out[f"cpu_total_{big_n}"] = per[big_n]
+    out["probe_steal_frac"] = round(steal, 3)
     out["cpu_scaling_eff"] = round(
         per[big_n] / per[small_n] / (big_n / small_n), 3
     )
@@ -310,8 +326,10 @@ def run_scaling() -> None:
     if runs[big_n] and runs[small_n]:
         out["hw"] = hw_probe(small_n, big_n)
         # engine efficiency with the box's own concurrency droop factored
-        # out (pure-CPU ceiling as denominator; see hw_probe docstring)
-        cap = out["hw"].get("cpu_scaling_eff") or 1.0
+        # out (pure-CPU ceiling as denominator; see hw_probe docstring).
+        # cap > 1 means the probe itself hit noise (hardware cannot
+        # scale superlinearly per core) — clamp so it never inflates.
+        cap = min(out["hw"].get("cpu_scaling_eff") or 1.0, 1.0)
         out["scaling_efficiency_vs_hw"] = round(
             min(out["scaling_efficiency"] / cap, 1.0), 3
         )

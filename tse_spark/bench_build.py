@@ -179,7 +179,11 @@ def main() -> None:
 
     levels = [int(x) for x in args.cpus.split(",")]
     for i, cpus in enumerate(levels):
-        out_dir = f"{args.out}_{cpus}" if len(levels) > 1 else args.out
+        final_dir = f"{args.out}_{cpus}" if len(levels) > 1 else args.out
+        # build into a temp dir, swap in on completion: a deadline kill
+        # mid-leg must never destroy the last COMPLETE index for this
+        # level (the serving phase reads it after the subprocess dies)
+        out_dir = final_dir + ".tmp"
         shutil.rmtree(out_dir, ignore_errors=True)
         spark = build_session(cpus)
         warm_worker_pool(spark, cpus)
@@ -205,12 +209,14 @@ def main() -> None:
             name: st.get("seconds")
             for name, st in handle.manifest.stages.items()
         }
+        shutil.rmtree(final_dir, ignore_errors=True)
+        os.rename(out_dir, final_dir)
         rec = {
             "cpus": cpus,
             "n_docs": handle.n_docs,
             "seconds": round(dt, 3),
             "docs_per_sec": round(handle.n_docs / dt, 1),
-            "index_dir": out_dir,
+            "index_dir": final_dir,
             "stages": stages,
         }
         if b1 + s1 > b0 + s0:
