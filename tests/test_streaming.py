@@ -105,3 +105,61 @@ def test_hourly_stream_matches_batch(spark, stream_dir):
         for r in ev.hourly_window_agg(spark.read.parquet(SRC)).collect()
     }
     assert emitted <= all_batch
+
+
+def test_host_budget_stream_matches_batch_oracle(spark, tmp_path):
+    """applyInPandasWithState politeness budget == batch row_number
+    oracle under a single ordered pass (availableNow)."""
+    from pyspark.sql.window import Window
+
+    from tse_spark.streaming import host_budget_stream
+
+    # synth frontier: 6 hosts x 40 urls spread over 3 event-hours
+    rows = []
+    import datetime as dt
+
+    base = dt.datetime(2004, 5, 1, 0, 0, 0)
+    for i in range(240):
+        host = f"site{i % 6}.example.cn"
+        ts = base + dt.timedelta(minutes=(i * 7) % 180, seconds=i % 60)
+        rows.append((host, f"http://{host}/p/{i}", ts))
+    src = str(tmp_path / "frontier")
+    spark.createDataFrame(
+        rows, "host string, url string, ts timestamp"
+    ).repartition(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "host string, url string, ts timestamp"
+    ).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        host_budget_stream(stream, per_hour=4)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+
+    batch = spark.createDataFrame(
+        rows, "host string, url string, ts timestamp"
+    ).withColumn(
+        "hour", (F.col("ts").cast("long") / 3600).cast("long")
+    )
+    w = Window.partitionBy("host", "hour").orderBy("ts", "url")
+    expect = batch.withColumn(
+        "admitted", F.row_number().over(w) <= 4
+    ).select("host", "url", "admitted")
+
+    assert got.count() == 240
+    diff = (
+        got.select("host", "url", "admitted")
+        .exceptAll(expect)
+        .count()
+    )
+    assert diff == 0, f"{diff} decisions differ from the batch oracle"
+    # budget actually binds: some rejections exist
+    assert got.filter(~F.col("admitted")).count() > 0

@@ -8,3 +8,4 @@ from tse_spark.streaming.events import (  # noqa: F401
     read_events_stream,
     sessionize_stream,
 )
+from tse_spark.streaming.frontier import host_budget_stream  # noqa: F401
