@@ -154,6 +154,29 @@ def _q_bm25_conjunctive(spark, sf):
     return _bm25(spark, sf, BM25_CONJ_QUERY, True)
 
 
+def _q_bm25_page2(spark, sf):
+    """Q9 pagination (reference TSESearch pages by re-ranking and
+    slicing): page 2 of the same ranking = rows 11..20, served with
+    offset/limit on the ordered plan — at scale this stays a single
+    TakeOrderedAndProject of (page+1)*k rows, never a full sort."""
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(
+        tf.filter(F.col("term").isin(list(set(BM25_QUERY))))
+    )
+    n, avgdl = ib.corpus_stats(doclen)
+    out = ib.bm25_topk(
+        spark, tf, doclen, dfreq, n, avgdl, BM25_QUERY, K * 2, False
+    )
+    return (
+        out.offset(K)
+        .limit(K)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
 def _q_postings_strings(spark, sf):
     tf = _tf_ws(spark, sf)
     return tf.groupBy("term").agg(
@@ -740,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
         "bm25_conjunctive": _q_bm25_conjunctive,
+        "bm25_page2": _q_bm25_page2,
         "wand_topk": _q_wand_topk,
         "wand_conjunctive": _q_wand_conjunctive,
         "postings_strings": _q_postings_strings,
@@ -1126,6 +1150,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(sum(s), 4) AS score
         FROM perterm GROUP BY doc_id
         ORDER BY sum(s) DESC, doc_id LIMIT 10""",
+        "bm25_page2": _TOK
+        + bm25_3
+        + """
+        SELECT doc_id, round(sum(s), 4) AS score
+        FROM perterm GROUP BY doc_id
+        ORDER BY sum(s) DESC, doc_id LIMIT 10 OFFSET 10""",
         "bm25_conjunctive": _TOK
         + bm25_2
         + f"""
