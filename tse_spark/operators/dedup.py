@@ -278,13 +278,24 @@ def simhash64(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     if hash_fn == "md5":
+        # pack the 32 hex nibbles into four 32-bit words once per row;
+        # each bit is then one integer shift+mask instead of an
+        # instr/substring string op x64 (hex char j+1 is the most
+        # significant nibble of word j//8, so bit i%4 of nibble i//4
+        # sits at (7 - (i//4) % 8) * 4 + i%4 of word i//32 — the same
+        # values the SQL oracle extracts nibble-wise)
         t = t.withColumn("h", F.md5("term"))
+        for w in range(4):
+            t = t.withColumn(
+                f"_w{w}",
+                F.conv(F.substring("h", 8 * w + 1, 8), 16, 10).cast(
+                    "long"
+                ),
+            )
 
         def _bit(i):
-            return F.expr(
-                f"shiftright(instr('0123456789abcdef', "
-                f"substring(h, {i // 4 + 1}, 1)) - 1, {i % 4}) & 1"
-            )
+            sh = (7 - (i // 4) % 8) * 4 + i % 4
+            return F.shiftright(f"_w{i // 32}", sh).bitwiseAND(F.lit(1))
     else:
         t = t.withColumn("h", F.xxhash64("term"))
 

@@ -49,6 +49,10 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
         pass
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # wide aggregates (e.g. the 64-bit-plane SimHash) exceed the default
+    # 100-field cap and silently drop out of whole-stage codegen; raise
+    # the cap so they stay compiled (runtime-settable)
+    conf.set("spark.sql.codegen.maxFields", "256")
     # On a real (non-local) cluster, also pass straggler re-launch flags
     # at spark-submit time: --conf spark.speculation=true
     # --conf spark.speculation.quantile=0.75 — Spark never starts the
@@ -81,6 +85,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # keep wide aggregates (64-bit-plane SimHash) in whole-stage
+        # codegen instead of silently falling to the interpreted path
+        .config("spark.sql.codegen.maxFields", "256")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
