@@ -74,7 +74,10 @@ class IcebergTableIO(TableIO):
         return spark.read.table(self._ident(name))
 
     def exists(self, name: str) -> bool:  # pragma: no cover - needs jars
-        raise NotImplementedError
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return False
+        return spark.catalog.tableExists(self._ident(name))
 
 
 def get_table_io(spark: SparkSession, root: str) -> TableIO:
