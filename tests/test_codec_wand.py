@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from tse_spark import fixtures, oracle
-from tse_spark.operators import codec, wand
+from tse_spark.operators import codec, postings as po, wand
 from tse_spark.plans import pipeline as pl
 
 GB = "gb2312"
@@ -255,3 +255,37 @@ def test_load_index_roundtrip(built, spark, py_engine):
     want = py_engine.search("搜索引擎".encode(GB), 10)
     got = h.engine.search_local("搜索引擎", 10)
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_hot_term_salted_across_shards(spark):
+    """Skew control: a term present in EVERY doc must spread across the
+    (term, shard) salt — no single reducer sees the whole posting list —
+    and still decode back exactly."""
+    import pandas as pd
+
+    n_docs, n_shards = 5_000, 8
+    rows = []
+    for d in range(n_docs):
+        rows.append((d, "hot", 3, 5))        # the skewed key
+        rows.append((d, f"tail{d % 97}", 2, 5))
+    tf_dl = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "term", "tf", "dl"])
+    )
+    shards = po.build_posting_shards(
+        tf_dl, n_docs=n_docs, avgdl=5.0, num_shards=n_shards, block_size=32
+    ).collect()
+
+    hot = [r for r in shards if r["term"] == "hot"]
+    # salt engaged: the hot posting list is n_shards physical rows, one
+    # per doc-range shard, each holding ~1/n_shards of the docs
+    assert len(hot) == n_shards
+    assert sum(r["df"] for r in hot) == n_docs
+    assert max(r["df"] for r in hot) <= -(-n_docs // n_shards)
+
+    got = {}
+    for r in shards:
+        docs, tfs, dls = codec.decode_all(bytes(r["blocks"]))
+        for d, t, l in zip(docs, tfs, dls):
+            got[(r["term"], int(d))] = (int(t), int(l))
+    want = {(t, d): (tf, dl) for d, t, tf, dl in rows}
+    assert got == want
