@@ -53,6 +53,7 @@ def build_posting_shards(
     num_shards: int = 32,
     block_size: int = codec.BLOCK_SIZE,
     merge_parallelism: int | None = None,
+    shard_range: int | None = None,
 ) -> DataFrame:
     """(doc_id, term, tf, dl) -> compressed posting shards, in two
     vectorized phases:
@@ -73,7 +74,13 @@ def build_posting_shards(
     pandas overhead; the streaming encoders amortize it across whole
     Arrow batches, carrying runs that span batch boundaries.
     """
-    shard_range = max(1, math.ceil(n_docs / num_shards))
+    if shard_range is None:
+        shard_range = max(1, math.ceil(n_docs / num_shards))
+    else:
+        # index-append path: the delta must use the ORIGINAL build's
+        # doc-range width so its (term, shard) rows stay disjoint from
+        # (and composable with) the existing shards
+        shard_range = max(1, int(shard_range))
     doc_major = "terms" in tf_dl.columns
     if doc_major:
         # document-major input (doc_id, dl, terms[], tfs[]): Arrow moves

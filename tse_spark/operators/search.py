@@ -46,6 +46,7 @@ class SearchEngine:
         n_docs: int,
         avgdl: float,
         dictionary: frozenset[bytes] = frozenset(),
+        bound_scale: float = 1.0,
     ):
         self.spark = spark
         self.postings = postings
@@ -53,6 +54,9 @@ class SearchEngine:
         self.n_docs = n_docs
         self.avgdl = avgdl
         self.dictionary = dictionary
+        # >= 1 after appends raise avgdl above the value the block
+        # max-scores were encoded with (see wand.Cursor docstring)
+        self.bound_scale = bound_scale
         # term -> (df, merged doc-ascending blocks blob): ONE bounded
         # LRU for the interactive path, filled lazily by one pruned job
         # per set of missing terms.  df rides along with the shard rows
@@ -149,6 +153,7 @@ class SearchEngine:
         if not idf or (conjunctive and len(idf) < len(terms)):
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         avgdl = self.avgdl
+        bscale = self.bound_scale
         b_idf = self.spark.sparkContext.broadcast(idf)
         n_terms = len(idf)
 
@@ -163,7 +168,9 @@ class SearchEngine:
                     return pd.DataFrame({"doc_id": [], "score": []})
                 res = wand_mod.intersect_topk_vec(runs, avgdl, k)
             else:
-                res = wand_mod.blockmax_topk_local(runs, avgdl, k)
+                res = wand_mod.blockmax_topk_local(
+                    runs, avgdl, k, bound_scale=bscale
+                )
             return pd.DataFrame(
                 {
                     "doc_id": [d for d, _ in res],
@@ -240,7 +247,9 @@ class SearchEngine:
             else:
                 out = wand_mod.intersect_topk_vec(runs, self.avgdl, k)
         else:
-            out = wand_mod.blockmax_topk_local(runs, self.avgdl, k)
+            out = wand_mod.blockmax_topk_local(
+                runs, self.avgdl, k, bound_scale=self.bound_scale
+            )
         out = out[:k]
         self._log_query(query, k, len(out), (_t.time() - t0) * 1000.0)
         return out

@@ -34,16 +34,28 @@ class Cursor:
 
     __slots__ = (
         "blocks", "refs", "idf", "avgdl", "term_max", "last_docs",
-        "bi", "i", "docs", "tfs", "dls", "exhausted",
+        "bi", "i", "docs", "tfs", "dls", "exhausted", "bound_scale",
     )
 
-    def __init__(self, blocks: bytes, idf: float, avgdl: float):
+    def __init__(
+        self,
+        blocks: bytes,
+        idf: float,
+        avgdl: float,
+        bound_scale: float = 1.0,
+    ):
+        # bound_scale >= 1 corrects stored block max-scores encoded with
+        # an OLDER (smaller) avgdl: the idf-free BM25 component is
+        # increasing in avgdl and its ratio is bounded by
+        # avgdl_now/avgdl_enc, so scaling the stored bound keeps pruning
+        # sound after index appends shift the corpus average doc length.
         self.blocks = blocks
         self.refs = codec.scan_blocks(blocks)
         self.idf = idf
         self.avgdl = avgdl
+        self.bound_scale = bound_scale
         self.last_docs = [r.last_doc for r in self.refs]
-        self.term_max = idf * max(
+        self.term_max = idf * bound_scale * max(
             (r.max_score for r in self.refs), default=0.0
         )
         self.exhausted = not self.refs
@@ -64,7 +76,9 @@ class Cursor:
         return _INF if self.exhausted else int(self.docs[self.i])
 
     def block_max(self) -> float:
-        return 0.0 if self.exhausted else self.idf * self.refs[self.bi].max_score
+        if self.exhausted:
+            return 0.0
+        return self.idf * self.bound_scale * self.refs[self.bi].max_score
 
     def block_last(self) -> int:
         return _INF if self.exhausted else self.refs[self.bi].last_doc
@@ -133,13 +147,16 @@ def wand_topk_local(
     avgdl: float,
     k: int,
     initial_threshold: float = float("-inf"),
+    bound_scale: float = 1.0,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over one shard.  ``term_runs`` = [(idf, blocks)].
 
     Returns up to k (doc_id, score) pairs, score desc / doc asc.
     """
     cursors = [
-        Cursor(blocks, idf, avgdl) for idf, blocks in term_runs if blocks
+        Cursor(blocks, idf, avgdl, bound_scale)
+        for idf, blocks in term_runs
+        if blocks
     ]
     cursors = [c for c in cursors if not c.exhausted]
     top = _TopK(k)
@@ -210,6 +227,7 @@ def blockmax_topk_local(
     term_runs: list[tuple[float, bytes]],
     avgdl: float,
     k: int,
+    bound_scale: float = 1.0,
 ) -> list[tuple[int, float]]:
     """Block-max pruned, numpy-vectorized top-k BM25 over one shard.
 
@@ -234,7 +252,7 @@ def blockmax_topk_local(
             continue
         refs = codec.scan_blocks(blocks)
         if refs:
-            tmax = idf * max(r.max_score for r in refs)
+            tmax = idf * bound_scale * max(r.max_score for r in refs)
             runs.append((idf, blocks, refs, tmax))
     if not runs:
         return []
@@ -259,7 +277,11 @@ def blockmax_topk_local(
             doc_parts.append(s_docs)
             score_parts.append(_score_arrays(seed_idf, s_tfs, s_dls, avgdl))
             continue
-        keep = [r for r in refs if idf * r.max_score + others >= theta]
+        keep = [
+            r
+            for r in refs
+            if idf * bound_scale * r.max_score + others >= theta
+        ]
         if not keep:
             continue
         d, t, dl = codec.decode_blocks(blocks, keep)

@@ -129,9 +129,19 @@ class IndexPipeline:
                     F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
                 ).collect()[0]
             )
+            import math as _math
+
+            _n = int(row["n"])
             meta = {
-                "n_docs": int(row["n"]),
+                "n_docs": _n,
                 "avgdl": float(row["avgdl"] or 0.0),
+                # frozen at first build; appends must reuse both (see
+                # plans/append.py): enc_avgdl is what the block
+                # max-scores were encoded with, shard_range is the
+                # doc-range width of the (term, shard) salt
+                "enc_avgdl": float(row["avgdl"] or 0.0),
+                "shard_range": max(1, _math.ceil(_n / self.num_shards)),
+                "max_doc_id": _n - 1,
                 "fingerprint": fp_tf,
                 "tokenizer": self.tokenizer,
                 "num_shards": self.num_shards,
@@ -180,7 +190,7 @@ class IndexPipeline:
 class IndexHandle:
     def __init__(
         self, spark, out_dir, postings, term_stats, n_docs, avgdl,
-        dictionary, manifest,
+        dictionary, manifest, enc_avgdl: float | None = None,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -189,8 +199,15 @@ class IndexHandle:
         self.n_docs = n_docs
         self.avgdl = avgdl
         self.manifest = manifest
+        # block max-scores were encoded with enc_avgdl; if appends have
+        # raised the live avgdl above it, scale the pruning bounds up
+        # (sound: the idf-free component's growth is <= the avgdl ratio)
+        scale = 1.0
+        if enc_avgdl and enc_avgdl > 0 and avgdl > enc_avgdl:
+            scale = avgdl / enc_avgdl
         self.engine = se.SearchEngine(
-            spark, postings, term_stats, n_docs, avgdl, dictionary
+            spark, postings, term_stats, n_docs, avgdl, dictionary,
+            bound_scale=scale,
         )
 
 
@@ -205,4 +222,5 @@ def load_index(
     return IndexHandle(
         spark, out_dir, postings, stats,
         meta["n_docs"], meta["avgdl"], dictionary, cp.Manifest(out_dir),
+        enc_avgdl=meta.get("enc_avgdl"),
     )
