@@ -429,23 +429,17 @@ def _q_pages_bm25(spark, sf):
     extraction automaton + FMM tokenization + BM25.  Pure-Python-oracle
     verified in tests/test_index_build.py; no DuckDB equivalent.  Row
     count scales with the sf under test (documents count / 2, floor
-    200)."""
-    from pyspark.sql import types as T
-
+    200).  The fixture is generated through the cached PARALLEL sharded
+    writer (mp.Pool) — driver-serial gen_pages inside a timed query
+    would dominate the wall clock at larger sf."""
     from tse_spark import fixtures
     from tse_spark.operators import index_build as ib
 
-    schema = T.StructType(
-        [
-            T.StructField("url", T.StringType(), False),
-            T.StructField("warc_ts", T.TimestampType(), False),
-            T.StructField("html", T.BinaryType(), False),
-            T.StructField("text", T.StringType(), False),
-            T.StructField("lang", T.StringType(), False),
-        ]
-    )
     n_pages = max(200, _n_docs(spark, sf) // 2)
-    pages = spark.createDataFrame(fixtures.gen_pages(n_pages), schema=schema)
+    pages_dir = fixtures.write_pages_parquet_sharded(
+        f"/tmp/tse_entry_pages_{n_pages}", n_pages, n_files=8
+    )
+    pages = spark.read.parquet(pages_dir)
     docs = ib.build_docs(pages, num_partitions=4)
     d = spark.sparkContext.broadcast(fixtures.mini_dict_bytes())
     tf = ib.build_tf(docs, d)

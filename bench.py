@@ -5,18 +5,19 @@ Three phases, ordered so a timeout still leaves measured evidence — a
 full JSON result line is (re)printed after EVERY phase, so the last
 stdout line is always the most complete result:
 
-1. **Headline queries** at $SPARK_GRAFT_SF_DIR (default
+1. **Index-build scaling** (BASELINE.json north_rule evidence — runs
+   FIRST so noise cannot eat it): the same pages->posting-shards
+   pipeline, same input, at two parallelism levels (local[4N] then
+   local[N], sequential contexts in one subprocess JVM so the untimed
+   warmup covers both, repeated up to SPARK_GRAFT_SCALE_REPS times with
+   per-level minima) -> docs/sec at both + scaling efficiency
+   T_N*N / (T_4N*4N), with per-leg hypervisor steal evidence.
+2. **BM25 serving latency**: block-max WAND over the compressed shards
+   built in phase 1, p50/p95 over the reference query set.
+3. **Headline queries** at $SPARK_GRAFT_SF_DIR (default
    /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]: per-query wall
    seconds, forced with a noop sink (full materialization, no driver
    collect cost).
-2. **Index-build scaling** (BASELINE.json north_rule evidence): the same
-   pages->posting-shards pipeline, same input, at two parallelism levels
-   (local[4N] then local[N], sequential contexts in one subprocess JVM
-   so the untimed warmup covers both) -> docs/sec at both + scaling
-   efficiency  T_N*N / (T_4N*4N).  A partial line is flushed after
-   every completed level.
-3. **BM25 serving latency**: block-max WAND over the compressed shards
-   built in phase 2, p50/p95 over the reference query set.
 
 A wall-clock budget (SPARK_GRAFT_BENCH_BUDGET, seconds, default 480)
 gates phases 2 and 3: when the remaining budget cannot fit a phase, it
@@ -30,8 +31,8 @@ Final line:
    "bm25_p50_ms": ..., "bm25_p95_ms": ...}
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-SPARK_GRAFT_BENCH_DOCS (default 400000), SPARK_GRAFT_SKIP_SCALING=1,
-SPARK_GRAFT_SCALE_REPS (default 1), SPARK_GRAFT_BENCH_BUDGET (sec).
+SPARK_GRAFT_BENCH_DOCS (default 200000), SPARK_GRAFT_SKIP_SCALING=1,
+SPARK_GRAFT_SCALE_REPS (default 3), SPARK_GRAFT_BENCH_BUDGET (sec).
 """
 
 from __future__ import annotations

@@ -60,9 +60,14 @@ def rebuilt(tmp_path_factory, spark, corpora):
 
 
 def _url_map(spark, idx):
+    import json
+
+    with open(os.path.join(idx, "meta.json")) as f:
+        meta = json.load(f)
+    dirs = [os.path.join(idx, d) for d in meta.get("docs_dirs", ["docs"])]
     return {
         r["doc_id"]: r["url"]
-        for r in spark.read.parquet(os.path.join(idx, "docs"))
+        for r in spark.read.parquet(*dirs)
         .select("doc_id", "url").collect()
     }
 
@@ -143,3 +148,40 @@ def test_append_poisons_stage_resume(appended, spark, corpora):
         str(st.get("fingerprint", "")).startswith("appended:")
         for st in man.stages.values()
     )
+
+
+def test_append_same_batch_twice_is_noop(spark, appended, corpora):
+    """Retry safety: re-appending an already-appended batch dedups to
+    zero fresh urls and changes nothing."""
+    _, h1, _, idx = appended
+    _, b_dir, _ = corpora
+    h2 = ap.append_pages(spark, idx, b_dir, fixtures.mini_dict_bytes())
+    assert h2.n_docs == h1.n_docs
+    assert h2.avgdl == pytest.approx(h1.avgdl, rel=1e-12)
+    assert h2.postings.count() == h1.postings.count()
+
+
+def test_orphan_delta_dirs_are_invisible(spark, appended):
+    """A crash before the meta.json replace leaves delta dirs on disk;
+    readers must not see them (visibility is meta-gated)."""
+    _, h1, _, idx = appended
+    orphan = os.path.join(idx, "postings_delta_999999")
+    h1.postings.limit(1).write.mode("overwrite").parquet(orphan)
+    h2 = pl.load_index(spark, idx, fixtures.mini_dict_bytes())
+    assert h2.postings.count() == h1.postings.count()
+
+
+def test_second_append_chains(spark, appended, tmp_path_factory):
+    """Append onto an already-appended index: dir lists chain and the
+    shard floors keep rising."""
+    _, h1, _, idx = appended
+    d = tmp_path_factory.mktemp("append2")
+    c = fixtures.gen_pages(80, start=700)
+    src = str(d / "c")
+    spark.createDataFrame(c).write.mode("overwrite").parquet(src)
+    before = {(r["term"], r["shard"]) for r in h1.postings.collect()}
+    h2 = ap.append_pages(spark, idx, src, fixtures.mini_dict_bytes())
+    assert h2.n_docs > h1.n_docs
+    after = {(r["term"], r["shard"]) for r in h2.postings.collect()}
+    new = after - before
+    assert new and min(s for _, s in new) > max(s for _, s in before)

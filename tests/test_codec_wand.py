@@ -289,3 +289,36 @@ def test_hot_term_salted_across_shards(spark):
             got[(r["term"], int(d))] = (int(t), int(l))
     want = {(t, d): (tf, dl) for d, t, tf, dl in rows}
     assert got == want
+
+
+def test_posting_build_survives_zero_term_docs(spark):
+    """A chunk of only zero-term docs (junk/empty pages) must produce no
+    posting rows, not an encoder crash."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "dl": [0, 0, 0],
+                "terms": [[], [], []],
+                "tfs": [[], [], []],
+            }
+        ),
+        "doc_id long, dl long, terms array<string>, tfs array<long>",
+    )
+    assert po.build_posting_shards(df, 3, 1.0, num_shards=2).count() == 0
+
+    mixed = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "dl": [0, 2],
+                "terms": [[], ["ab", "cd"]],
+                "tfs": [[], [1, 1]],
+            }
+        ),
+        "doc_id long, dl long, terms array<string>, tfs array<long>",
+    )
+    rows = po.build_posting_shards(mixed, 2, 1.0, num_shards=2).collect()
+    assert sorted(r["term"] for r in rows) == ["ab", "cd"]

@@ -163,3 +163,60 @@ def test_host_budget_stream_matches_batch_oracle(spark, tmp_path):
     assert diff == 0, f"{diff} decisions differ from the batch oracle"
     # budget actually binds: some rejections exist
     assert got.filter(~F.col("admitted")).count() > 0
+
+
+def test_host_budget_stream_multi_chunk_group(spark, tmp_path):
+    """Groups larger than one Arrow batch arrive as several chunks in
+    arbitrary relative order — the (ts, url) processing order must hold
+    across the WHOLE group (regression: per-chunk sorting diverged from
+    the batch oracle once a host exceeded maxRecordsPerBatch)."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window
+
+    from tse_spark.streaming import host_budget_stream
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        base = dt.datetime(2004, 5, 1)
+        rows = [
+            (
+                "h.cn",
+                f"http://h.cn/{i:04d}",
+                base + dt.timedelta(seconds=i * 37 % 7200),
+            )
+            for i in range(200)
+        ]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            rows, "host string, url string, ts timestamp"
+        ).repartition(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "host string, url string, ts timestamp"
+        ).parquet(src)
+        q = (
+            host_budget_stream(stream, per_hour=4)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(str(tmp_path / "out"))
+        batch = spark.createDataFrame(
+            rows, "host string, url string, ts timestamp"
+        ).withColumn("hour", (F.col("ts").cast("long") / 3600).cast("long"))
+        w = Window.partitionBy("host", "hour").orderBy("ts", "url")
+        expect = batch.withColumn(
+            "admitted", F.row_number().over(w) <= 4
+        ).select("host", "url", "admitted")
+        assert out.count() == 200
+        assert (
+            out.select("host", "url", "admitted").exceptAll(expect).count()
+            == 0
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

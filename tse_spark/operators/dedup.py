@@ -285,7 +285,9 @@ def simhash64(
         # sits at (7 - (i//4) % 8) * 4 + i%4 of word i//32 — the same
         # values the SQL oracle extracts nibble-wise)
         t = t.withColumn("h", F.md5("term"))
-        for w in range(4):
+        # bits 0..63 live in nibbles 0..15 = hex chars 1..16 = words
+        # 0 and 1 only; words 2/3 of the digest are never read
+        for w in range(2):
             t = t.withColumn(
                 f"_w{w}",
                 F.conv(F.substring("h", 8 * w + 1, 8), 16, 10).cast(

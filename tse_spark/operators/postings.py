@@ -112,6 +112,18 @@ def build_posting_shards(
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    _partial_pa_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("shard", pa.int64()),
+            ("df", pa.int64()),
+            ("cf", pa.int64()),
+            ("max_score", pa.float64()),
+            ("first_doc", pa.int64()),
+            ("blocks", pa.binary()),
+        ]
+    )
+
     def _encode_chunk_arrow(tbl: "pa.Table") -> "pa.RecordBatch":
         """Doc-major chunk encoder operating on Arrow buffers directly:
         term strings NEVER materialize as Python objects (profiled as
@@ -127,6 +139,10 @@ def build_posting_shards(
         lens = terms_col.value_lengths().to_numpy()
         flat_terms = terms_col.flatten()
         tfs = tfs_col.flatten().to_numpy()
+        if len(flat_terms) == 0:
+            # a chunk of zero-term docs only (junk/empty pages): no
+            # posting rows; indexing an empty dictionary would raise
+            return pa.RecordBatch.from_pylist([], schema=_partial_pa_schema)
         docs = np.repeat(doc, lens)
         dls = np.repeat(dl, lens)
         shards = docs // shard_range

@@ -63,6 +63,8 @@ class SearchEngine:
         # (each shard row carries its df), so the stats lookup costs no
         # extra job.  df = 0 entries are cached negatives (term absent).
         self._term_cache: "OrderedDict[str, tuple[int, bytes]]" = OrderedDict()
+        # stats-only twin for the distributed path (df without blobs)
+        self._df_cache: "OrderedDict[str, int]" = OrderedDict()
         self.posting_cache_max_terms = 65536
         # Q13 (reference Query.cpp:233-261 appends a timestamped query
         # line): JSONL query log, enabled by setting a path
@@ -117,24 +119,36 @@ class SearchEngine:
         )
 
     def _idf_map(self, terms: list[str]) -> dict[str, float]:
-        """term -> idf for present terms; consults the LRU first, falls
-        back to one pruned term_stats job for the rest (the distributed
-        search path needs stats but not driver-side blobs)."""
+        """term -> idf for present terms; consults the blob LRU, then a
+        stats-only df cache, then one pruned term_stats job for the rest
+        — repeat distributed queries for the same terms cost zero jobs
+        (the stats-only cache holds df without blobs; absent terms cache
+        as df=0 negatives)."""
         out: dict[str, float] = {}
         missing: list[str] = []
         for t in terms:
             e = self._term_cache.get(t)
-            if e is not None:
-                if e[0] > 0:
-                    out[t] = bm25_idf(self.n_docs, e[0])
+            if e is None:
+                df = self._df_cache.get(t)
+                if df is None:
+                    missing.append(t)
+                    continue
             else:
-                missing.append(t)
+                df = e[0]
+            if df > 0:
+                out[t] = bm25_idf(self.n_docs, df)
         if missing:
             rows = self.term_stats.filter(
                 F.col("term").isin(missing)
             ).select("term", "df").collect()
-            for r in rows:
-                out[r["term"]] = bm25_idf(self.n_docs, r["df"])
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                df = found.get(t, 0)
+                self._df_cache[t] = df
+                if df > 0:
+                    out[t] = bm25_idf(self.n_docs, df)
+            while len(self._df_cache) > self.posting_cache_max_terms:
+                self._df_cache.popitem(last=False)
         return out
 
     def _shard_rows(self, terms: list[str]) -> DataFrame:

@@ -9,16 +9,24 @@ This plan appends like an Iceberg table append (north_star S1):
 2. appended doc ids start at the next multiple of the original build's
    ``shard_range`` — so every delta (term, shard) row lands in a shard
    strictly ABOVE all existing ones.  Old posting rows are never read,
-   merged, or rewritten; the append is new parquet files only, and both
-   serving paths already compose disjoint shards (the distributed path
-   groups by shard; the driver path concatenates blobs in shard order);
+   merged, or rewritten, and both serving paths already compose disjoint
+   shards (the distributed path groups by shard; the driver path
+   concatenates blobs in shard order);
 3. delta blocks are encoded with the ORIGINAL build's ``enc_avgdl`` so
    every block's max-score metadata shares one reference avgdl; the live
    avgdl moves in meta.json and the engine scales pruning bounds by
    ``max(1, avgdl/enc_avgdl)`` (sound — see wand.Cursor);
-4. term_stats is recomputed from the full postings table (tiny: one row
-   per (term, shard)), and meta.json gets the merged n_docs / weighted
-   avgdl / new max_doc_id.
+4. term_stats is recomputed from the full postings set (tiny: one row
+   per (term, shard)) into a VERSIONED directory, and meta.json gets the
+   merged n_docs / weighted avgdl / new max_doc_id / new dir lists.
+
+Crash-atomicity and retry-safety: every delta lands in its own
+``*_delta_{base}`` directory and ``term_stats_v{base}``, which readers
+only discover through the dir lists in meta.json — replaced atomically
+as the LAST step.  A crash anywhere before that leaves the old index
+fully intact (orphan delta dirs are invisible), and a retry recomputes
+the SAME ``base`` and overwrites the same dirs, so nothing is ever
+double-appended.
 
 Scores after an append equal a full rebuild's scores per url: tf, dl,
 df, n_docs and avgdl are all identical; only doc ids differ (appends
@@ -32,7 +40,7 @@ import json
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import SparkSession, functions as F
 
 from tse_spark.operators import index_build as ib
 from tse_spark.operators import postings as po
@@ -48,10 +56,8 @@ def append_pages(
 ) -> "pl.IndexHandle":
     """Append a pages parquet table to an existing index at ``out_dir``.
 
-    Returns a fresh handle over the merged index.  No existing posting
-    or docs file is modified; a crash mid-append leaves the old index
-    intact (delta parquet files only become visible to readers through
-    the meta.json update, which is written last, atomically).
+    Returns a fresh handle over the merged index.  See the module
+    docstring for the crash-atomicity contract.
     """
     meta_path = os.path.join(out_dir, "meta.json")
     with open(meta_path) as f:
@@ -67,24 +73,32 @@ def append_pages(
     max_id = int(meta.get("max_doc_id", n0 - 1))
     base = ((max_id + 1 + shard_range - 1) // shard_range) * shard_range
 
-    docs_dir = os.path.join(out_dir, "docs")
-    old_docs = spark.read.parquet(docs_dir)
+    docs_dirs = meta.get("docs_dirs", ["docs"])
+    postings_dirs = meta.get("postings_dirs", ["postings"])
+    old_docs = spark.read.parquet(
+        *[os.path.join(out_dir, d) for d in docs_dirs]
+    )
     pages = spark.read.parquet(pages_path)
 
     # dedup: within the batch (build_docs fuses it into id assignment)
-    # and against the existing corpus (broadcast anti-join on url when
-    # the delta is small relative to the index — at 10^12 docs flip the
-    # build side; Spark picks it from sizes under AQE)
+    # and against the existing corpus (anti-join on url; AQE picks the
+    # broadcast side from sizes — at 10^12 docs the DELTA is the small
+    # build side)
     fresh = pages.join(old_docs.select("url"), "url", "left_anti")
     delta_docs = ib.build_docs(fresh, force_extract=force_extract)
     delta_docs = delta_docs.withColumn(
         "doc_id", (F.col("doc_id") + F.lit(base)).cast("long")
     )
-    # write FIRST, then derive everything from the written table so tf
+    # write FIRST (deterministic dir name -> a retry overwrites, never
+    # duplicates), then derive everything from the written table so tf
     # and stats see exactly what landed
-    delta_dir = os.path.join(out_dir, "docs_delta_tmp")
+    docs_delta = f"docs_delta_{base}"
+    delta_dir = os.path.join(out_dir, docs_delta)
     delta_docs.write.mode("overwrite").parquet(delta_dir)
     delta_docs = spark.read.parquet(delta_dir)
+    n_delta_docs = delta_docs.count()
+    if n_delta_docs == 0:
+        return pl.load_index(spark, out_dir, dictionary)
 
     b_dict = spark.sparkContext.broadcast(dictionary)
     if meta.get("tokenizer", "tse") == "tse":
@@ -94,53 +108,47 @@ def append_pages(
         tf = po.with_doclen(ib.build_tf_ws(delta_docs))
         dl_per_doc = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     row = dl_per_doc.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").alias("sdl"),
-        F.max("doc_id").alias("mx"),
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
     ).collect()[0]
     n_delta = int(row["n"])
-    if n_delta == 0:
-        import shutil
-
-        shutil.rmtree(delta_dir, ignore_errors=True)
-        return pl.load_index(spark, out_dir, dictionary)
 
     # delta shards: original shard_range, original enc_avgdl (uniform
     # block-max reference point across the whole index)
-    delta_postings = po.build_posting_shards(
+    postings_delta = f"postings_delta_{base}"
+    po.build_posting_shards(
         tf,
         n_docs=n0 + n_delta,
         avgdl=enc_avgdl,
         num_shards=int(meta.get("num_shards", 32)),
         block_size=int(meta.get("block_size", 128)),
         shard_range=shard_range,
-    )
-    delta_postings.write.mode("append").parquet(
-        os.path.join(out_dir, "postings")
-    )
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, postings_delta))
 
-    # publish the delta docs into the docs table (parquet append), then
-    # refresh term_stats from the merged postings
-    delta_docs.write.mode("append").parquet(docs_dir)
-    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
-    stats_tmp = os.path.join(out_dir, "term_stats_tmp")
-    po.term_stats(postings).write.mode("overwrite").parquet(stats_tmp)
-    stats_dir = os.path.join(out_dir, "term_stats")
-    import shutil
-
-    shutil.rmtree(stats_dir, ignore_errors=True)
-    os.rename(stats_tmp, stats_dir)
-    shutil.rmtree(delta_dir, ignore_errors=True)
+    # refresh term_stats from the union of ALL posting dirs (old list
+    # from meta + the new delta) into a versioned dir
+    stats_dir = f"term_stats_v{base}"
+    all_postings = spark.read.parquet(
+        *[os.path.join(out_dir, d) for d in postings_dirs + [postings_delta]]
+    )
+    po.term_stats(all_postings).write.mode("overwrite").parquet(
+        os.path.join(out_dir, stats_dir)
+    )
 
     n1 = n0 + n_delta
-    meta["avgdl"] = (avgdl0 * n0 + float(row["sdl"])) / n1
+    meta["avgdl"] = (avgdl0 * n0 + float(row["sdl"] or 0.0)) / max(1, n1)
     meta["n_docs"] = n1
-    meta["max_doc_id"] = int(row["mx"])
+    meta["max_doc_id"] = base + n_delta_docs - 1
     meta["enc_avgdl"] = enc_avgdl
     meta["shard_range"] = shard_range
+    meta["docs_dirs"] = docs_dirs + [docs_delta]
+    meta["postings_dirs"] = postings_dirs + [postings_delta]
+    meta["term_stats_dir"] = stats_dir
     meta.setdefault("appends", []).append(
         {"pages": pages_path, "n_docs": n_delta, "base": base}
     )
+
+    # publish: the atomic meta replace is the ONLY step that makes any
+    # delta file visible to readers
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)

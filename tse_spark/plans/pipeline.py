@@ -126,7 +126,9 @@ class IndexPipeline:
             )
             row = (
                 dl_per_doc.agg(
-                    F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+                    F.count(F.lit(1)).alias("n"),
+                    F.avg("dl").alias("avgdl"),
+                    F.max("doc_id").alias("mx"),
                 ).collect()[0]
             )
             import math as _math
@@ -141,7 +143,16 @@ class IndexPipeline:
                 # doc-range width of the (term, shard) salt
                 "enc_avgdl": float(row["avgdl"] or 0.0),
                 "shard_range": max(1, _math.ceil(_n / self.num_shards)),
-                "max_doc_id": _n - 1,
+                # exact max id: the docs-stage row count when available
+                # (ids are dense over ALL deduped urls) — the tf-derived
+                # count undercounts when the ws tokenizer drops termless
+                # docs; fall back to max over tf (only wrong if the very
+                # last doc is termless)
+                "max_doc_id": int(
+                    man.stages.get("docs", {}).get("rows", 0) - 1
+                    if man.stages.get("docs", {}).get("rows")
+                    else (row["mx"] if row["mx"] is not None else _n - 1)
+                ),
                 "fingerprint": fp_tf,
                 "tokenizer": self.tokenizer,
                 "num_shards": self.num_shards,
@@ -217,8 +228,16 @@ def load_index(
     """Open a previously built index without re-running any stage."""
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
-    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
-    stats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    # appended indexes list extra delta dirs in meta (Iceberg-style:
+    # files become visible only through the atomically-replaced
+    # meta.json, never by merely existing in a directory)
+    p_dirs = meta.get("postings_dirs", ["postings"])
+    postings = spark.read.parquet(
+        *[os.path.join(out_dir, d) for d in p_dirs]
+    )
+    stats = spark.read.parquet(
+        os.path.join(out_dir, meta.get("term_stats_dir", "term_stats"))
+    )
     return IndexHandle(
         spark, out_dir, postings, stats,
         meta["n_docs"], meta["avgdl"], dictionary, cp.Manifest(out_dir),

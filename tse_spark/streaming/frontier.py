@@ -42,19 +42,24 @@ def host_budget_stream(urls: DataFrame, per_hour: int = 4) -> DataFrame:
     def fn(key, pdf_iter, state: GroupState):
         (host,) = key
         hour0, used0 = state.get if state.exists else (-1, 0)
+        # a group larger than one Arrow batch arrives as several chunks
+        # in arbitrary relative order: the (ts, url) processing order
+        # must hold across the WHOLE group, so materialize and sort once
+        # (bounded by one host's rows in one micro-batch — politeness
+        # keys are hosts, not the whole frontier)
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "url"])
+        hours = (
+            pdf["ts"].astype("int64") // 1_000_000_000 // 3600
+        ).tolist()
         out_rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "url"])
-            hours = (
-                pdf["ts"].astype("int64") // 1_000_000_000 // 3600
-            ).tolist()
-            for (_, r), h in zip(pdf.iterrows(), hours):
-                if h > hour0:
-                    hour0, used0 = int(h), 0
-                admitted = h == hour0 and used0 < per_hour
-                if admitted:
-                    used0 += 1
-                out_rows.append((host, r["url"], r["ts"], admitted))
+        for (_, r), h in zip(pdf.iterrows(), hours):
+            if h > hour0:
+                hour0, used0 = int(h), 0
+            admitted = h == hour0 and used0 < per_hour
+            if admitted:
+                used0 += 1
+            out_rows.append((host, r["url"], r["ts"], admitted))
         state.update((hour0, used0))
         yield pd.DataFrame(
             out_rows, columns=["host", "url", "ts", "admitted"]
