@@ -148,6 +148,13 @@ def test_append_poisons_stage_resume(appended, spark, corpora):
         str(st.get("fingerprint", "")).startswith("appended:")
         for st in man.stages.values()
     )
+    # meta's own cached-stats fingerprint must be poisoned too, or a
+    # resume rerun reuses appended n_docs/avgdl over base-only stages
+    import json
+
+    with open(os.path.join(idx, "meta.json")) as f:
+        meta = json.load(f)
+    assert str(meta.get("fingerprint", "")).startswith("appended:")
 
 
 def test_append_same_batch_twice_is_noop(spark, appended, corpora):

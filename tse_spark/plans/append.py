@@ -70,14 +70,21 @@ def append_pages(
             "shard_range", max(1, math.ceil(n0 / meta.get("num_shards", 32)))
         )
     )
-    max_id = int(meta.get("max_doc_id", n0 - 1))
-    base = ((max_id + 1 + shard_range - 1) // shard_range) * shard_range
-
     docs_dirs = meta.get("docs_dirs", ["docs"])
     postings_dirs = meta.get("postings_dirs", ["postings"])
     old_docs = spark.read.parquet(
         *[os.path.join(out_dir, d) for d in docs_dirs]
     )
+    if "max_doc_id" in meta:
+        max_id = int(meta["max_doc_id"])
+    else:
+        # legacy meta: n_docs - 1 UNDERCOUNTS when the ws tokenizer
+        # dropped termless docs from the tf count while ids stayed
+        # dense over all urls — ask the docs table for the true max
+        max_id = int(
+            old_docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        )
+    base = ((max_id + 1 + shard_range - 1) // shard_range) * shard_range
     pages = spark.read.parquet(pages_path)
 
     # dedup: within the batch (build_docs fuses it into id assignment)
@@ -101,13 +108,13 @@ def append_pages(
         return pl.load_index(spark, out_dir, dictionary)
 
     b_dict = spark.sparkContext.broadcast(dictionary)
-    if meta.get("tokenizer", "tse") == "tse":
-        tf = ib.build_doc_terms(delta_docs, b_dict)
-        dl_per_doc = tf.select("doc_id", "dl")
-    else:
-        tf = po.with_doclen(ib.build_tf_ws(delta_docs))
-        dl_per_doc = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-    row = dl_per_doc.agg(
+    tf, doc_major = pl.build_tf_for(
+        delta_docs, meta.get("tokenizer", "tse"), b_dict
+    )
+    # two actions consume tf (stats collect + postings write): persist
+    # so the tokenizer UDF — the dominant indexing cost — runs once
+    tf = tf.persist()
+    row = pl.dl_per_doc_for(tf, doc_major).agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
     ).collect()[0]
     n_delta = int(row["n"])
@@ -123,6 +130,7 @@ def append_pages(
         block_size=int(meta.get("block_size", 128)),
         shard_range=shard_range,
     ).write.mode("overwrite").parquet(os.path.join(out_dir, postings_delta))
+    tf.unpersist()
 
     # refresh term_stats from the union of ALL posting dirs (old list
     # from meta + the new delta) into a versioned dir
@@ -146,6 +154,25 @@ def append_pages(
     meta.setdefault("appends", []).append(
         {"pages": pages_path, "n_docs": n_delta, "base": base}
     )
+    # the base build's stage checkpoints and cached corpus stats no
+    # longer describe the full index: poison the manifest fingerprints
+    # AND meta's own stats fingerprint so a later resume=True rerun of
+    # the base pipeline rebuilds everything instead of silently mixing
+    # stale stages with appended meta.  Poisoning happens BEFORE the
+    # meta publish: a crash in between leaves the index still entirely
+    # pre-append (consistent; the poisoned checkpoints merely force an
+    # unnecessary rebuild), never published-but-unpoisoned.
+    fp = meta.get("fingerprint")
+    if fp and not str(fp).startswith("appended:"):
+        meta["fingerprint"] = f"appended:{fp}"
+    from tse_spark.plans import checkpoint as cp
+
+    man = cp.Manifest(out_dir)
+    for st in man.stages.values():
+        sfp = st.get("fingerprint")
+        if sfp and not str(sfp).startswith("appended:"):
+            st["fingerprint"] = f"appended:{sfp}"
+    man.save()
 
     # publish: the atomic meta replace is the ONLY step that makes any
     # delta file visible to readers
@@ -153,17 +180,4 @@ def append_pages(
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
     os.replace(tmp, meta_path)
-
-    # the original build's stage checkpoints no longer describe the full
-    # index; poison their fingerprints so a later resume=True rerun of
-    # the base pipeline rebuilds instead of silently mixing stale stages
-    # with appended data
-    from tse_spark.plans import checkpoint as cp
-
-    man = cp.Manifest(out_dir)
-    for st in man.stages.values():
-        fp = st.get("fingerprint")
-        if fp and not str(fp).startswith("appended:"):
-            st["fingerprint"] = f"appended:{fp}"
-    man.save()
     return pl.load_index(spark, out_dir, dictionary)

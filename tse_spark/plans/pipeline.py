@@ -28,6 +28,25 @@ from tse_spark.operators import search as se
 from tse_spark.plans import checkpoint as cp
 
 
+def build_tf_for(docs, tokenizer: str, b_dict):
+    """One tokenizer dispatch shared by the build pipeline AND the
+    incremental append (plans/append.py) — the two must tokenize and
+    measure doc length identically or 'append == rebuild' breaks.
+    Returns (tf, doc_major)."""
+    if tokenizer == "tse":
+        # document-major tf (one row per doc, term/tf arrays):
+        # ~avgdl x fewer rows through parquet and Arrow
+        return ib.build_doc_terms(docs, b_dict), True
+    return po.with_doclen(ib.build_tf_ws(docs)), False
+
+
+def dl_per_doc_for(tf, doc_major: bool):
+    """(doc_id, dl) one row per doc, for corpus stats."""
+    if doc_major:
+        return tf.select("doc_id", "dl")
+    return tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+
+
 class IndexPipeline:
     def __init__(
         self,
@@ -93,14 +112,8 @@ class IndexPipeline:
 
     def _from_docs(self, docs, fp0, man, resume) -> "IndexHandle":
         b_dict = self.spark.sparkContext.broadcast(self.dictionary)
-        if self.tokenizer == "tse":
-            # document-major tf (one row per doc, term/tf arrays):
-            # ~avgdl x fewer rows through parquet and Arrow
-            build_tf = lambda: ib.build_doc_terms(docs, b_dict)
-            doc_major = True
-        else:
-            build_tf = lambda: po.with_doclen(ib.build_tf_ws(docs))
-            doc_major = False
+        doc_major = self.tokenizer == "tse"
+        build_tf = lambda: build_tf_for(docs, self.tokenizer, b_dict)[0]
         fp_tf = cp.fingerprint("tf", fp0, "fmt2" if doc_major else "fmt1")
         fused_tf = self.checkpoint_mode == "final"
         if fused_tf:
@@ -119,11 +132,7 @@ class IndexPipeline:
             if meta.get("fingerprint") != fp_tf:
                 meta = None
         if meta is None:
-            dl_per_doc = (
-                tf
-                if doc_major
-                else tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-            )
+            dl_per_doc = dl_per_doc_for(tf, doc_major)
             row = (
                 dl_per_doc.agg(
                     F.count(F.lit(1)).alias("n"),
