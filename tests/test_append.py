@@ -178,6 +178,17 @@ def test_orphan_delta_dirs_are_invisible(spark, appended):
     assert h2.postings.count() == h1.postings.count()
 
 
+def test_append_rejects_different_dictionary(spark, appended, corpora):
+    """A delta appended with a different dictionary would tokenize
+    differently than the base build — must fail loudly, not silently
+    diverge (ADVICE r02, medium)."""
+    *_, idx = appended
+    _, b_dir, _ = corpora
+    wrong = frozenset({"中国".encode(GB)})  # subset of the base dict
+    with pytest.raises(ValueError, match="dictionary fingerprint"):
+        ap.append_pages(spark, idx, b_dir, wrong)
+
+
 def test_second_append_chains(spark, appended, tmp_path_factory):
     """Append onto an already-appended index: dir lists chain and the
     shard floors keep rising."""

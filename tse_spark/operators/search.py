@@ -133,7 +133,11 @@ class SearchEngine:
                 if df is None:
                     missing.append(t)
                     continue
+                # true LRU, not FIFO: without the bump, hot query terms
+                # evict in insertion order once the cap is hit
+                self._df_cache.move_to_end(t)
             else:
+                self._term_cache.move_to_end(t)
                 df = e[0]
             if df > 0:
                 out[t] = bm25_idf(self.n_docs, df)

@@ -7,10 +7,20 @@
   scale path: candidates = vectors sharing >= 1 hyperplane-sign band
   with the query, exact re-rank of candidates only.  Hyperplanes are
   seed-deterministic; recall is pytest-verified against brute force.
+- ``build_lsh_signature_table`` / ``lsh_ann_topk_indexed`` and
+  ``build_ivf_cell_table`` / ``ivf_ann_topk_indexed``: the MATERIALIZED
+  serving paths — signatures / cell assignments are computed once at
+  build time and written as (band, sig)- / cell-partitioned tables, so
+  a query's broadcast probe list partition-prunes the read to a handful
+  of bucket directories instead of recomputing signatures over the full
+  corpus per query (the round-2 perf-weak item).
 - ``knn_join_sampled``: all-pairs top-1 neighbor (near-dup by cosine).
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -106,21 +116,10 @@ def lsh_ann_topk(
     probe list then partition-prunes the scan to bands*probes bucket
     reads — never a full scan, never all-pairs."""
     dim = len(query_vec)
-    probe_rows: list[tuple[int, int]] = []
+    probe_rows = _lsh_probes(query_vec, n_planes, n_bands, seed, hamming_probe)
     band_sig_cols = []
     for bi in range(n_bands):
         planes = _hyperplanes(dim, n_planes, seed + 101 * bi)
-        qsig = int(
-            sum(
-                (1 << i)
-                for i, p in enumerate(planes)
-                if float(np.dot(p, query_vec)) >= 0
-            )
-        )
-        sigs = {qsig}
-        if hamming_probe >= 1:
-            sigs |= {qsig ^ (1 << i) for i in range(n_planes)}
-        probe_rows += [(bi, s) for s in sorted(sigs)]
         band_sig_cols.append(
             F.struct(
                 F.lit(bi).alias("band"), lsh_bucket_col(planes).alias("sig")
@@ -139,6 +138,149 @@ def lsh_ann_topk(
     )
     cand = emb.join(cand_ids, "vec_id", "left_semi")
     return cosine_topk(cand, query_vec, k)
+
+
+# ---------------------------------------------------------------------------
+# materialized sign-LSH index (build once, partition-prune per query)
+# ---------------------------------------------------------------------------
+
+def _read_pinned(spark: SparkSession, meta: dict, data_dir: str) -> DataFrame:
+    """Read an index table with the schema pinned at build time (no
+    inference: planning never opens a data file's footer)."""
+    from pyspark.sql import types as T
+
+    reader = spark.read
+    if "schema" in meta:
+        reader = reader.schema(T.StructType.fromJson(json.loads(meta["schema"])))
+    return reader.parquet(data_dir)
+
+
+def _lsh_probes(
+    query_vec: list[float],
+    n_planes: int,
+    n_bands: int,
+    seed: int,
+    hamming_probe: int,
+) -> list[tuple[int, int]]:
+    """Driver-side probe list for a query: per band, the query's packed
+    sign signature plus every signature within Hamming distance
+    ``hamming_probe`` — shared by the on-the-fly and indexed paths so
+    their candidate sets are identical by construction."""
+    probe_rows: list[tuple[int, int]] = []
+    for bi in range(n_bands):
+        planes = _hyperplanes(len(query_vec), n_planes, seed + 101 * bi)
+        qsig = int(
+            sum(
+                (1 << i)
+                for i, p in enumerate(planes)
+                if float(np.dot(p, query_vec)) >= 0
+            )
+        )
+        sigs = {qsig}
+        if hamming_probe >= 1:
+            sigs |= {qsig ^ (1 << i) for i in range(n_planes)}
+        probe_rows += [(bi, s) for s in sorted(sigs)]
+    return probe_rows
+
+
+def build_lsh_signature_table(
+    emb: DataFrame,
+    out_dir: str,
+    dim: int,
+    n_planes: int = 2,
+    n_bands: int = 8,
+    seed: int = 7,
+) -> str:
+    """Materialize the sign-LSH index: one row per (vector, band) with
+    the vector's payload columns riding along, written PARTITIONED BY
+    (band, sig).  This is the scale design the on-the-fly
+    :func:`lsh_ann_topk` docstring promises: at 10^12 vectors a query
+    must never rescan the corpus to recompute signatures — with this
+    table the broadcast probe list partition-prunes the read to
+    ``n_bands * (1 + n_planes)`` bucket directories.
+
+    Storage trade: the vector is duplicated once per band (the same
+    trade an IVF/SSD-serving system makes so candidate re-rank needs no
+    second corpus join).  Partition-dir count is ``n_bands * 2^
+    n_planes`` — at larger plane counts bucket ``sig`` modulo a dir
+    budget (not needed at these params).
+
+    Signature computation is the same JVM-side ``lsh_bucket_col``
+    expression the on-the-fly path compiles, so indexed results are
+    identical by construction.  ``meta.json`` records the params
+    (written last — a crash mid-build leaves no readable index).
+    """
+    band_sig_cols = []
+    for bi in range(n_bands):
+        planes = _hyperplanes(dim, n_planes, seed + 101 * bi)
+        band_sig_cols.append(
+            F.struct(
+                F.lit(bi).alias("band"), lsh_bucket_col(planes).alias("sig")
+            )
+        )
+    rows = emb.select(
+        *emb.columns, F.explode(F.array(*band_sig_cols)).alias("__bs")
+    ).select(
+        *emb.columns,
+        F.col("__bs.band").alias("band"),
+        F.col("__bs.sig").alias("sig"),
+    )
+    data_dir = os.path.join(out_dir, "data")
+    rows.write.mode("overwrite").partitionBy("band", "sig").parquet(data_dir)
+    meta = {
+        "kind": "lsh_sign",
+        "dim": dim,
+        "n_planes": n_planes,
+        "n_bands": n_bands,
+        "seed": seed,
+        "columns": list(emb.columns),
+        # pinned read schema: the serving path must never run schema
+        # inference (a footer read of an arbitrary file at planning
+        # time — a pointless listing+IO cost on a huge table, and it
+        # would touch non-probed buckets)
+        "schema": rows.schema.json(),
+    }
+    tmp = os.path.join(out_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+    return out_dir
+
+
+def lsh_ann_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    hamming_probe: int = 1,
+    exclude_id=None,
+) -> DataFrame:
+    """ANN top-k over a materialized signature table: compute the probe
+    (band, sig) list driver-side (tiny — numpy over the literal
+    hyperplanes), read ONLY those partitions (the OR-of-equalities
+    predicate on the partition columns prunes at planning time; pytest
+    proves non-probed buckets are never opened), dedup candidates that
+    match in several bands, exact-cosine re-rank.
+
+    Results are identical to :func:`lsh_ann_topk` with the same params
+    — the probe-list construction is shared (:func:`_lsh_probes`)."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if len(query_vec) != int(meta["dim"]):
+        raise ValueError(
+            f"query dim {len(query_vec)} != index dim {meta['dim']}"
+        )
+    probes = _lsh_probes(
+        query_vec, int(meta["n_planes"]), int(meta["n_bands"]),
+        int(meta["seed"]), hamming_probe,
+    )
+    t = _read_pinned(spark, meta, os.path.join(index_dir, "data"))
+    pred = None
+    for b, s in probes:
+        clause = (F.col("band") == b) & (F.col("sig") == s)
+        pred = clause if pred is None else (pred | clause)
+    cand = t.filter(pred).dropDuplicates(["vec_id"]).drop("band", "sig")
+    return cosine_topk(cand, query_vec, k, exclude_id=exclude_id)
 
 
 # ---------------------------------------------------------------------------
@@ -206,18 +348,87 @@ def ivf_ann_topk(
     recomputes the same deterministic approximation in SQL."""
     if centroids is None:
         centroids = seed_centroids(emb, n_cells)
+    probe = _ivf_probe_cells(centroids, query_vec, n_probe)
+    cand = ivf_assign(emb, centroids).filter(F.col("cell").isin(probe))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+    return cosine_topk(cand.drop("cell"), query_vec, k)
+
+
+def _ivf_probe_cells(
+    centroids: list[list[float]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    """Driver-side probe-cell choice (tiny numpy): the ``n_probe``
+    centroids nearest the query by cosine, ties to the lowest cell id —
+    shared by the on-the-fly and indexed paths."""
     q = np.asarray(query_vec, dtype=np.float64)
     cos_q = [
         float(np.dot(q, c) / (np.linalg.norm(q) * np.linalg.norm(c)))
         for c in centroids
     ]
-    probe = sorted(
-        range(len(centroids)), key=lambda i: (-cos_q[i], i)
-    )[:n_probe]
-    cand = ivf_assign(emb, centroids).filter(F.col("cell").isin(probe))
+    return sorted(range(len(centroids)), key=lambda i: (-cos_q[i], i))[
+        :n_probe
+    ]
+
+
+def build_ivf_cell_table(
+    emb: DataFrame,
+    out_dir: str,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+) -> str:
+    """Materialize the IVF inverted file: every vector written into its
+    nearest-centroid cell, PARTITIONED BY cell, with the centroids
+    saved in meta.json for the query side.  This is the scale design
+    :func:`ivf_ann_topk`'s docstring promises: a query reads only its
+    ``n_probe`` cell directories (partition pruning) instead of
+    re-running the assignment over the corpus.
+
+    Cell assignment is the same JVM-side argmax expression as
+    :func:`ivf_assign`, so indexed results are identical by
+    construction.  meta.json is written LAST — a crash mid-build
+    leaves no readable index."""
+    if centroids is None:
+        centroids = seed_centroids(emb, n_cells)
+    data_dir = os.path.join(out_dir, "data")
+    ivf_assign(emb, centroids).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(data_dir)
+    meta = {
+        "kind": "ivf",
+        "n_cells": len(centroids),
+        "centroids": centroids,
+        "columns": list(emb.columns),
+        "schema": ivf_assign(emb, centroids).schema.json(),
+    }
+    tmp = os.path.join(out_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+    return out_dir
+
+
+def ivf_ann_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    exclude_id=None,
+) -> DataFrame:
+    """IVF ANN over a materialized cell table: pick the probe cells
+    driver-side from the stored centroids, read ONLY those cell
+    partitions (``cell IN (...)`` prunes at planning time), exact-cosine
+    re-rank within them.  Identical results to :func:`ivf_ann_topk`
+    with the same centroids."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    probe = _ivf_probe_cells(meta["centroids"], query_vec, n_probe)
+    t = _read_pinned(spark, meta, os.path.join(index_dir, "data"))
+    cand = t.filter(F.col("cell").isin(probe)).drop("cell")
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
-    return cosine_topk(cand.drop("cell"), query_vec, k)
+    return cosine_topk(cand, query_vec, k)
 
 
 # ---------------------------------------------------------------------------
@@ -254,6 +465,7 @@ def lsh_neardup_pairs(
     n_planes: int = 2,
     n_bands: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: BANDED sign-LSH (the MinHash
     band/OR construction on hyperplane signs).  Each band hashes the
@@ -263,8 +475,12 @@ def lsh_neardup_pairs(
     cosine filters candidates.  Candidate probability for a pair at
     angle theta is 1-(1-(1-theta/pi)^planes)^bands — tune planes/bands
     to the threshold; recall < 1 by construction and is pytest-pinned
-    vs the exact baseline."""
-    dim = len(emb.select("embedding").first()["embedding"])
+    vs the exact baseline.
+
+    Pass ``dim`` (the embedding width) to keep the operator a single
+    job; the ``first()`` fallback schedules a tiny extra probe job."""
+    if dim is None:
+        dim = len(emb.select("embedding").first()["embedding"])
     band_cols = []
     for bi in range(n_bands):
         planes = _hyperplanes(dim, n_planes, seed + 101 * bi)

@@ -28,10 +28,20 @@ fully intact (orphan delta dirs are invisible), and a retry recomputes
 the SAME ``base`` and overwrites the same dirs, so nothing is ever
 double-appended.
 
-Scores after an append equal a full rebuild's scores per url: tf, dl,
-df, n_docs and avgdl are all identical; only doc ids differ (appends
-keep old ids stable — itself a feature: downstream references to old
-doc ids survive).
+Scores after an append equal a full rebuild's scores per url **for
+url-disjoint deltas** (the common crawl-increment case): tf, dl, df,
+n_docs and avgdl are all identical; only doc ids differ (appends keep
+old ids stable — itself a feature: downstream references to old doc
+ids survive).  When a delta RE-CRAWLS an existing url with different
+content, append keeps the EXISTING copy regardless of warc_ts (the
+url anti-join drops the delta row), while a full rebuild's dedup keeps
+the earliest-warc_ts copy — recrawled pages never refresh under
+append; run a rebuild (or compact + rebuild) to reconcile re-crawls.
+
+Appending requires the SAME dictionary as the base build: meta.json
+records the build dictionary's fingerprint and append_pages fails
+loudly on mismatch (a different dictionary would FMM-tokenize the
+delta differently, silently breaking score equivalence).
 """
 
 from __future__ import annotations
@@ -44,6 +54,7 @@ from pyspark.sql import SparkSession, functions as F
 
 from tse_spark.operators import index_build as ib
 from tse_spark.operators import postings as po
+from tse_spark.plans import checkpoint as cp
 from tse_spark.plans import pipeline as pl
 
 
@@ -62,6 +73,18 @@ def append_pages(
     meta_path = os.path.join(out_dir, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
+    # the delta MUST tokenize exactly like the base build: a different
+    # dictionary segments hanzi differently and silently breaks the
+    # append == rebuild score equivalence — fail loudly instead
+    if "dict_fp" in meta:
+        dict_fp = cp.fingerprint(sorted(dictionary))
+        if meta["dict_fp"] != dict_fp:
+            raise ValueError(
+                "append_pages: dictionary fingerprint mismatch with the "
+                f"base build ({dict_fp} != {meta['dict_fp']}); appending "
+                "with a different dictionary would tokenize the delta "
+                "differently than the base index"
+            )
     n0 = int(meta["n_docs"])
     avgdl0 = float(meta["avgdl"])
     enc_avgdl = float(meta.get("enc_avgdl", avgdl0))
@@ -165,8 +188,6 @@ def append_pages(
     fp = meta.get("fingerprint")
     if fp and not str(fp).startswith("appended:"):
         meta["fingerprint"] = f"appended:{fp}"
-    from tse_spark.plans import checkpoint as cp
-
     man = cp.Manifest(out_dir)
     for st in man.stages.values():
         sfp = st.get("fingerprint")

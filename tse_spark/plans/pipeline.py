@@ -105,12 +105,22 @@ class IndexPipeline:
         self, docs: DataFrame, input_key: str, resume: bool = True
     ) -> "IndexHandle":
         """Pipeline from an existing docs table with (doc_id, text).
-        ``input_key`` identifies the input for checkpoint fingerprints."""
+        ``input_key`` identifies the input for checkpoint fingerprints.
+
+        The manifest's "docs" stage rows are NOT trusted here: out_dir
+        may hold a stale manifest from an earlier run_from_pages build
+        whose row count says nothing about THIS docs table, and an
+        undercounted max_doc_id would let a later append_pages pick an
+        overlapping doc-id base (duplicate (term, shard) rows that
+        double-count in per-shard WAND).  max_doc_id comes from an exact
+        max over the input table instead."""
         man = cp.Manifest(self.out_dir)
         fp0 = cp.fingerprint("docs-input", input_key, self.params)
-        return self._from_docs(docs, fp0, man, resume)
+        return self._from_docs(docs, fp0, man, resume, trust_docs_stage=False)
 
-    def _from_docs(self, docs, fp0, man, resume) -> "IndexHandle":
+    def _from_docs(
+        self, docs, fp0, man, resume, trust_docs_stage: bool = True
+    ) -> "IndexHandle":
         b_dict = self.spark.sparkContext.broadcast(self.dictionary)
         doc_major = self.tokenizer == "tse"
         build_tf = lambda: build_tf_for(docs, self.tokenizer, b_dict)[0]
@@ -143,6 +153,22 @@ class IndexPipeline:
             import math as _math
 
             _n = int(row["n"])
+            # exact max id — append_pages derives its disjoint doc-id
+            # base from this, so it must never UNDERCOUNT the live table
+            # (overlapping bases double-count docs in per-shard WAND):
+            #   from_pages: docs-stage rows - 1 (ids dense over ALL
+            #     deduped urls) cross-checked against the tf max (the
+            #     tf-derived count misses termless docs the ws tokenizer
+            #     drops) — take the larger;
+            #   from_docs: exact max over the INPUT table (the manifest
+            #     may be stale from an earlier run_from_pages build).
+            _mx = int(row["mx"]) if row["mx"] is not None else _n - 1
+            if trust_docs_stage and man.stages.get("docs", {}).get("rows"):
+                _mx = max(_mx, int(man.stages["docs"]["rows"]) - 1)
+            elif not trust_docs_stage:
+                _dmx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+                if _dmx is not None:
+                    _mx = max(_mx, int(_dmx))
             meta = {
                 "n_docs": _n,
                 "avgdl": float(row["avgdl"] or 0.0),
@@ -152,25 +178,25 @@ class IndexPipeline:
                 # doc-range width of the (term, shard) salt
                 "enc_avgdl": float(row["avgdl"] or 0.0),
                 "shard_range": max(1, _math.ceil(_n / self.num_shards)),
-                # exact max id: the docs-stage row count when available
-                # (ids are dense over ALL deduped urls) — the tf-derived
-                # count undercounts when the ws tokenizer drops termless
-                # docs; fall back to max over tf (only wrong if the very
-                # last doc is termless)
-                "max_doc_id": int(
-                    man.stages.get("docs", {}).get("rows", 0) - 1
-                    if man.stages.get("docs", {}).get("rows")
-                    else (row["mx"] if row["mx"] is not None else _n - 1)
-                ),
+                "max_doc_id": _mx,
                 "fingerprint": fp_tf,
+                # appends must tokenize the delta EXACTLY like the base
+                # build or scores silently diverge — append_pages asserts
+                # this fingerprint before touching anything
+                "dict_fp": cp.fingerprint(sorted(self.dictionary)),
                 "tokenizer": self.tokenizer,
                 "num_shards": self.num_shards,
                 "block_size": self.block_size,
                 "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
             os.makedirs(self.out_dir, exist_ok=True)
-            with open(meta_path, "w") as f:
+            # tmp + atomic replace (same contract as append.py): a crash
+            # mid-write must not leave a truncated meta.json that
+            # load_index / append_pages then fail to parse
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(meta, f, indent=1)
+            os.replace(tmp, meta_path)
         if fused_tf:
             # the stats action above materialized (and cached) tf
             man.stages["tf"]["seconds"] = round(time.time() - t0_tf, 3)

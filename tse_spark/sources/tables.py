@@ -55,8 +55,15 @@ class IcebergTableIO(TableIO):
 
     @staticmethod
     def available(spark: SparkSession) -> bool:
+        # NOTE: a bare ``spark._jvm.org.apache.iceberg.Table`` attribute
+        # access is NOT a presence test — py4j lazily returns a
+        # JavaPackage for any dotted path without touching the
+        # classpath.  Class.forName actually loads (or fails to load)
+        # the class.
         try:
-            spark._jvm.org.apache.iceberg.Table  # type: ignore[union-attr]
+            spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+                "org.apache.iceberg.Table"
+            )
             return True
         except Exception:
             return False
