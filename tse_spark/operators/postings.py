@@ -262,6 +262,20 @@ def build_posting_shards(
         partials = t.mapInPandas(encode_map, schema=partial_schema)
 
     # ---- reduce side: merge partial runs per (term, shard) ----
+    # merge granularity: default 4 tasks per core — finer tasks shrink
+    # the straggler tail (one slow reducer then costs 1/4N of the stage,
+    # not 1/N) at negligible shuffle cost; (term, shard) groups vastly
+    # outnumber partitions either way
+    num_parts = merge_parallelism or (
+        tf_dl.sparkSession.sparkContext.defaultParallelism * 4
+    )
+    return merge_partials(partials, avgdl, block_size, num_parts)
+
+
+def _make_merge_stream(avgdl: float, block_size: int):
+    """Streaming (term, shard)-group merger over sorted partial-run rows
+    — shared by the initial build and the compaction re-encode path."""
+
     def merge_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         """Merge partial runs: ONE batched decode of every partial blob
         in the frame, a per-group re-sort (partial doc ranges from
@@ -318,17 +332,93 @@ def build_posting_shards(
         if buf is not None and len(buf):
             yield merge_groups(buf)
 
-    # merge granularity: default 4 tasks per core — finer tasks shrink
-    # the straggler tail (one slow reducer then costs 1/4N of the stage,
-    # not 1/N) at negligible shuffle cost; (term, shard) groups vastly
-    # outnumber partitions either way
-    num_parts = merge_parallelism or (
-        tf_dl.sparkSession.sparkContext.defaultParallelism * 4
-    )
+    return merge_stream
+
+
+def merge_partials(
+    partials: DataFrame, avgdl: float, block_size: int, num_parts: int
+) -> DataFrame:
+    """Repartition partial posting runs by (term, shard), sort within
+    partitions, and stream-merge each group into final blocks."""
     d = partials.repartition(num_parts, "term", "shard").sortWithinPartitions(
         "term", "shard", "first_doc"
     )
-    return d.mapInPandas(merge_stream, schema=POSTINGS_SCHEMA)
+    return d.mapInPandas(
+        _make_merge_stream(avgdl, block_size), schema=POSTINGS_SCHEMA
+    )
+
+
+def reencode_shards(
+    postings: DataFrame,
+    avgdl: float,
+    shard_range: int,
+    block_size: int = codec.BLOCK_SIZE,
+    merge_parallelism: int | None = None,
+) -> DataFrame:
+    """Re-shard + re-encode an existing postings table (the compaction
+    kernel, plans/compact.py): decode every (term, shard) row's blocks,
+    re-bucket postings by a NEW ``shard_range``, re-encode blocks (and
+    their block-max metadata) against a NEW ``avgdl``.
+
+    Used after a chain of appends: delta shards sit ABOVE the base doc
+    range with the ORIGINAL (now too narrow) shard_range, and their
+    block-max scores reference the original enc_avgdl.  Re-encoding
+    restores one uniform shard decomposition and resets the WAND
+    ``bound_scale`` to 1 (bounds exact again).
+
+    Same two-phase shape as the build: a map-side split pass emits
+    partial runs per (term, new shard) — multiple old shards (across
+    base + delta dirs) can fold into one new shard — then the shared
+    (term, shard) sorted-merge re-encodes each group.  All vectorized:
+    one batched decode and one batched encode per Arrow chunk.
+    """
+    partial_schema = (
+        "term string, shard long, df long, cf long, "
+        "max_score double, first_doc long, blocks binary"
+    )
+
+    def split_map(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            terms = pdf["term"].to_numpy(dtype=object)
+            dfs = pdf["df"].to_numpy(dtype=np.int64)
+            blobs = pdf["blocks"].to_numpy(dtype=object)
+            mega = b"".join(bytes(b) for b in blobs)
+            docs, tfs, dls = codec.decode_all(mega)
+            if len(docs) == 0:
+                continue
+            ridx = np.repeat(np.arange(len(pdf)), dfs)
+            shards = docs // shard_range
+            # docs ascend within each input row, so (row, new-shard)
+            # runs are contiguous after this change-point split
+            change = np.flatnonzero(
+                (ridx[1:] != ridx[:-1]) | (shards[1:] != shards[:-1])
+            )
+            bounds = np.concatenate(([0], change + 1, [len(docs)]))
+            blocks, gmax = codec.encode_many(
+                docs, tfs, dls, bounds, avgdl, block_size
+            )
+            starts = bounds[:-1]
+            yield pd.DataFrame(
+                {
+                    "term": terms[ridx[starts]],
+                    "shard": shards[starts],
+                    "df": np.diff(bounds),
+                    "cf": np.add.reduceat(tfs, starts),
+                    "max_score": gmax,
+                    "first_doc": docs[starts],
+                    "blocks": blocks,
+                }
+            )
+
+    partials = postings.select(
+        "term", "shard", "df", "cf", "max_score", "blocks"
+    ).mapInPandas(split_map, schema=partial_schema)
+    num_parts = merge_parallelism or (
+        postings.sparkSession.sparkContext.defaultParallelism * 4
+    )
+    return merge_partials(partials, avgdl, block_size, num_parts)
 
 
 def term_stats(postings: DataFrame) -> DataFrame:
