@@ -6,10 +6,13 @@ sf0.001 ``documents`` table, top-10 for a fixed query.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 +
 training-data ops); each callable (spark, sf_dir) -> DataFrame.
 
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every SQL-expressible
-query.  Omitted for: the GB2312/FMM pages pipeline, MinHash/SimHash/LSH
-(Spark xxhash64 has no DuckDB twin) — those are pytest-verified against
-pure-Python oracles instead (tests/).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every query.  The
+approximate pipelines (MinHash/SimHash/LSH) run in portable-md5 mode so
+DuckDB recomputes them end to end; the GB2312/FMM pages pipeline
+(``pages_bm25``) is scored by DuckDB from the pure-Python oracle's
+expected-tf fixture parquet (no SQL tokenizer exists for FMM — the
+fixture table is the independently derived truth the pytest
+conformance suite also pins the Arrow tokenizer UDF to).
 
 Column names and value rounding are aligned on both sides (the driver
 hash-compares after sorting columns by name).
@@ -429,12 +432,15 @@ def _q_wand_conjunctive(spark, sf):
 
 def _q_pages_bm25(spark, sf):
     """TSE pipeline end-to-end on the synthesized GB2312 pages fixture:
-    extraction automaton + FMM tokenization + BM25.  Pure-Python-oracle
-    verified in tests/test_index_build.py; no DuckDB equivalent.  Row
-    count scales with the sf under test (documents count / 2, floor
-    200).  The fixture is generated through the cached PARALLEL sharded
-    writer (mp.Pool) — driver-serial gen_pages inside a timed query
-    would dominate the wall clock at larger sf."""
+    extraction automaton + FMM tokenization + BM25.  Oracle-checked:
+    DuckDB scores BM25 from the pure-Python oracle's expected-tf
+    fixture (see _pages_bm25_oracle_sql), so doc-id assignment +
+    tokenizer UDF + stats + scoring are all value-verified; the same
+    truth also pins the UDF in tests/test_index_build.py.  Row count
+    scales with the sf under test (documents count / 2, floor 200).
+    The fixture is generated through the cached PARALLEL sharded writer
+    (mp.Pool) — driver-serial gen_pages inside a timed query would
+    dominate the wall clock at larger sf."""
     from tse_spark import fixtures
     from tse_spark.operators import index_build as ib
 
@@ -1193,6 +1199,71 @@ def _lsh_ann_oracle_sql(k: int = 10, n_planes: int = 2) -> str:
     ORDER BY cos DESC, vec_id LIMIT {k}"""
 
 
+def _pages_bm25_oracle_sql() -> str | None:
+    """DuckDB twin for the GB2312/FMM pages pipeline: the tokenization
+    itself has no SQL equivalent, so the pure-Python oracle's expected
+    tf table is materialized as a fixture parquet
+    (fixtures.write_expected_tf_parquet — the same truth the pytest
+    conformance suite pins the Arrow tokenizer to) and the SQL scores
+    BM25 from it.  This verifies the whole Spark pipeline — doc-id
+    assignment, tokenizer UDF, stats, scoring — against an
+    independently derived table, converting the last rows-only
+    correctness entry into a hash-match row.
+
+    The driver compares at sf0.01 (its documented gate); the fixture
+    size is derived from that table's row count, mirroring
+    _q_pages_bm25's n_pages law.  Returns None (entry omitted,
+    rows-only fallback) if sf0.01 is unavailable."""
+    import os
+
+    docs_file = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(docs_file):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        from tse_spark import fixtures, oracle
+
+        n_docs = pq.ParquetFile(docs_file).metadata.num_rows
+        n_pages = max(200, n_docs // 2)
+        pages_dir = fixtures.write_pages_parquet_sharded(
+            f"/tmp/tse_entry_pages_{n_pages}", n_pages, n_files=8
+        )
+        tf_path = fixtures.write_expected_tf_parquet(pages_dir)
+        terms = sorted(
+            {
+                t.decode("gb2312")
+                for t in oracle.tokenize(
+                    PAGES_QUERY.encode("gb2312"), fixtures.mini_dict_bytes()
+                )
+                if oracle.eligible(t)
+            }
+        )
+    except Exception:
+        return None
+    if not terms:
+        return None
+    in_list = ", ".join("'" + t + "'" for t in terms)
+    return f"""
+    WITH tf AS (SELECT doc_id, term, tf FROM read_parquet('{tf_path}')),
+    dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+    perterm AS (
+      SELECT tf.doc_id,
+             ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      WHERE tf.term IN ({in_list}))
+    SELECT doc_id, round(sum(s), 4) AS score
+    FROM perterm GROUP BY doc_id
+    ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+
+
 def oracle_sql() -> dict[str, str]:
     terms3 = ", ".join(f"'{t}'" for t in BM25_QUERY)
     terms2 = ", ".join(f"'{t}'" for t in BM25_CONJ_QUERY)
@@ -1558,4 +1629,7 @@ def oracle_sql() -> dict[str, str]:
     # the oracle is shared
     out["lsh_ann_indexed"] = out["lsh_ann"]
     out["ivf_ann_indexed"] = out["ivf_ann"]
+    pages_sql = _pages_bm25_oracle_sql()
+    if pages_sql:
+        out["pages_bm25"] = pages_sql
     return out

@@ -270,6 +270,64 @@ def write_pages_parquet_sharded(
     return path
 
 
+def write_expected_tf_parquet(pages_dir: str) -> str:
+    """Expected ``(doc_id, term, tf)`` parquet for the pages fixture at
+    ``pages_dir``, computed by the pure-Python oracle — the DuckDB twin
+    for the GB2312/FMM pipeline, which has no SQL tokenizer equivalent
+    (driver query ``pages_bm25``): the oracle SQL scores BM25 straight
+    from this table, turning the one rows-only correctness entry into a
+    full hash-match row.
+
+    Reproduces the Spark side exactly:
+    - dedup by url (fixture duplicates share content, survivor moot);
+    - doc_id = rank over md5(url) (index_build.assign_doc_ids /
+      build_docs — reference Url.idx order, index/readme.txt:14);
+    - tf = oracle.BM25Oracle counters (FMM + eligibility), the same
+      pure-Python truth the pytest conformance suite pins the Arrow
+      tokenizer UDF to (tests/test_index_build.py).
+
+    Cached next to the pages fixture, keyed by FIXTURE_VERSION.
+    """
+    import glob
+    import hashlib
+
+    # sibling of the pages dir, NOT inside it: Spark's pages scan globs
+    # every *.parquet in the directory and would ingest this table
+    out = pages_dir.rstrip("/") + "_expected_tf.parquet"
+    marker = out + f"._v{FIXTURE_VERSION}"
+    if os.path.exists(marker) and os.path.exists(out):
+        return out
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(pages_dir, "part-*.parquet")))
+    frames = [
+        pq.read_table(f, columns=["url", "text"]).to_pandas() for f in files
+    ]
+    pdf = pd.concat(frames, ignore_index=True).drop_duplicates("url")
+    by_md5 = sorted(
+        zip(pdf["url"], pdf["text"]),
+        key=lambda ut: hashlib.md5(ut[0].encode()).hexdigest(),
+    )
+    texts = {i: t.encode(ENCODING) for i, (_, t) in enumerate(by_md5)}
+    engine = oracle.BM25Oracle(texts, mini_dict_bytes())
+    ids, terms, tfs = [], [], []
+    for doc_id, counter in engine.tf.items():
+        for term, tf in counter.items():
+            ids.append(doc_id)
+            terms.append(term.decode(ENCODING))
+            tfs.append(tf)
+    pd.DataFrame(
+        {
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "term": terms,
+            "tf": np.asarray(tfs, dtype=np.int64),
+        }
+    ).to_parquet(out, index=False)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 def write_pages_parquet(path: str, n_rows: int, seed: int = SEED) -> str:
     """Generate (or reuse a cached copy of) the pages fixture as parquet.
 
