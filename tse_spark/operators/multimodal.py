@@ -4,16 +4,21 @@ pipelines at 100 TB scale.
 Media ride as opaque ``binary`` columns with typed metadata structs —
 the Spark-side concerns (schema, Arrow batch shape, partition sizing,
 iterator-based mapInPandas so one task never materializes its whole
-partition of blobs) are real and tested; the actual byte decoding is
-STUBBED behind ``decode_backend`` because no image/audio libs exist in
-this container:
+partition of blobs) are real and tested.  ``decode_backend`` selects
+the byte decoder:
 
-- ``decode_backend="fake"`` (default): deterministic pseudo-decode
-  derived from the blob bytes (stable across runs/parallelism — usable
-  in tests and benches);
-- ``decode_backend="pillow"`` / ``"ffmpeg"``: raise NotImplementedError
-  with the integration point documented, so swapping in a real decoder
-  is a one-function change.
+- ``"fake"`` (default): deterministic pseudo-decode derived from the
+  blob bytes (stable across runs/parallelism — the oracle-checkable
+  mode the driver correctness gate uses);
+- ``"stdlib"``: REAL byte decoding with no third-party deps —
+  :func:`decode_png` (8-bit gray/RGB PNG: zlib inflate + all five
+  scanline filters incl. Paeth) and :func:`decode_wav` (RIFF/PCM via
+  the ``wave`` module), pytest-verified on real encoded blobs;
+- ``"pillow"``: PIL-backed image decode for arbitrary formats —
+  activates when pillow is importable, otherwise raises
+  NotImplementedError EAGERLY (at operator build, not inside tasks);
+- ``"ffmpeg"``: video/audio container demux — NotImplementedError with
+  the integration point documented (no ffmpeg in this container).
 
 Fixture generation for the media table is in :func:`gen_media`.
 """
@@ -21,7 +26,9 @@ Fixture generation for the media table is in :func:`gen_media`.
 from __future__ import annotations
 
 import hashlib
+import io
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -112,6 +119,182 @@ def media_df(spark: SparkSession, n_rows: int = 300) -> DataFrame:
     return spark.range(n_rows).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# real byte codecs (pure stdlib): PNG and WAV
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Minimal real PNG encoder (stdlib zlib): uint8 (h, w) gray or
+    (h, w, 3) RGB, filter 0 scanlines.  Produces standard PNGs any
+    viewer opens; used by the resize path and the codec tests."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w, ctype, ch = px.shape[0], px.shape[1], 0, 1
+    elif px.ndim == 3 and px.shape[2] == 3:
+        h, w, ctype, ch = px.shape[0], px.shape[1], 2, 3
+    else:
+        raise ValueError("need (h, w) gray or (h, w, 3) RGB uint8")
+    rows = px.reshape(h, w * ch)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Minimal real PNG decoder (stdlib zlib): 8-bit depth, color types
+    0 (gray) / 2 (RGB), no interlace — the common case for stored
+    training images; anything else raises (route to the pillow
+    backend).  Implements all five scanline filters (None/Sub/Up/
+    Average/Paeth), so PNGs from real encoders decode too, not just
+    :func:`encode_png`'s filter-0 output."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, width, height, ctype, idat = 8, None, None, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8 or ctype not in (0, 2) or interlace:
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit gray/RGB, "
+                    "no interlace) — use decode_backend='pillow'"
+                )
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("no IHDR chunk")
+    raw = zlib.decompress(b"".join(idat))
+    ch = 1 if ctype == 0 else 3
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("scanline data size mismatch")
+    img = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up — vectorized (the common filter)
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: left-dependency loop
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(int(a), int(b), int(c))
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        prev = cur
+        img[y] = cur.astype(np.uint8)
+    return img.reshape(height, width) if ch == 1 else img.reshape(
+        height, width, 3
+    )
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Real 16-bit PCM mono WAV encoder (stdlib ``wave``)."""
+    import wave
+
+    s = np.clip(np.asarray(samples), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """Real RIFF/PCM WAV decoder (stdlib ``wave``): returns
+    (sample_rate, float64 samples); 8-bit is centered at 0, multi-
+    channel is averaged to mono."""
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr = w.getframerate()
+        sw = w.getsampwidth()
+        nch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        a = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif sw == 2:
+        a = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    if nch > 1:
+        a = a.reshape(-1, nch).mean(axis=1)
+    return sr, a
+
+
+def _image_decoder(decode_backend: str):
+    """Resolve the per-blob image decode function for a backend, or
+    raise NotImplementedError EAGERLY (operator build time, not inside
+    Spark tasks)."""
+    if decode_backend == "stdlib":
+        return decode_png
+    if decode_backend == "pillow":
+        try:
+            from PIL import Image  # type: ignore[import-not-found]
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "decode_backend='pillow' needs the pillow package "
+                "(pip install pillow); decode_backend='stdlib' handles "
+                "8-bit gray/RGB PNG with no deps"
+            ) from e
+
+        def _pil(data: bytes) -> np.ndarray:  # pragma: no cover
+            return np.asarray(Image.open(io.BytesIO(data)))
+
+        return _pil
+    raise NotImplementedError(
+        f"decode_backend={decode_backend!r}: no such image decoder "
+        "(have: fake, stdlib, pillow)"
+    )
+
+
 def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
     """Deterministic pseudo-decode: tile the payload bytes into (h, w)."""
     a = np.frombuffer(payload, dtype=np.uint8)
@@ -128,13 +311,16 @@ def decode_image_features(
     mapInPandas over an iterator of Arrow batches: blobs stream through
     the task batch-by-batch (spark.sql.execution.arrow.maxRecordsPerBatch
     bounds peak memory — size it so batch_rows * max_blob fits the
-    python worker).  Swap ``decode_backend`` to integrate a real decoder.
+    python worker).
+
+    ``decode_backend="fake"`` pseudo-decodes with (w, h) from the meta
+    struct (the oracle-checkable mode); real backends ("stdlib" PNG,
+    "pillow") decode the actual payload bytes and report the DECODED
+    dimensions; mean/std are over all samples (channels flattened).
     """
-    if decode_backend != "fake":
-        raise NotImplementedError(
-            f"decode_backend={decode_backend!r}: install the codec lib and "
-            "replace _fake_pixels with the real decode at this single call"
-        )
+    decode = None if decode_backend == "fake" else _image_decoder(
+        decode_backend
+    )
 
     out_schema = (
         "media_id long, width int, height int, mean_px double, std_px double"
@@ -144,17 +330,16 @@ def decode_image_features(
         for pdf in batches:
             recs = []
             for r in pdf.itertuples():
-                w = r.meta["width"] or 1
-                h = r.meta["height"] or 1
-                px = _fake_pixels(bytes(r.payload), int(w), int(h))
+                if decode is None:
+                    w = int(r.meta["width"] or 1)
+                    h = int(r.meta["height"] or 1)
+                    px = _fake_pixels(bytes(r.payload), w, h)
+                else:
+                    px = decode(bytes(r.payload))
+                    h, w = int(px.shape[0]), int(px.shape[1])
+                a = px.astype(np.float64)
                 recs.append(
-                    (
-                        int(r.media_id),
-                        int(w),
-                        int(h),
-                        float(px.mean()),
-                        float(px.std()),
-                    )
+                    (int(r.media_id), w, h, float(a.mean()), float(a.std()))
                 )
             yield pd.DataFrame(
                 recs,
@@ -169,10 +354,12 @@ def resize_images(
     media: DataFrame, out_w: int, out_h: int, decode_backend: str = "fake"
 ) -> DataFrame:
     """(media_id, payload binary, width, height) — nearest-neighbor
-    resample of the pseudo-decoded grid, re-encoded as raw bytes.  The
-    batching/partitioning shape is exactly what a real resize needs."""
-    if decode_backend != "fake":
-        raise NotImplementedError("see decode_image_features")
+    resample.  "fake" resamples the pseudo-decoded grid and emits raw
+    bytes; "stdlib"/"pillow" decode the real payload and re-encode the
+    resized image as a real PNG (:func:`encode_png`)."""
+    decode = None if decode_backend == "fake" else _image_decoder(
+        decode_backend
+    )
 
     out_schema = "media_id long, payload binary, width int, height int"
 
@@ -180,15 +367,22 @@ def resize_images(
         for pdf in batches:
             recs = []
             for r in pdf.itertuples():
-                w = r.meta["width"] or 1
-                h = r.meta["height"] or 1
-                px = _fake_pixels(bytes(r.payload), int(w), int(h))
+                if decode is None:
+                    w = int(r.meta["width"] or 1)
+                    h = int(r.meta["height"] or 1)
+                    px = _fake_pixels(bytes(r.payload), w, h)
+                else:
+                    px = decode(bytes(r.payload))
+                    h, w = int(px.shape[0]), int(px.shape[1])
                 yi = (np.arange(out_h) * h // out_h).astype(np.int64)
                 xi = (np.arange(out_w) * w // out_w).astype(np.int64)
                 small = px[np.ix_(yi, xi)]
-                recs.append(
-                    (int(r.media_id), small.tobytes(), out_w, out_h)
+                payload = (
+                    small.tobytes()
+                    if decode is None
+                    else encode_png(small.astype(np.uint8))
                 )
+                recs.append((int(r.media_id), payload, out_w, out_h))
             yield pd.DataFrame(
                 recs, columns=["media_id", "payload", "width", "height"]
             )
@@ -203,7 +397,11 @@ def sample_video_frames(
     """Explode videos to (media_id, frame_no, frame binary): payload is
     treated as n_frames equal slices, every ``every_n``-th kept."""
     if decode_backend != "fake":
-        raise NotImplementedError("see decode_image_features")
+        raise NotImplementedError(
+            f"decode_backend={decode_backend!r}: real container demux "
+            "needs ffmpeg (absent here); integrate it at this single "
+            "call site — the batching/schema shape is unchanged"
+        )
 
     out_schema = "media_id long, frame_no int, frame binary"
 
@@ -229,11 +427,18 @@ def sample_video_frames(
 def audio_features(
     media: DataFrame, n_bands: int = 8, decode_backend: str = "fake"
 ) -> DataFrame:
-    """(media_id, sample_rate, duration_s, bands array<double>) — the
-    pseudo-decode treats payload bytes as 8-bit samples and emits
-    per-band mean magnitudes (stand-in for MFCC/filterbank features)."""
-    if decode_backend != "fake":
-        raise NotImplementedError("see decode_image_features")
+    """(media_id, sample_rate, duration_s, bands array<double>) —
+    per-band mean magnitudes over ``n_bands`` equal time segments
+    (stand-in for MFCC/filterbank features).  "fake" treats payload
+    bytes as centered 8-bit samples with sample_rate from the meta
+    struct; "stdlib" REALLY parses the payload as RIFF/PCM WAV
+    (:func:`decode_wav`) and takes sample_rate from the header."""
+    if decode_backend not in ("fake", "stdlib"):
+        raise NotImplementedError(
+            f"decode_backend={decode_backend!r}: no such audio decoder "
+            "(have: fake, stdlib; mp3/ogg need an ffmpeg integration "
+            "at this single call site)"
+        )
 
     out_schema = (
         "media_id long, sample_rate int, duration_s double, "
@@ -244,9 +449,12 @@ def audio_features(
         for pdf in batches:
             recs = []
             for r in pdf.itertuples():
-                sr = int(r.meta["sample_rate"] or 8000)
-                a = np.frombuffer(bytes(r.payload), dtype=np.uint8)
-                a = a.astype(np.float64) - 128.0
+                if decode_backend == "fake":
+                    sr = int(r.meta["sample_rate"] or 8000)
+                    a = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+                    a = a.astype(np.float64) - 128.0
+                else:
+                    sr, a = decode_wav(bytes(r.payload))
                 pad = (-a.size) % n_bands
                 if pad:
                     a = np.pad(a, (0, pad))
