@@ -220,3 +220,64 @@ def test_host_budget_stream_multi_chunk_group(spark, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def _admit_reference_loop(pdf, hour0, used0, per_hour):
+    """The pre-vectorization sequential form (pandas iterrows), kept as
+    the conformance + speed reference for admit_batch."""
+    hours = (pdf["ts"].astype("int64") // 1_000_000_000 // 3600).tolist()
+    out = []
+    for (_, _r), h in zip(pdf.iterrows(), hours):
+        if h > hour0:
+            hour0, used0 = int(h), 0
+        admitted = h == hour0 and used0 < per_hour
+        if admitted:
+            used0 += 1
+        out.append(admitted)
+    return out, hour0, used0
+
+
+def test_admit_batch_matches_sequential_reference():
+    import numpy as np
+    import pandas as pd
+
+    from tse_spark.streaming.frontier import admit_batch
+
+    rng = np.random.RandomState(13)
+    for trial in range(50):
+        n = int(rng.randint(0, 60))
+        hours = np.sort(rng.randint(0, 6, size=n)).astype(np.int64)
+        hour0 = int(rng.randint(-1, 7))
+        per_hour = int(rng.randint(1, 5))
+        used0 = int(rng.randint(0, per_hour + 1))
+        pdf = pd.DataFrame({"ts": pd.to_datetime(hours * 3600, unit="s")})
+        want, wh, wu = _admit_reference_loop(pdf, hour0, used0, per_hour)
+        got, gh, gu = admit_batch(hours, hour0, used0, per_hour)
+        assert list(got) == want, (trial, hours, hour0, used0, per_hour)
+        assert (gh, gu) == (wh, wu), (trial, hours, hour0, used0, per_hour)
+
+
+def test_admit_batch_speedup_over_loop():
+    """The round-2 perf nit: the vectorized admit must beat the
+    iterrows loop by >= 10x rows/s on a 100k-row host group."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from tse_spark.streaming.frontier import admit_batch
+
+    rng = np.random.RandomState(17)
+    hours = np.sort(rng.randint(0, 48, size=100_000)).astype(np.int64)
+    pdf = pd.DataFrame({"ts": pd.to_datetime(hours * 3600, unit="s")})
+
+    t0 = time.time()
+    want, _, _ = _admit_reference_loop(pdf, -1, 0, 4)
+    t_loop = time.time() - t0
+
+    t0 = time.time()
+    got, _, _ = admit_batch(hours, -1, 0, 4)
+    t_vec = max(time.time() - t0, 1e-9)
+
+    assert list(got) == want
+    assert t_loop / t_vec >= 10, f"only {t_loop / t_vec:.1f}x"

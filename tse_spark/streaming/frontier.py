@@ -26,8 +26,48 @@ oracle on the same input.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+
+def admit_batch(
+    hours: np.ndarray, hour0: int, used0: int, per_hour: int
+) -> tuple[np.ndarray, int, int]:
+    """Vectorized admit decisions for ONE host's micro-batch.
+
+    ``hours`` must be nondecreasing (rows sorted by ts).  Semantics of
+    the sequential counter, in closed form (this is the frontier hot
+    path — the loop form was the round-2 perf nit; the conformance
+    test pins both against each other and the batch-window oracle):
+
+    - rows from an hour older than the host's current hour are
+      rejected (the crawl only moves forward);
+    - within each hour-run, position-in-run + carry-in (``used0`` when
+      the run IS the state's current hour) must stay below
+      ``per_hour``.
+
+    Returns (admitted bool array, new_hour, new_used).
+    """
+    n = int(hours.shape[0])
+    if n == 0:
+        return np.zeros(0, dtype=bool), hour0, used0
+    # first index of each equal-hour run (hours nondecreasing -> each
+    # distinct hour is one contiguous run)
+    new_run = np.concatenate(([True], hours[1:] != hours[:-1]))
+    starts = np.flatnonzero(new_run)
+    run_id = np.cumsum(new_run) - 1
+    pos_in_run = np.arange(n, dtype=np.int64) - starts[run_id]
+    carry = np.where(hours == hour0, int(used0), 0)
+    admitted = (hours >= hour0) & (pos_in_run + carry < per_hour)
+    last = int(hours[-1])
+    if last >= hour0:
+        in_last = slice(int(starts[-1]), n)
+        new_used = int(admitted[in_last].sum()) + (
+            int(used0) if last == hour0 else 0
+        )
+        return admitted, last, new_used
+    return admitted, hour0, used0
 
 
 def host_budget_stream(urls: DataFrame, per_hour: int = 4) -> DataFrame:
@@ -50,19 +90,19 @@ def host_budget_stream(urls: DataFrame, per_hour: int = 4) -> DataFrame:
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(["ts", "url"])
         hours = (
-            pdf["ts"].astype("int64") // 1_000_000_000 // 3600
-        ).tolist()
-        out_rows = []
-        for (_, r), h in zip(pdf.iterrows(), hours):
-            if h > hour0:
-                hour0, used0 = int(h), 0
-            admitted = h == hour0 and used0 < per_hour
-            if admitted:
-                used0 += 1
-            out_rows.append((host, r["url"], r["ts"], admitted))
-        state.update((hour0, used0))
+            pdf["ts"].astype("int64").to_numpy() // 1_000_000_000 // 3600
+        )
+        admitted, hour1, used1 = admit_batch(
+            hours, int(hour0), int(used0), per_hour
+        )
+        state.update((int(hour1), int(used1)))
         yield pd.DataFrame(
-            out_rows, columns=["host", "url", "ts", "admitted"]
+            {
+                "host": host,
+                "url": pdf["url"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "admitted": admitted,
+            }
         )
 
     return urls.groupBy("host").applyInPandasWithState(
