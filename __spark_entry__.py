@@ -819,6 +819,55 @@ def _q_ivf_ann_indexed(spark, sf):
     )
 
 
+def _q_pagerank(spark, sf):
+    """PageRank (3 power iterations, damping 0.85) over a deterministic
+    synthetic link graph on the documents ids: doc i links to (2i+1)%n
+    and (5i+3)%n, docs divisible by 3 add (11i+7)%n, docs divisible by
+    11 emit nothing (dangling — exercises the uniform mass
+    redistribution).  The operator is fully declarative (vertex count
+    and per-iteration dangling mass stay in the plan as 1-row cross
+    joins, zero driver collects), so the DuckDB oracle is the same
+    unrolled power iteration."""
+    from tse_spark.operators import linkrank
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n_df = docs.agg(F.count(F.lit(1)).alias("__n"))
+    base = docs.crossJoin(n_df)
+    i, n = F.col("doc_id"), F.col("__n")
+    e1 = base.select(i.alias("src"), ((i * 2 + 1) % n).alias("dst"))
+    e2 = base.select(i.alias("src"), ((i * 5 + 3) % n).alias("dst"))
+    e3 = base.filter(i % 3 == 0).select(
+        i.alias("src"), ((i * 11 + 7) % n).alias("dst")
+    )
+    edges = e1.union(e2).union(e3).filter(F.col("src") % 11 != 0)
+    ranks = linkrank.pagerank(
+        docs, edges, n_iter=3, damping=0.85, id_col="doc_id"
+    )
+    return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
+
+
+def _q_dedup_components(spark, sf):
+    """Near-dup clusters: the exact-cosine pairs (cosine_neardup query)
+    closed into connected components via min-label propagation —
+    component = min vec_id reachable.  Oracle: recursive-CTE transitive
+    closure over the same pair law."""
+    from tse_spark.operators import linkrank
+
+    pairs = _q_cosine_neardup(spark, sf)
+    comp = linkrank.connected_components(pairs)
+    return comp.select(F.col("id").alias("vec_id"), "component")
+
+
+def _q_dedup_keep_one(spark, sf):
+    """Canonical corpus after near-dup dedup: one survivor (min id) per
+    cosine near-dup component; untouched vectors pass through."""
+    from tse_spark.operators import linkrank
+
+    emb = _t(spark, sf, "embeddings").select("vec_id")
+    pairs = _q_cosine_neardup(spark, sf)
+    return linkrank.dedup_keep_one(emb, pairs, doc_id="vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_table": _q_tf_table,
@@ -870,6 +919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": _q_lsh_ann,
         "lsh_ann_indexed": _q_lsh_ann_indexed,
         "ivf_ann_indexed": _q_ivf_ann_indexed,
+        "pagerank": _q_pagerank,
+        "dedup_components": _q_dedup_components,
+        "dedup_keep_one": _q_dedup_keep_one,
         "lsh_neardup": _q_lsh_neardup,
         # rows-only engine path (no DuckDB equivalent; pytest-verified)
         "pages_bm25": _q_pages_bm25,
@@ -1264,6 +1316,91 @@ def _pages_bm25_oracle_sql() -> str | None:
     ORDER BY sum(s) DESC, doc_id LIMIT 10"""
 
 
+def _pagerank_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled power iteration — the same graph law and rank update as
+    _q_pagerank, one CTE pair (contrib, dangling) + rank CTE per
+    iteration.  All rank math in DOUBLE (0.15/0.85 literals promote via
+    the DOUBLE n), matching Spark's float64."""
+    head = """
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    e0 AS (
+      SELECT doc_id AS src, (doc_id * 2 + 1) % nn.n AS dst
+      FROM documents, nn
+      UNION
+      SELECT doc_id, (doc_id * 5 + 3) % nn.n FROM documents, nn
+      UNION
+      SELECT doc_id, (doc_id * 11 + 7) % nn.n FROM documents, nn
+      WHERE doc_id % 3 = 0),
+    e AS (SELECT src, dst FROM e0 WHERE src % 11 <> 0),
+    deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+    v AS (SELECT doc_id AS id FROM documents),
+    n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    r0 AS (SELECT v.id, 1.0 / n.n AS r FROM v CROSS JOIN n)"""
+    its = []
+    for k in range(1, n_iter + 1):
+        j = k - 1
+        its.append(
+            f""",
+    c{k} AS (
+      SELECT e.dst AS id, sum(r{j}.r / deg.deg) AS c
+      FROM e JOIN r{j} ON e.src = r{j}.id JOIN deg ON e.src = deg.src
+      GROUP BY e.dst),
+    d{k} AS (
+      SELECT coalesce(sum(r), 0.0) AS dm FROM r{j}
+      WHERE id NOT IN (SELECT src FROM deg)),
+    r{k} AS (
+      SELECT v.id,
+             0.15 / n.n + 0.85 * (coalesce(c{k}.c, 0.0) + d{k}.dm / n.n)
+               AS r
+      FROM v CROSS JOIN n CROSS JOIN d{k}
+      LEFT JOIN c{k} ON v.id = c{k}.id)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"""
+    SELECT id AS doc_id, round(r, 6) AS rank FROM r{n_iter}"""
+    )
+
+
+# cosine near-dup pair law (the cosine_neardup oracle's WHERE) shared by
+# the component/keep-one oracles
+_COS_PAIRS_CTE = """
+    pr AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(
+              list_dot_product(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[])
+              / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                       a.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]))),
+              4) >= 0.4),
+    ed AS (SELECT id_a AS s, id_b AS d FROM pr
+           UNION SELECT id_b, id_a FROM pr),
+    reach(id, r) AS (
+      SELECT s, s FROM ed
+      UNION
+      SELECT reach.id, ed.d FROM reach JOIN ed ON reach.r = ed.s),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
+
+_DEDUP_COMPONENTS_SQL = (
+    "WITH RECURSIVE"
+    + _COS_PAIRS_CTE
+    + """
+    SELECT id AS vec_id, component FROM comp"""
+)
+
+_DEDUP_KEEP_ONE_SQL = (
+    "WITH RECURSIVE"
+    + _COS_PAIRS_CTE
+    + """
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)"""
+)
+
+
 def oracle_sql() -> dict[str, str]:
     terms3 = ", ".join(f"'{t}'" for t in BM25_QUERY)
     terms2 = ", ".join(f"'{t}'" for t in BM25_CONJ_QUERY)
@@ -1620,6 +1757,9 @@ def oracle_sql() -> dict[str, str]:
           END AS terms
         FROM documents""",
         "minhash_neardup": _minhash_oracle_sql(),
+        "pagerank": _pagerank_oracle_sql(),
+        "dedup_components": _DEDUP_COMPONENTS_SQL,
+        "dedup_keep_one": _DEDUP_KEEP_ONE_SQL,
         "simhash": _simhash_oracle_sql(),
         "lsh_neardup": _lsh_neardup_oracle_sql(),
         "lsh_ann": _lsh_ann_oracle_sql(),

@@ -1,0 +1,146 @@
+"""PageRank + connected-components conformance.
+
+PageRank is pinned to a pure-numpy power iteration implementing the
+identical formula (damping, dangling redistribution); components are
+pinned to hand-derived groupings plus a long-chain case that forces
+multi-round propagation.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tse_spark.operators import linkrank
+
+
+def ref_pagerank(verts, edges, n_iter, d=0.85):
+    """Reference power iteration (same semantics: distinct edges,
+    edges outside the vertex set ignored, dangling mass uniform)."""
+    vs = sorted(set(verts))
+    idx = {v: i for i, v in enumerate(vs)}
+    es = {(s, t) for s, t in edges if s in idx and t in idx}
+    deg: dict = {}
+    for s, _ in es:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(vs)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dm = sum(r[idx[v]] for v in vs if v not in deg)
+        nr = np.full(n, (1.0 - d) / n + d * dm / n)
+        for s, t in es:
+            nr[idx[t]] += d * r[idx[s]] / deg[s]
+        r = nr
+    return {v: r[idx[v]] for v in vs}
+
+
+def _run_pr(spark, verts, edges, n_iter, **kw):
+    vdf = spark.createDataFrame([(v,) for v in verts], "id long")
+    edf = spark.createDataFrame(list(edges), "src long, dst long")
+    got = linkrank.pagerank(vdf, edf, n_iter=n_iter, **kw).collect()
+    return {r["id"]: r["rank"] for r in got}
+
+
+def test_pagerank_matches_reference(spark):
+    verts = [0, 1, 2, 3, 4]
+    # 3 and 4 are dangling sinks; a 2-cycle between 0 and 1
+    edges = [(0, 1), (1, 0), (0, 2), (2, 4), (1, 3), (2, 3)]
+    for n_iter in (1, 3, 7):
+        got = _run_pr(spark, verts, edges, n_iter)
+        want = ref_pagerank(verts, edges, n_iter)
+        assert got.keys() == want.keys()
+        for v in verts:
+            assert got[v] == pytest.approx(want[v], abs=1e-12)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_all_dangling_stays_uniform(spark):
+    got = _run_pr(spark, [1, 2, 3], [], 4)
+    for v in (1, 2, 3):
+        assert got[v] == pytest.approx(1.0 / 3, abs=1e-12)
+
+
+def test_pagerank_ignores_edges_outside_vertices(spark):
+    # edge to 99 (not a vertex) must not leak mass
+    verts = [0, 1]
+    got = _run_pr(spark, verts, [(0, 1), (0, 99), (99, 1)], 3)
+    want = ref_pagerank(verts, [(0, 1), (0, 99), (99, 1)], 3)
+    assert got[1] == pytest.approx(want[1], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_deep_iteration_with_checkpointing(spark):
+    verts = list(range(6))
+    edges = [(i, (i + 1) % 6) for i in range(6)] + [(0, 3), (2, 5)]
+    got = _run_pr(spark, verts, edges, 12, checkpoint_every=4)
+    want = ref_pagerank(verts, edges, 12)
+    for v in verts:
+        assert got[v] == pytest.approx(want[v], abs=1e-10)
+
+
+def test_pagerank_over_extracted_links(spark):
+    """Integration: rank the graph the C11 extractor produces."""
+    from tse_spark.operators import crawl
+
+    rows = [
+        (
+            "http://a.example.cn/",
+            '<a href="http://b.example.cn/">b</a>'
+            '<a href="/self">s</a>',
+        ),
+        ("http://b.example.cn/", '<a href="http://a.example.cn/">a</a>'),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    edges = crawl.extract_links(pages)
+    verts = (
+        pages.select("url")
+        .union(edges.select(F.col("out_url").alias("url")))
+        .distinct()
+    )
+    got = {
+        r["url"]: r["rank"]
+        for r in linkrank.pagerank(
+            verts, edges, n_iter=3, id_col="url", src="url", dst="out_url"
+        ).collect()
+    }
+    eset = [(r["url"], r["out_url"]) for r in edges.collect()]
+    want = ref_pagerank(list(got.keys()), eset, 3)
+    for u, r in want.items():
+        assert got[u] == pytest.approx(r, abs=1e-12)
+
+
+def _comps(spark, pairs, **kw):
+    pdf = spark.createDataFrame(list(pairs), "id_a long, id_b long")
+    got = linkrank.connected_components(pdf, **kw).collect()
+    return {r["id"]: r["component"] for r in got}
+
+
+def test_components_basic_groups(spark):
+    got = _comps(spark, [(1, 2), (2, 3), (5, 6), (7, 7)])
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_components_long_chain_converges(spark):
+    n = 12  # diameter 11: forces many propagation rounds
+    got = _comps(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_components_reversed_pair_order(spark):
+    got = _comps(spark, [(9, 4), (4, 2), (2, 9)])
+    assert got == {9: 2, 4: 2, 2: 2}
+
+
+def test_dedup_keep_one(spark):
+    docs = spark.range(10).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.concat(F.lit("t"), F.col("doc_id"))
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in linkrank.dedup_keep_one(docs, pairs).collect()
+    )
+    # components {1,2,3} -> keep 1; {5,6} -> keep 5; others untouched
+    assert kept == [0, 1, 4, 5, 7, 8, 9]

@@ -1,0 +1,194 @@
+"""Link-graph analytics: PageRank and connected components.
+
+The reference stops at writing the link structure out (Link4SE,
+tse/Crawl.cpp:965-1027 — url, outdegree, out-links per page); ranking
+over that graph happened downstream.  These operators are that
+downstream, Spark-first:
+
+- :func:`pagerank` — power iteration as a fully declarative DataFrame
+  loop: NO driver-side collect anywhere (the two scalars each round —
+  total vertex count and dangling mass — stay in the plan as 1-row
+  DataFrames cross-joined back in), so the whole run is one lazy plan
+  per iteration, checkpointed every ``checkpoint_every`` rounds to keep
+  lineage flat.  Per iteration: one shuffle for the src-side join + one
+  for the dst-side aggregation — the minimum for edge-partitioned
+  PageRank.
+- :func:`connected_components` — min-label propagation to fixpoint
+  over symmetrized edges: the standard closer for near-dup pipelines
+  (MinHash/LSH/cosine emit PAIRS; dedup needs GROUPS).  Near-dup
+  clusters have tiny graph diameter, so the loop converges in a
+  handful of rounds; each round is one join + one aggregation, and the
+  only driver action is the per-round convergence test (a scalar —
+  the same control-flow shape GraphFrames uses).  For adversarial
+  long-chain graphs prefer the large-star/small-star variant; for
+  dedup work this is the right default.
+- :func:`dedup_keep_one` — canonicalization: keep exactly one document
+  per near-dup component (the minimum id), pass untouched documents
+  through.
+
+Determinism: pure float64 arithmetic + integer ids, so a SQL oracle
+(unrolled power iteration / recursive-CTE reachability) reproduces the
+results bit-for-bit up to float rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """PageRank after ``n_iter`` power iterations.
+
+    ``vertices``: one row per node (``id_col``); ``edges``: directed
+    (``src``, ``dst``) rows, deduplicated here (multigraph edges count
+    once).  Nodes with no out-edges are dangling: their rank mass is
+    redistributed uniformly each round, so ``sum(rank) == 1`` is an
+    invariant (pinned in tests).
+
+        r'(v) = (1-d)/n + d * (sum_{u->v} r(u)/deg(u) + dangling/n)
+
+    Returns (``id_col``, ``rank``).
+
+    Scale notes: ranks and out-degrees are joined on the src key and
+    aggregated on dst — both hash-shuffles on graph keys, no broadcast
+    of anything O(V).  The 1-row count/dangling aggregates cross-join
+    back in (Spark plans these as broadcast nested loops over one row).
+    ``checkpoint_every`` bounds lineage via ``localCheckpoint`` so deep
+    iteration counts do not stack a quadratic plan.
+    """
+    verts = vertices.select(F.col(id_col).alias("id")).distinct()
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    # the vertex set is authoritative: edges with an endpoint outside it
+    # are dropped ONCE here (otherwise their mass would leak and break
+    # the sum(rank) == 1 invariant)
+    e = (
+        e.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .persist()
+    )
+    n_df = verts.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+
+    ranks = verts.crossJoin(n_df).select(
+        "id", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    for i in range(n_iter):
+        contrib = (
+            e.join(ranks, e.src == ranks.id)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__c"))
+        )
+        dangling = (
+            ranks.join(deg, ranks.id == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        )
+        ranks = (
+            verts.crossJoin(n_df)
+            .crossJoin(dangling)
+            .join(contrib, verts.id == contrib.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__c"), F.lit(0.0))
+                        + F.col("__dm") / F.col("__n")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
+            i + 1
+        ) < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.withColumnRenamed("id", id_col)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) over the undirected graph given as pair rows;
+    ``component`` is the minimum node id reachable from ``node``.
+    Nodes are exactly the ids appearing in ``pairs`` (callers union in
+    singletons if they want every document labeled — see
+    :func:`dedup_keep_one`).
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; stop when no label changed
+    (one scalar isEmpty() action per round — the loop's only driver
+    involvement).  Rounds needed = graph diameter; near-dup components
+    are dense and shallow, so this is 2-4 rounds in practice.
+    """
+    a = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    b = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+    edges = a.union(b).distinct().persist()
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .persist()
+    )
+    for i in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.d == labels.id)
+            .groupBy("s")
+            .agg(F.min("comp").alias("__m"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.s, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("__m"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)  # materialize + cut lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+        )
+        done = changed.isEmpty()
+        labels.unpersist()
+        labels = new_labels
+        if done:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def dedup_keep_one(
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_id: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Documents surviving near-dup canonicalization: for every
+    connected component of ``pairs`` keep only the minimum id; docs in
+    no pair pass through untouched.  Returns ``docs`` filtered (all
+    columns kept) — the "write the deduped corpus" step that follows
+    any pair-emitting near-dup operator.
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(doc_id)
+    )
+    return docs.join(drop, doc_id, "left_anti")
