@@ -18,9 +18,13 @@ stdout line is always the most complete result:
    /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]: per-query wall
    seconds, forced with a noop sink (full materialization, no driver
    collect cost).
+4. **10x-corpus serving** (budget permitting): the same serving
+   latency battery over a ~2M-doc index — evidence that the pruned
+   posting fetch is near-flat in corpus size, which the 198k-doc
+   phase-2 corpus cannot show.
 
 A wall-clock budget (SPARK_GRAFT_BENCH_BUDGET, seconds, default 480)
-gates phases 2 and 3: when the remaining budget cannot fit a phase, it
+gates phases 2-4: when the remaining budget cannot fit a phase, it
 is skipped with a note instead of overrunning the driver's timeout.
 
 Final line:
@@ -31,8 +35,10 @@ Final line:
    "bm25_p50_ms": ..., "bm25_p95_ms": ...}
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-SPARK_GRAFT_BENCH_DOCS (default 200000), SPARK_GRAFT_SKIP_SCALING=1,
-SPARK_GRAFT_SCALE_REPS (default 3), SPARK_GRAFT_BENCH_BUDGET (sec).
+SPARK_GRAFT_BENCH_DOCS (default 150000), SPARK_GRAFT_SKIP_SCALING=1,
+SPARK_GRAFT_SCALE_REPS (default 3), SPARK_GRAFT_BENCH_BUDGET (sec),
+SPARK_GRAFT_SERVING_SCALE_DOCS (default 2000000),
+SPARK_GRAFT_SKIP_SERVING_LARGE=1.
 """
 
 from __future__ import annotations
@@ -49,7 +55,13 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+# 150k (was 200k): docs/sec is corpus-size-invariant at fixed
+# length_scale, and the smaller pair cost (~105 s quiet vs ~140 s) fits
+# one MORE rep inside the scaling deadline — on this steal-bursty box
+# the per-level MIN is only as good as the number of windows sampled
+# (BENCH_r02 got 2 reps quiet = 0.901; a noisy later run got 1 rep =
+# 0.33 from a single stolen big leg).  Each timed leg stays >= 20 s.
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000"))
 # N vs 4N cores for the north_rule scaling evidence.  Default 2 -> 8:
 # on this box per-core turbo frequency drops ~19% going 8 -> 32 busy
 # cores, which would charge a pure hardware effect to the engine; 2 and
@@ -91,6 +103,10 @@ HEADLINE = [
     "jaccard_top_pairs",
     "cosine_topk",
     "lsh_ann",
+    "lsh_ann_indexed",
+    "ivf_ann_indexed",
+    "pagerank",
+    "dedup_components",
     "events_sessionize",
     "events_hourly",
     "tpch_q1",
@@ -269,7 +285,9 @@ def run_scaling() -> None:
     small_n = SCALE_SMALL
     big_n = small_n * 4
 
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    # reps is an UPPER bound — the subprocess deadline cuts the tail, so
+    # a higher default only adds samples when the windows are quiet/fast
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
     runs: dict[int, list[dict]] = {big_n: [], small_n: []}
 
     def summarize() -> None:
@@ -349,6 +367,18 @@ def run_headline(spark) -> None:
     spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10).crossJoin(
         spark.range(10)
     ).write.format("noop").mode("overwrite").save()
+    # ANN serving indexes are BUILD-time artifacts (exactly like the
+    # text index phase 2 builds outside query timing): materialize them
+    # once here, reporting the cost separately, so the *_indexed
+    # queries time the probe-pruned serve path they exist to provide —
+    # not a one-time table write.
+    t0 = time.time()
+    try:
+        entrymod._ann_index_dir(spark, SF_DIR, "lsh")
+        entrymod._ann_index_dir(spark, SF_DIR, "ivf")
+        RESULT["ann_index_build_s"] = round(time.time() - t0, 1)
+    except Exception as e:
+        RESULT["ann_index_build_s"] = f"error: {e}"[:200]
     times: dict[str, float] = {}
     RESULT["queries"] = times
     for name in HEADLINE:
@@ -370,14 +400,12 @@ def run_headline(spark) -> None:
     flush()
 
 
-def run_serving(spark, index_dir: str) -> None:
-    """p50/p95 of block-max WAND top-10 over the reference query set,
-    served from the compressed shards (search_local: one pruned
-    collect + in-process WAND — the interactive path)."""
+def _measure_serving(h) -> dict:
+    """p50/p95 of block-max WAND top-10 over the reference query set
+    (search_local: one pruned collect + in-process WAND — the
+    interactive path); cold pass includes the posting fetch."""
     from tse_spark import fixtures
-    from tse_spark.plans import pipeline as pl
 
-    h = pl.load_index(spark, index_dir, fixtures.mini_dict_bytes())
     h.engine.warm()
     queries = fixtures.gen_queries()
     cold: list[float] = []
@@ -392,16 +420,78 @@ def run_serving(spark, index_dir: str) -> None:
         lat.append((time.time() - t0) * 1000.0)
     cold.sort()
     lat.sort()
-    serving = {
+    return {
         "n_queries": len(lat),
+        "n_docs": h.n_docs,
         "p50_ms": round(statistics.median(lat), 2),
         "p95_ms": round(lat[int(len(lat) * 0.95) - 1], 2),
         "cold_p50_ms": round(statistics.median(cold), 2),
         "cold_p95_ms": round(cold[int(len(cold) * 0.95) - 1], 2),
     }
+
+
+def run_serving(spark, index_dir: str) -> None:
+    from tse_spark import fixtures
+    from tse_spark.plans import pipeline as pl
+
+    h = pl.load_index(spark, index_dir, fixtures.mini_dict_bytes())
+    serving = _measure_serving(h)
     RESULT["bm25_p50_ms"] = serving["p50_ms"]
     RESULT["bm25_p95_ms"] = serving["p95_ms"]
     RESULT["serving"] = serving
+    flush()
+
+
+# ~10x the scaling corpus in DOCUMENTS (what serving latency scales
+# with: per-term df grows with n_docs) at length_scale=1, so the token
+# volume — and hence build cost — stays near one scaling leg's
+SERVING_SCALE_DOCS = int(
+    os.environ.get("SPARK_GRAFT_SERVING_SCALE_DOCS", "2000000")
+)
+
+
+def serving_large_docs() -> int:
+    """Largest corpus (halving from SERVING_SCALE_DOCS, floor 400k)
+    whose estimated cost — fixture gen ~2e-5 s/doc, 32-core build
+    ~5e-5 s/doc at length_scale 1, +35 s measure/slack — fits the
+    remaining budget.  0 = nothing fits.  Adaptive so a driver run
+    with modest leftover budget still records corpus-size evidence at
+    SOME multiple of the scaling corpus instead of skipping outright;
+    BASELINE.md carries a full quiet 2M-doc reading for comparison."""
+    n = SERVING_SCALE_DOCS
+    while n >= 400_000:
+        if left() > n * 7e-5 + 35.0:
+            return n
+        n //= 2
+    return 0
+
+
+def run_serving_large(spark, n_docs: int) -> None:
+    """Serving latency at a larger corpus (VERDICT r02 #6): the pruned
+    posting fetch + block-max WAND should be near-flat in corpus size
+    (per-query work scales with the query terms' dfs, not n_docs) —
+    150k docs cannot show that; millions can."""
+    from tse_spark import fixtures
+    from tse_spark.plans import pipeline as pl
+
+    out: dict = RESULT.setdefault("serving_large", {})
+    pages_dir = f"{SCRATCH}/tse_bench_pages_{n_docs}_x1"
+    t0 = time.time()
+    fixtures.write_pages_parquet_sharded(
+        pages_dir, n_docs, n_files=64, length_scale=1
+    )
+    out["fixture_gen_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    pipe = pl.IndexPipeline(
+        spark,
+        f"{SCRATCH}/tse_bench_idx10x_{n_docs}",
+        tokenizer="tse",
+        dictionary=fixtures.mini_dict_bytes(),
+        checkpoint_mode="final",
+    )
+    h = pipe.run_from_pages(pages_dir, resume=True)
+    out["build_s"] = round(time.time() - t0, 1)
+    out.update(_measure_serving(h))
     flush()
 
 
@@ -436,6 +526,18 @@ def main() -> None:
         except Exception as e:  # keep the JSON line coming no matter what
             RESULT["headline_error"] = str(e)[:500]
             flush()
+
+        # optional larger-corpus serving evidence, sized to the budget
+        if os.environ.get("SPARK_GRAFT_SKIP_SERVING_LARGE") != "1":
+            n_large = serving_large_docs()
+            if n_large:
+                try:
+                    run_serving_large(spark, n_large)
+                except Exception as e:
+                    RESULT.setdefault("serving_large", {})[
+                        "error"
+                    ] = str(e)[:500]
+                    flush()
     finally:
         spark.stop()
     flush()
