@@ -858,6 +858,23 @@ def _q_dedup_components(spark, sf):
     return comp.select(F.col("id").alias("vec_id"), "component")
 
 
+def _q_dedup_components_lsh(spark, sf):
+    """Same min-label components, but over the banded sign-LSH near-dup
+    candidate pairs instead of the exact O(n²) self-join — the pair
+    source a 100 TB corpus would actually use (bucket equi-join +
+    candidate-only cosine verify; one shuffle, never all-pairs).  This
+    is the headline-bench variant: at sf0.1 the exact-pair version
+    spends >2 min in the quadratic join while this one closes the same
+    kind of clusters in seconds.  Oracle: recursive-CTE transitive
+    closure over the LSH pair law (hyperplane literals re-derived in
+    SQL, as in lsh_neardup)."""
+    from tse_spark.operators import linkrank
+
+    pairs = _q_lsh_neardup(spark, sf)
+    comp = linkrank.connected_components(pairs)
+    return comp.select(F.col("id").alias("vec_id"), "component")
+
+
 def _q_dedup_keep_one(spark, sf):
     """Canonical corpus after near-dup dedup: one survivor (min id) per
     cosine near-dup component; untouched vectors pass through."""
@@ -921,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_indexed": _q_ivf_ann_indexed,
         "pagerank": _q_pagerank,
         "dedup_components": _q_dedup_components,
+        "dedup_components_lsh": _q_dedup_components_lsh,
         "dedup_keep_one": _q_dedup_keep_one,
         "lsh_neardup": _q_lsh_neardup,
         # rows-only engine path (no DuckDB equivalent; pytest-verified)
@@ -1401,6 +1419,25 @@ _DEDUP_KEEP_ONE_SQL = (
 )
 
 
+def _dedup_components_lsh_oracle_sql() -> str:
+    """Transitive closure over the LSH near-dup pair law (the
+    lsh_neardup oracle verbatim as a nested CTE), then min-label
+    components — the SQL twin of _q_dedup_components_lsh."""
+    return (
+        "WITH RECURSIVE pr AS ("
+        + _lsh_neardup_oracle_sql()
+        + """),
+    ed AS (SELECT id_a AS s, id_b AS d FROM pr
+           UNION SELECT id_b, id_a FROM pr),
+    reach(id, r) AS (
+      SELECT s, s FROM ed
+      UNION
+      SELECT reach.id, ed.d FROM reach JOIN ed ON reach.r = ed.s),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT id AS vec_id, component FROM comp"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     terms3 = ", ".join(f"'{t}'" for t in BM25_QUERY)
     terms2 = ", ".join(f"'{t}'" for t in BM25_CONJ_QUERY)
@@ -1759,6 +1796,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _minhash_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
         "dedup_components": _DEDUP_COMPONENTS_SQL,
+        "dedup_components_lsh": _dedup_components_lsh_oracle_sql(),
         "dedup_keep_one": _DEDUP_KEEP_ONE_SQL,
         "simhash": _simhash_oracle_sql(),
         "lsh_neardup": _lsh_neardup_oracle_sql(),

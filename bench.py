@@ -106,7 +106,10 @@ HEADLINE = [
     "lsh_ann_indexed",
     "ivf_ann_indexed",
     "pagerank",
-    "dedup_components",
+    # NOT dedup_components: that variant chains off the exact O(n²)
+    # cosine self-join (>2 min at sf0.1 — a budget bomb; it exists as
+    # the oracle baseline).  The LSH-pair variant is the scale path.
+    "dedup_components_lsh",
     "events_sessionize",
     "events_hourly",
     "tpch_q1",
@@ -223,6 +226,15 @@ def one_build_pair(
                 pages_dir,
                 "--out",
                 idx_out,
+                # early-stop once each level has 2 quiet-window legs:
+                # a calm machine banks the leftover budget for later
+                # phases; a steal-bursty one keeps sampling windows
+                # until the deadline (the per-level MIN is only as good
+                # as the number of windows tried)
+                "--quiet-steal",
+                "0.05",
+                "--min-quiet",
+                "2",
             ],
             capture_output=True,
             text=True,
@@ -285,9 +297,11 @@ def run_scaling() -> None:
     small_n = SCALE_SMALL
     big_n = small_n * 4
 
-    # reps is an UPPER bound — the subprocess deadline cuts the tail, so
-    # a higher default only adds samples when the windows are quiet/fast
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
+    # reps is an UPPER bound — the subprocess deadline cuts the tail
+    # and bench_build early-stops once each level has 2 quiet legs, so
+    # a higher default only adds samples when windows are noisy (when
+    # extra windows are exactly what the per-level MIN needs)
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "6"))
     runs: dict[int, list[dict]] = {big_n: [], small_n: []}
 
     def summarize() -> None:
@@ -314,6 +328,28 @@ def run_scaling() -> None:
         ratio = out["big"]["docs_per_sec"] / out["small"]["docs_per_sec"]
         out["speedup"] = round(ratio, 3)
         out["scaling_efficiency"] = round(ratio / (big_n / small_n), 3)
+        # stage-min composite: a steal burst is a contiguous window that
+        # hits 1-2 stages of a leg, not all four — with >=2 reps the
+        # per-stage minimum across reps reconstructs this level's quiet
+        # profile even when no single rep ran fully quiet.  Reported
+        # alongside the per-leg-min form (identical when reps=1).
+        def _stagemin(rs: list[dict]) -> float:
+            best: dict[str, float] = {}
+            for r in rs:
+                for k, v in (r.get("stages") or {}).items():
+                    if v is not None:
+                        best[k] = min(best.get(k, v), v)
+            return sum(best.values())
+
+        tb, ts = _stagemin(runs[big_n]), _stagemin(runs[small_n])
+        if tb > 0 and ts > 0:
+            out["stagemin"] = {
+                "big_s": round(tb, 3),
+                "small_s": round(ts, 3),
+            }
+            out["scaling_efficiency_stagemin"] = round(
+                (ts / tb) / (big_n / small_n), 3
+            )
 
     # ONE subprocess runs [big, small] * reps as sequential contexts in
     # one JVM: warmup is paid once, every leg prints as it completes
@@ -352,6 +388,10 @@ def run_scaling() -> None:
         out["scaling_efficiency_vs_hw"] = round(
             min(out["scaling_efficiency"] / cap, 1.0), 3
         )
+        if "scaling_efficiency_stagemin" in out:
+            out["scaling_efficiency_stagemin_vs_hw"] = round(
+                min(out["scaling_efficiency_stagemin"] / cap, 1.0), 3
+            )
         flush()
 
 

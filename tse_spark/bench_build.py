@@ -172,13 +172,35 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=32)
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--warmup-docs", type=int, default=4000)
+    ap.add_argument(
+        "--quiet-steal",
+        type=float,
+        default=0.0,
+        help="with --min-quiet: a leg counts as quiet when its "
+        "steal_frac is <= this",
+    )
+    ap.add_argument(
+        "--min-quiet",
+        type=int,
+        default=0,
+        help="stop early once every distinct level has this many "
+        "quiet legs (0 = run the full list); the caller's per-level "
+        "minimum needs quiet windows, not a fixed rep count, so on a "
+        "calm machine the saved budget goes to later phases while a "
+        "steal-bursty one keeps sampling to the deadline",
+    )
     args = ap.parse_args()
 
     from tse_spark import fixtures
     from tse_spark.plans import pipeline as pl
 
     levels = [int(x) for x in args.cpus.split(",")]
+    quiet_legs: dict[int, int] = {n: 0 for n in levels}
     for i, cpus in enumerate(levels):
+        if args.min_quiet and all(
+            c >= args.min_quiet for c in quiet_legs.values()
+        ):
+            break
         final_dir = f"{args.out}_{cpus}" if len(levels) > 1 else args.out
         # build into a temp dir, swap in on completion: a deadline kill
         # mid-leg must never destroy the last COMPLETE index for this
@@ -225,6 +247,8 @@ def main() -> None:
             rec["steal_frac"] = round(
                 (s1 - s0) / max(1.0, (b1 - b0) + (s1 - s0)), 3
             )
+            if rec["steal_frac"] <= args.quiet_steal:
+                quiet_legs[cpus] += 1
         print(json.dumps(rec), flush=True)
         # stop the context, keep the JVM (and its codegen/JIT caches):
         # the next level starts a fresh local[N] context in-place
