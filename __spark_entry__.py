@@ -564,11 +564,12 @@ def _q_media_frame_sample(spark, sf):
 
 # ----- crawler set-algebra (SURVEY.md §2.6) over synthesized urls -----
 
-def _synth_url_col():
-    """Deterministic url column from doc_id — the same construction is
-    expressed in the DuckDB oracle SQL (_SYNTH_URLS_SQL) so url-bearing
-    results can be value-compared."""
-    doc = F.col("doc_id")
+def _synth_url_col(doc=None):
+    """Deterministic url column from doc_id (or any integer column
+    expression) — the same construction is expressed in the DuckDB
+    oracle SQL (_SYNTH_URLS_SQL) so url-bearing results can be
+    value-compared."""
+    doc = F.col("doc_id") if doc is None else doc
     dom = (
         F.when(doc % 4 == 0, ".example.cn")
         .when(doc % 4 == 1, ".example.com")
@@ -631,6 +632,45 @@ def _synth_html_col():
         doc,
         F.lit("><a href=javascript:alert(1)>j</a></body></html>"),
     )
+
+
+def _q_anchor_text(spark, sf):
+    """Incoming anchor-text aggregation: each doc links to two targets
+    ((2i+1)%n and (5i+3)%n — the pagerank graph's first two laws) with
+    deterministic anchor phrases; extract_anchors parses the REAL html
+    through the codegen regex path and anchor_text_agg counts per
+    (target url, phrase).  The oracle constructs the expected counts
+    from the law — a known-answer test of extraction + resolution +
+    aggregation."""
+    from tse_spark.operators import crawl
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n_df = docs.agg(F.count(F.lit(1)).alias("__n"))
+    base = docs.crossJoin(n_df)
+    i, n = F.col("doc_id"), F.col("__n")
+    t1, t2 = (i * 2 + 1) % n, (i * 5 + 3) % n
+    label = (
+        F.when(i % 3 == 0, "review")
+        .when(i % 3 == 1, "guide")
+        .otherwise("docs")
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        _synth_url_col(t1),
+        F.lit('">'),
+        label,
+        F.lit(" "),
+        t1.cast("string"),
+        F.lit('</a><p>x</p><a href="'),
+        _synth_url_col(t2),
+        F.lit('">site '),
+        t2.cast("string"),
+        F.lit("</a></body></html>"),
+    )
+    pages = base.select(
+        _synth_url_col().alias("url"), html.alias("html")
+    )
+    return crawl.anchor_text_agg(crawl.extract_anchors(pages))
 
 
 def _q_link_extract(spark, sf):
@@ -929,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frame_sample,
         "link_extract": _q_link_extract,
         "link_outdegree": _q_link_outdegree,
+        "anchor_text": _q_anchor_text,
         "http_header_skip": _q_http_header_skip,
         "url_segment": _q_url_segment,
         "minhash_neardup": _q_minhash_neardup,
@@ -973,6 +1014,26 @@ WITH synth AS (
 # the synth url / host constructions as standalone SQL expressions
 # (over a ``doc_id`` column), reused by the snapshot / link / render
 # oracles; must stay in lockstep with _synth_url_col()
+_ANCHOR_TEXT_SQL = (
+    _SYNTH_URLS_SQL.rstrip()
+    + """,
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+e AS (
+  SELECT (d.doc_id * 2 + 1) % nn.n AS t,
+         (CASE d.doc_id % 3 WHEN 0 THEN 'review' WHEN 1 THEN 'guide'
+               ELSE 'docs' END)
+           || ' ' || ((d.doc_id * 2 + 1) % nn.n)::VARCHAR AS anchor
+  FROM documents d, nn
+  UNION ALL
+  SELECT (d.doc_id * 5 + 3) % nn.n,
+         'site ' || ((d.doc_id * 5 + 3) % nn.n)::VARCHAR
+  FROM documents d, nn)
+SELECT s.url AS dst_url, e.anchor, count(*)::BIGINT AS n_refs
+FROM e JOIN synth s ON s.doc_id = e.t
+GROUP BY 1, 2"""
+)
+
+
 _SYNTH_HOST_EXPR = """'site' || (doc_id % 97)::VARCHAR
   || CASE doc_id % 4 WHEN 0 THEN '.example.cn' WHEN 1 THEN '.example.com'
                      WHEN 2 THEN '.example.de' ELSE '.example.org' END"""
@@ -1746,6 +1807,7 @@ def oracle_sql() -> dict[str, str]:
                || 'http://' || host || '/rel' || doc_id::VARCHAR || ','
                || 'http://' || host || '/f' || doc_id::VARCHAR AS out_urls
         FROM synth""",
+        "anchor_text": _ANCHOR_TEXT_SQL,
         "http_header_skip": """
         WITH raws AS (
           SELECT doc_id,

@@ -160,3 +160,43 @@ def test_crawl_wave(spark, pages_df):
         assert not crawl.is_filter_link_py(u)
         assert not crawl.is_image_url_py(u)
     assert len(rows) == len(set(rows))
+
+
+def test_extract_anchors(spark):
+    html = (
+        '<a href="http://x.cn/a">First  Link</a>'
+        '<a href="/rel">rel\ttext</a>'
+        "<a href='http://sq.cn/'>single-quoted skipped</a>"
+        '<a href="javascript:alert(1)">js kept-out by scheme</a>'
+        '<a href="http://x.cn/e"></a>'  # empty anchor dropped
+        '<a class="z" href="http://x.cn/c" id="k">attrs ok</a>'
+    )
+    df = spark.createDataFrame(
+        [("http://host.example.com/p", html)], "url string, html string"
+    )
+    got = {
+        (r["dst_url"], r["anchor"])
+        for r in crawl.extract_anchors(df).collect()
+    }
+    assert got == {
+        ("http://x.cn/a", "First Link"),  # whitespace squeezed
+        ("http://host.example.com/rel", "rel text"),  # host-resolved
+        ("http://x.cn/c", "attrs ok"),
+    }
+
+
+def test_anchor_text_agg(spark):
+    rows = [
+        ("http://s1/", "http://t/", "home"),
+        ("http://s2/", "http://t/", "home"),
+        ("http://s3/", "http://t/", "start"),
+    ]
+    df = spark.createDataFrame(rows, "url string, dst_url string, anchor string")
+    got = {
+        (r["dst_url"], r["anchor"]): r["n_refs"]
+        for r in crawl.anchor_text_agg(df).collect()
+    }
+    assert got == {
+        ("http://t/", "home"): 2,
+        ("http://t/", "start"): 1,
+    }

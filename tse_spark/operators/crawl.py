@@ -266,6 +266,77 @@ def link_outdegree(
     ).select("url", F.size("out_urls").alias("outdegree"), "out_urls")
 
 
+def extract_anchors(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, dst_url, anchor) rows from ``<a href="...">text</a>`` tags
+    — the incoming-anchor-text signal classic web ranking layers on top
+    of the page's own terms (the reference's Link4SE sink stores the
+    edge list for exactly this kind of downstream use,
+    tse/Crawl.cpp:965-1027; anchor TEXT is our extension).
+
+    Stays entirely in whole-stage codegen: one regex matched twice with
+    different capture groups (``regexp_extract_all`` returns per-group
+    arrays that align because they come from the same match positions),
+    ``arrays_zip`` + ``explode`` to rows.  Narrower by design than the
+    full C11 lexer: double-quoted hrefs only, absolute http(s) or
+    root-relative (resolved against the page host JVM-side); callers
+    needing every href form use :func:`extract_links` — which has no
+    text to align anyway for IMG/FRAME/LINK tags.
+
+    At 100 TB this is scan -> explode -> (caller's groupBy dst): the
+    only shuffle is the caller's aggregation by target, and anchors on
+    popular targets pre-aggregate map-side in
+    :func:`anchor_text_agg`."""
+    pat = r'<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(pat), F.lit(1))
+    texts = F.regexp_extract_all(F.col(html_col), F.lit(pat), F.lit(2))
+    z = pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(F.arrays_zip(hrefs.alias("h"), texts.alias("t"))).alias(
+            "__a"
+        ),
+    ).select(
+        "url",
+        F.col("__a.h").alias("__href"),
+        F.trim(F.regexp_replace(F.col("__a.t"), r"\s+", " ")).alias(
+            "anchor"
+        ),
+    )
+    href = F.col("__href")
+    dst = (
+        F.when(href.startswith("http://") | href.startswith("https://"), href)
+        .when(
+            href.startswith("/"),
+            F.concat(
+                F.lit("http://"),
+                F.parse_url(F.col("url"), F.lit("HOST")),
+                href,
+            ),
+        )
+        .otherwise(F.lit(None))
+    )
+    return (
+        z.withColumn("dst_url", dst)
+        .filter(F.col("dst_url").isNotNull() & (F.col("anchor") != ""))
+        .select("url", "dst_url", "anchor")
+    )
+
+
+def anchor_text_agg(anchors: DataFrame) -> DataFrame:
+    """(dst_url, anchor, n_refs): how many pages link to ``dst_url``
+    with this exact anchor phrase — the per-target anchor vocabulary a
+    ranking layer joins against the index (anchor tf for BM25F-style
+    field scoring, or as query-independent evidence).
+
+    One hash aggregation: partial counts combine map-side, so a target
+    every page links to ("home") never concentrates rows on one task
+    before reduction."""
+    return anchors.groupBy("dst_url", "anchor").agg(
+        F.count(F.lit(1)).alias("n_refs")
+    )
+
+
 def frontier_wave(frontier: DataFrame, visited: DataFrame) -> DataFrame:
     """C6: urls not yet seen — md5 anti-join (the reference's
     setVisitedUrlMD5 membership gate, tse/Crawl.cpp:1413-1436)."""
