@@ -826,6 +826,19 @@ def _ann_index_dir(spark, sf, kind: str) -> str:
                 similarity.build_lsh_signature_table(
                     emb, out, dim=EMB_DIM, n_planes=2, n_bands=8, seed=7
                 )
+            elif kind == "lsh_appended":
+                # half the corpus at build time, half via the O(delta)
+                # append path — must serve identically to a full build
+                similarity.build_lsh_signature_table(
+                    emb.filter(F.col("vec_id") % 2 == 0),
+                    out, dim=EMB_DIM, n_planes=2, n_bands=8, seed=7,
+                )
+                similarity.append_ann_index(
+                    spark,
+                    out,
+                    emb.filter(F.col("vec_id") % 2 == 1),
+                    assume_disjoint=True,
+                )
             else:
                 similarity.build_ivf_cell_table(emb, out, n_cells=8)
         _ANN_INDEX_CACHE[key] = out
@@ -843,6 +856,20 @@ def _q_lsh_ann_indexed(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = similarity.get_query_vec(emb, 0)
     idx = _ann_index_dir(spark, sf, "lsh")
+    return similarity.lsh_ann_topk_indexed(spark, idx, qv, K)
+
+
+def _q_lsh_ann_appended(spark, sf):
+    """Serving from an index built on half the vectors with the other
+    half added by append_ann_index (O(delta), meta-gated visibility) —
+    results must equal lsh_ann / lsh_ann_indexed exactly, which is the
+    driver-checked proof that incremental ANN maintenance does not
+    change what queries see."""
+    from tse_spark.operators import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    qv = similarity.get_query_vec(emb, 0)
+    idx = _ann_index_dir(spark, sf, "lsh_appended")
     return similarity.lsh_ann_topk_indexed(spark, idx, qv, K)
 
 
@@ -976,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "lsh_ann": _q_lsh_ann,
         "lsh_ann_indexed": _q_lsh_ann_indexed,
+        "lsh_ann_appended": _q_lsh_ann_appended,
         "ivf_ann_indexed": _q_ivf_ann_indexed,
         "pagerank": _q_pagerank,
         "dedup_components": _q_dedup_components,
@@ -1869,6 +1897,9 @@ def oracle_sql() -> dict[str, str]:
     # the oracle is shared
     out["lsh_ann_indexed"] = out["lsh_ann"]
     out["ivf_ann_indexed"] = out["ivf_ann"]
+    # ...and the O(delta)-appended index must serve the same results as
+    # a one-shot build (append buckets with the pinned params)
+    out["lsh_ann_appended"] = out["lsh_ann"]
     pages_sql = _pages_bm25_oracle_sql()
     if pages_sql:
         out["pages_bm25"] = pages_sql

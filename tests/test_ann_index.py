@@ -131,3 +131,125 @@ def test_ivf_indexed_scan_prunes_to_probed_cells(spark, qv, ivf_index):
 def test_indexed_rejects_wrong_dim(spark, lsh_index):
     with pytest.raises(ValueError, match="dim"):
         similarity.lsh_ann_topk_indexed(spark, lsh_index, [1.0, 2.0], K)
+
+
+# ---------------------------------------------------------------------------
+# O(delta) append + compaction
+# ---------------------------------------------------------------------------
+
+def _split(emb, cut=300):
+    return emb.filter(emb.vec_id < cut), emb.filter(emb.vec_id >= cut)
+
+
+@pytest.fixture()
+def appended_lsh(spark, emb, qv, tmp_path):
+    """base(vec_id<300) + appended rest, plus a full one-shot build."""
+    base, delta = _split(emb)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    similarity.build_lsh_signature_table(
+        base, inc, dim=len(qv), n_planes=2, n_bands=8, seed=7
+    )
+    similarity.append_ann_index(spark, inc, delta)
+    similarity.build_lsh_signature_table(
+        emb, full, dim=len(qv), n_planes=2, n_bands=8, seed=7
+    )
+    return inc, full
+
+
+def test_lsh_append_equals_full_build(spark, qv, appended_lsh):
+    inc, full = appended_lsh
+    got = _rows(similarity.lsh_ann_topk_indexed(spark, inc, qv, K))
+    want = _rows(similarity.lsh_ann_topk_indexed(spark, full, qv, K))
+    assert got == want
+
+
+def test_ivf_append_equals_full_build(spark, emb, qv, tmp_path):
+    base, delta = _split(emb)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    # centroid seeds (vec_id < 8) are all in the base slice, so the
+    # incremental index assigns deltas with the SAME centroids as full
+    similarity.build_ivf_cell_table(base, inc, n_cells=8)
+    similarity.append_ann_index(spark, inc, delta)
+    similarity.build_ivf_cell_table(emb, full, n_cells=8)
+    got = _rows(
+        similarity.ivf_ann_topk_indexed(spark, inc, qv, K, n_probe=2)
+    )
+    want = _rows(
+        similarity.ivf_ann_topk_indexed(spark, full, qv, K, n_probe=2)
+    )
+    assert got == want
+
+
+def test_append_antijoin_drops_resent_vectors(spark, emb, qv, appended_lsh):
+    import json
+
+    inc, _ = appended_lsh
+    # re-send an overlapping slice: all of it must be dropped
+    similarity.append_ann_index(spark, inc, emb.filter(emb.vec_id < 350))
+    with open(os.path.join(inc, "meta.json")) as f:
+        meta = json.load(f)
+    rows = similarity._read_pinned(
+        spark, meta, similarity._index_dirs(inc, meta)
+    )
+    n_vecs = emb.count()
+    assert rows.count() == n_vecs * meta["n_bands"]
+    assert rows.select("vec_id", "band").distinct().count() == (
+        n_vecs * meta["n_bands"]
+    )
+
+
+def test_append_crash_before_publish_leaves_index_intact(
+    spark, emb, qv, tmp_path, monkeypatch
+):
+    base, delta = _split(emb)
+    inc = str(tmp_path / "inc")
+    similarity.build_lsh_signature_table(
+        base, inc, dim=len(qv), n_planes=2, n_bands=8, seed=7
+    )
+    before = _rows(similarity.lsh_ann_topk_indexed(spark, inc, qv, K))
+
+    def boom(*a, **k):
+        raise OSError("injected crash before meta publish")
+
+    monkeypatch.setattr(similarity, "_publish_meta", boom)
+    with pytest.raises(OSError, match="injected"):
+        similarity.append_ann_index(spark, inc, delta)
+    monkeypatch.undo()
+    # torn append invisible: readers see exactly the pre-append index
+    assert _rows(
+        similarity.lsh_ann_topk_indexed(spark, inc, qv, K)
+    ) == before
+    # retry overwrites the orphan delta dir and succeeds
+    similarity.append_ann_index(spark, inc, delta)
+    full = str(tmp_path / "full")
+    similarity.build_lsh_signature_table(
+        emb, full, dim=len(qv), n_planes=2, n_bands=8, seed=7
+    )
+    assert _rows(
+        similarity.lsh_ann_topk_indexed(spark, inc, qv, K)
+    ) == _rows(similarity.lsh_ann_topk_indexed(spark, full, qv, K))
+
+
+def test_compact_folds_deltas_to_one_dir(spark, emb, qv, tmp_path):
+    import json
+
+    base, delta = _split(emb)
+    d1, d2 = _split(delta, 400)
+    inc = str(tmp_path / "inc")
+    similarity.build_lsh_signature_table(
+        base, inc, dim=len(qv), n_planes=2, n_bands=8, seed=7
+    )
+    similarity.append_ann_index(spark, inc, d1)
+    similarity.append_ann_index(spark, inc, d2)
+    before = _rows(similarity.lsh_ann_topk_indexed(spark, inc, qv, K))
+    similarity.compact_ann_index(spark, inc)
+    with open(os.path.join(inc, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["data_dirs"] == ["data_v0001"]
+    assert not os.path.exists(os.path.join(inc, "data"))
+    assert not os.path.exists(os.path.join(inc, "data_delta_0001"))
+    assert _rows(
+        similarity.lsh_ann_topk_indexed(spark, inc, qv, K)
+    ) == before

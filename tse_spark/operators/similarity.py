@@ -144,15 +144,42 @@ def lsh_ann_topk(
 # materialized sign-LSH index (build once, partition-prune per query)
 # ---------------------------------------------------------------------------
 
-def _read_pinned(spark: SparkSession, meta: dict, data_dir: str) -> DataFrame:
+def _read_pinned(spark: SparkSession, meta: dict, data_dir) -> DataFrame:
     """Read an index table with the schema pinned at build time (no
-    inference: planning never opens a data file's footer)."""
+    inference: planning never opens a data file's footer).  Accepts one
+    dir or a list (base + append deltas); a union of per-dir scans
+    keeps partition pruning working independently under each root."""
+    from functools import reduce
+
     from pyspark.sql import types as T
 
-    reader = spark.read
-    if "schema" in meta:
-        reader = reader.schema(T.StructType.fromJson(json.loads(meta["schema"])))
-    return reader.parquet(data_dir)
+    dirs = [data_dir] if isinstance(data_dir, str) else list(data_dir)
+
+    def one(d: str) -> DataFrame:
+        reader = spark.read
+        if "schema" in meta:
+            reader = reader.schema(
+                T.StructType.fromJson(json.loads(meta["schema"]))
+            )
+        return reader.parquet(d)
+
+    return reduce(DataFrame.unionByName, (one(d) for d in dirs))
+
+
+def _index_dirs(index_dir: str, meta: dict) -> list[str]:
+    return [
+        os.path.join(index_dir, d) for d in meta.get("data_dirs", ["data"])
+    ]
+
+
+def _publish_meta(out_dir: str, meta: dict) -> None:
+    """meta.json is the index's visibility gate: written via tmp +
+    atomic replace, ALWAYS last — a crash anywhere earlier leaves the
+    previous index fully intact (same contract as plans/append.py)."""
+    tmp = os.path.join(out_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
 
 
 def _lsh_probes(
@@ -183,6 +210,29 @@ def _lsh_probes(
     return probe_rows
 
 
+def _lsh_rows(
+    emb: DataFrame, dim: int, n_planes: int, n_bands: int, seed: int
+) -> DataFrame:
+    """One row per (vector, band) with packed sign signature — the same
+    JVM expression the on-the-fly path compiles; shared by build and
+    append so every generation of the index hashes identically."""
+    band_sig_cols = []
+    for bi in range(n_bands):
+        planes = _hyperplanes(dim, n_planes, seed + 101 * bi)
+        band_sig_cols.append(
+            F.struct(
+                F.lit(bi).alias("band"), lsh_bucket_col(planes).alias("sig")
+            )
+        )
+    return emb.select(
+        *emb.columns, F.explode(F.array(*band_sig_cols)).alias("__bs")
+    ).select(
+        *emb.columns,
+        F.col("__bs.band").alias("band"),
+        F.col("__bs.sig").alias("sig"),
+    )
+
+
 def build_lsh_signature_table(
     emb: DataFrame,
     out_dir: str,
@@ -210,21 +260,7 @@ def build_lsh_signature_table(
     identical by construction.  ``meta.json`` records the params
     (written last — a crash mid-build leaves no readable index).
     """
-    band_sig_cols = []
-    for bi in range(n_bands):
-        planes = _hyperplanes(dim, n_planes, seed + 101 * bi)
-        band_sig_cols.append(
-            F.struct(
-                F.lit(bi).alias("band"), lsh_bucket_col(planes).alias("sig")
-            )
-        )
-    rows = emb.select(
-        *emb.columns, F.explode(F.array(*band_sig_cols)).alias("__bs")
-    ).select(
-        *emb.columns,
-        F.col("__bs.band").alias("band"),
-        F.col("__bs.sig").alias("sig"),
-    )
+    rows = _lsh_rows(emb, dim, n_planes, n_bands, seed)
     data_dir = os.path.join(out_dir, "data")
     rows.write.mode("overwrite").partitionBy("band", "sig").parquet(data_dir)
     meta = {
@@ -239,11 +275,9 @@ def build_lsh_signature_table(
         # time — a pointless listing+IO cost on a huge table, and it
         # would touch non-probed buckets)
         "schema": rows.schema.json(),
+        "data_dirs": ["data"],
     }
-    tmp = os.path.join(out_dir, "meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+    _publish_meta(out_dir, meta)
     return out_dir
 
 
@@ -274,7 +308,7 @@ def lsh_ann_topk_indexed(
         query_vec, int(meta["n_planes"]), int(meta["n_bands"]),
         int(meta["seed"]), hamming_probe,
     )
-    t = _read_pinned(spark, meta, os.path.join(index_dir, "data"))
+    t = _read_pinned(spark, meta, _index_dirs(index_dir, meta))
     pred = None
     for b, s in probes:
         clause = (F.col("band") == b) & (F.col("sig") == s)
@@ -400,11 +434,9 @@ def build_ivf_cell_table(
         "centroids": centroids,
         "columns": list(emb.columns),
         "schema": ivf_assign(emb, centroids).schema.json(),
+        "data_dirs": ["data"],
     }
-    tmp = os.path.join(out_dir, "meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+    _publish_meta(out_dir, meta)
     return out_dir
 
 
@@ -424,11 +456,108 @@ def ivf_ann_topk_indexed(
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     probe = _ivf_probe_cells(meta["centroids"], query_vec, n_probe)
-    t = _read_pinned(spark, meta, os.path.join(index_dir, "data"))
+    t = _read_pinned(spark, meta, _index_dirs(index_dir, meta))
     cand = t.filter(F.col("cell").isin(probe)).drop("cell")
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
     return cosine_topk(cand, query_vec, k)
+
+
+# ---------------------------------------------------------------------------
+# ANN index maintenance: O(delta) append + compaction
+# ---------------------------------------------------------------------------
+
+def append_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    assume_disjoint: bool = False,
+) -> str:
+    """Append new vectors to a materialized ANN index (either kind) at
+    O(delta) cost: hash/assign ONLY the new rows with the params/
+    centroids pinned in meta.json (so every generation buckets
+    identically), write them to a fresh ``data_delta_NNNN`` dir, then
+    atomically republish meta with the dir appended.  No existing file
+    is touched; a crash before the publish leaves the index exactly as
+    it was (readers only see dirs meta lists), and a retry overwrites
+    the orphan delta dir — idempotent.
+
+    ``assume_disjoint=False`` anti-joins the delta against the live
+    index's vec_ids (a column-pruned scan of just vec_id) so re-sent
+    vectors cannot double-index; pass True when the caller guarantees
+    fresh ids (e.g. ids allocated by the text-index append) to skip
+    that scan — at 10^12 vectors the scan is the dominant cost.
+
+    Queries over an appended index read base + deltas as a union of
+    pruned scans; after many small appends run
+    :func:`compact_ann_index` to fold the deltas back into one dir
+    (small-file pressure, same maintenance rhythm as the text index's
+    plans/compact.py)."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    cols = meta.get("columns", emb.columns)
+    if sorted(cols) != sorted(emb.columns):
+        raise ValueError(
+            f"append_ann_index: delta columns {sorted(emb.columns)} != "
+            f"index columns {sorted(cols)}"
+        )
+    if not assume_disjoint:
+        live = _read_pinned(spark, meta, _index_dirs(index_dir, meta))
+        emb = emb.join(
+            live.select("vec_id").distinct(), "vec_id", "left_anti"
+        )
+    if meta["kind"] == "lsh_sign":
+        rows = _lsh_rows(
+            emb.select(*cols),
+            int(meta["dim"]),
+            int(meta["n_planes"]),
+            int(meta["n_bands"]),
+            int(meta["seed"]),
+        )
+        part_cols = ["band", "sig"]
+    elif meta["kind"] == "ivf":
+        rows = ivf_assign(emb.select(*cols), meta["centroids"])
+        part_cols = ["cell"]
+    else:  # pragma: no cover - corrupt meta
+        raise ValueError(f"unknown ANN index kind {meta.get('kind')!r}")
+    dirs = meta.get("data_dirs", ["data"])
+    delta = f"data_delta_{len(dirs):04d}"
+    rows.write.mode("overwrite").partitionBy(*part_cols).parquet(
+        os.path.join(index_dir, delta)
+    )
+    meta["data_dirs"] = dirs + [delta]
+    _publish_meta(index_dir, meta)
+    return delta
+
+
+def compact_ann_index(spark: SparkSession, index_dir: str) -> str:
+    """Fold base + append deltas back into ONE versioned data dir and
+    atomically republish meta pointing at it.  Rows are already
+    bucketed — compaction is a partition-preserving rewrite (read union
+    → write partitioned), no re-hashing.  Crash before the publish
+    leaves the uncompacted index intact; old dirs are removed
+    best-effort AFTER the publish (a leftover orphan is invisible to
+    readers and reclaimed by the next compact)."""
+    import shutil
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    old = meta.get("data_dirs", ["data"])
+    part_cols = (
+        ["band", "sig"] if meta["kind"] == "lsh_sign" else ["cell"]
+    )
+    gen = int(meta.get("compact_gen", 0)) + 1
+    new_dir = f"data_v{gen:04d}"
+    rows = _read_pinned(spark, meta, _index_dirs(index_dir, meta))
+    rows.write.mode("overwrite").partitionBy(*part_cols).parquet(
+        os.path.join(index_dir, new_dir)
+    )
+    meta["data_dirs"] = [new_dir]
+    meta["compact_gen"] = gen
+    _publish_meta(index_dir, meta)
+    for d in old:
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    return new_dir
 
 
 # ---------------------------------------------------------------------------
