@@ -673,6 +673,58 @@ def _q_anchor_text(spark, sf):
     return crawl.anchor_text_agg(crawl.extract_anchors(pages))
 
 
+def _q_bm25f_anchor(spark, sf):
+    """Fielded web ranking: body BM25 + 0.5 x anchor-field BM25 where
+    the anchor evidence comes through the REAL pipeline — law-built html
+    → extract_anchors (codegen regex) → join targets back to doc ids →
+    per-(doc, term) counts → bm25f_topk.  Each doc links to (2i+1)%n
+    with one of the query terms as anchor text (and to (5i+3)%n with a
+    non-query phrase that must prune out), so anchor evidence genuinely
+    reshuffles the body ranking.  Oracle: same law + the same fielded
+    formula in SQL."""
+    from tse_spark.operators import crawl
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(
+        tf.filter(F.col("term").isin(list(set(BM25_QUERY))))
+    )
+    n, avgdl = ib.corpus_stats(doclen)
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n_df = docs.agg(F.count(F.lit(1)).alias("__n"))
+    base = docs.crossJoin(n_df)
+    i, nn = F.col("doc_id"), F.col("__n")
+    t1, t2 = (i * 2 + 1) % nn, (i * 5 + 3) % nn
+    label = (
+        F.when(i % 3 == 0, BM25_QUERY[0])
+        .when(i % 3 == 1, BM25_QUERY[1])
+        .otherwise(BM25_QUERY[2])
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        _synth_url_col(t1),
+        F.lit('">'),
+        label,
+        F.lit('</a><a href="'),
+        _synth_url_col(t2),
+        F.lit('">site</a></body></html>'),
+    )
+    pages = base.select(_synth_url_col().alias("url"), html.alias("html"))
+    anchors = crawl.extract_anchors(pages)
+    targets = _synth_urls(spark, sf)
+    anchor_tf = (
+        anchors.join(targets, anchors.dst_url == targets.url)
+        .groupBy("doc_id", F.col("anchor").alias("term"))
+        .agg(F.count(F.lit(1)).alias("atf"))
+    )
+    out = ib.bm25f_topk(
+        spark, tf, doclen, dfreq, n, avgdl, anchor_tf, BM25_QUERY, K
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_link_extract(spark, sf):
     """C11 link extraction over documents-derived synthetic html
     (scales with sf; oracle-checked — see _synth_html_col)."""
@@ -997,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": _q_link_extract,
         "link_outdegree": _q_link_outdegree,
         "anchor_text": _q_anchor_text,
+        "bm25f_anchor": _q_bm25f_anchor,
         "http_header_skip": _q_http_header_skip,
         "url_segment": _q_url_segment,
         "minhash_neardup": _q_minhash_neardup,
@@ -1557,6 +1610,34 @@ def oracle_sql() -> dict[str, str]:
         FROM perterm GROUP BY doc_id
         HAVING count(*) = {len(BM25_CONJ_QUERY)}
         ORDER BY sum(s) DESC, doc_id LIMIT 10""",
+        # body BM25 + 0.5 x anchor-field BM25 (b=0, anchor-df idf, full
+        # outer combine) — anchor counts re-derived from the link law
+        "bm25f_anchor": _TOK
+        + bm25_3
+        + f"""
+        , nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        ae AS (
+          SELECT (d.doc_id * 2 + 1) % nn.n AS doc_id,
+                 CASE d.doc_id % 3 WHEN 0 THEN '{BM25_QUERY[0]}'
+                      WHEN 1 THEN '{BM25_QUERY[1]}'
+                      ELSE '{BM25_QUERY[2]}' END AS term
+          FROM documents d, nn),
+        atf AS (SELECT doc_id, term, count(*)::BIGINT AS atf
+                FROM ae GROUP BY 1, 2),
+        adf AS (SELECT term, count(*)::BIGINT AS adf FROM atf
+                WHERE term IN ({terms3}) GROUP BY 1),
+        aper AS (
+          SELECT atf.doc_id,
+                 ln(1 + (stats.n_docs - adf.adf + 0.5) / (adf.adf + 0.5))
+                   * atf.atf * 2.2 / (atf.atf + 1.2) AS s
+          FROM atf JOIN adf USING (term) CROSS JOIN stats
+          WHERE atf.term IN ({terms3})),
+        bsum AS (SELECT doc_id, sum(s) AS b FROM perterm GROUP BY 1),
+        asum AS (SELECT doc_id, sum(s) AS a FROM aper GROUP BY 1)
+        SELECT coalesce(bsum.doc_id, asum.doc_id) AS doc_id,
+               round(coalesce(b, 0) + 0.5 * coalesce(a, 0), 4) AS score
+        FROM bsum FULL OUTER JOIN asum ON bsum.doc_id = asum.doc_id
+        ORDER BY 2 DESC, 1 LIMIT 10""",
         # WAND over compressed shards must reproduce exhaustive BM25
         "wand_topk": _TOK
         + bm25_3

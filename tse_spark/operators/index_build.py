@@ -332,6 +332,28 @@ def bm25_topk(
         return spark.createDataFrame(
             [], "doc_id long, score double"
         )
+    agg = bm25_scores(spark, tf, doclen, dfreq, n_docs, avgdl, terms)
+    if conjunctive:
+        agg = agg.filter(F.col("nterms") == len(terms))
+    return (
+        agg.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_scores(
+    spark: SparkSession,
+    tf: DataFrame,
+    doclen: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+) -> DataFrame:
+    """Per-doc BM25 partial sums ``(doc_id, score, nterms)`` over the
+    matched query terms — the composable core of :func:`bm25_topk`,
+    reused by field-combining scorers (:func:`bm25f_topk`)."""
     if len(terms) <= 64:
         # short queries: a pushed-down IN predicate prunes the tf scan
         # with zero extra jobs (a broadcast join would schedule a
@@ -363,13 +385,68 @@ def bm25_topk(
             ),
         )
     )
-    agg = per_term.groupBy("doc_id").agg(
+    return per_term.groupBy("doc_id").agg(
         F.sum("s").alias("score"), F.count(F.lit(1)).alias("nterms")
     )
-    if conjunctive:
-        agg = agg.filter(F.col("nterms") == len(terms))
+
+
+def bm25f_topk(
+    spark: SparkSession,
+    tf: DataFrame,
+    doclen: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    anchor_tf: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    w_anchor: float = 0.5,
+) -> DataFrame:
+    """Fielded ranking: body BM25 plus ``w_anchor`` times an anchor-field
+    BM25 — the classic web-search move of letting what OTHER pages say
+    about a target count as evidence (per-field scores summed, the
+    simple fielded variant; true BM25F would merge tfs pre-saturation).
+
+    ``anchor_tf`` is ``(doc_id, term, atf)`` from
+    :func:`tse_spark.operators.crawl.anchor_text_agg` joined to doc ids.
+    The anchor field uses b=0 (anchor sets are short evidence strings,
+    not length-normalized documents) and its own df for idf with the
+    corpus-level N.  A doc matched only via anchors still ranks (full
+    outer combine) — the page about the query that never says the words.
+
+    Scale shape: both fields prune on the broadcast/IN term list before
+    any shuffle; the combine joins two per-doc aggregates (tiny — only
+    matching docs survive)."""
+    terms = sorted(set(terms))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    body = bm25_scores(spark, tf, doclen, dfreq, n_docs, avgdl, terms)
+    k1 = oracle.BM25_K1
+    atf_q = anchor_tf.filter(F.col("term").isin(terms))
+    adf = atf_q.groupBy("term").agg(
+        F.count(F.lit(1)).alias("adf")
+    )
+    aidf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("adf") + F.lit(0.5))
+        / (F.col("adf") + F.lit(0.5))
+    )
+    aper = atf_q.join(F.broadcast(adf), "term").withColumn(
+        "s",
+        aidf * F.col("atf") * F.lit(k1 + 1.0) / (F.col("atf") + F.lit(k1)),
+    )
+    asum = aper.groupBy("doc_id").agg(F.sum("s").alias("ascore"))
+    combined = body.select("doc_id", "score").join(
+        asum, "doc_id", "full_outer"
+    )
     return (
-        agg.select("doc_id", "score")
+        combined.select(
+            "doc_id",
+            (
+                F.coalesce(F.col("score"), F.lit(0.0))
+                + F.lit(w_anchor) * F.coalesce(F.col("ascore"), F.lit(0.0))
+            ).alias("score"),
+        )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
