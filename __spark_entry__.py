@@ -474,6 +474,31 @@ def _q_bpe_token_count(spark, sf):
     return textops.bpe_token_count(_t(spark, sf, "documents"))
 
 
+def _q_bigram_count(spark, sf):
+    """Top-20 adjacent token pairs: collocation stats computed inside
+    the per-doc token array (zip_with over two slices) — one hash-agg
+    shuffle, no positional self-join."""
+    from tse_spark.operators import textops
+
+    out = textops.bigram_counts(_t(spark, sf, "documents"))
+    return out.orderBy(F.desc("n"), F.asc("bigram")).limit(20)
+
+
+def _q_doclen_quantiles(spark, sf):
+    """Exact p50/p90/p99 of document length (body tokens, 2..8-byte
+    index terms) — corpus health stats; `percentile` is the exact
+    linearly-interpolated aggregate on both engines."""
+    from tse_spark.operators import index_build as ib
+
+    dl = ib.build_doclen(_tf_ws_cached(spark, sf))
+    q = F.expr("percentile(dl, array(0.5, 0.9, 0.99))")
+    return dl.agg(
+        F.round(q[0], 4).alias("p50"),
+        F.round(q[1], 4).alias("p90"),
+        F.round(q[2], 4).alias("p99"),
+    )
+
+
 def _q_cosine_neardup(spark, sf):
     from tse_spark.operators import similarity
 
@@ -1041,6 +1066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_classify": _q_url_classify,
         "frontier_wave": _q_frontier_wave,
         "bpe_token_count": _q_bpe_token_count,
+        "bigram_count": _q_bigram_count,
+        "doclen_quantiles": _q_doclen_quantiles,
         "cosine_neardup": _q_cosine_neardup,
         "snapshot_by_url": _q_snapshot_by_url,
         "media_image_features": _q_media_image_features,
@@ -1864,6 +1891,23 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id = 42""",
         "url_classify": _url_classify_sql(),
         "bpe_token_count": _bpe_count_sql(),
+        "bigram_count": r"""
+        WITH t AS (
+          SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> strlen(x) > 0) AS arr
+          FROM documents),
+        bg AS (
+          SELECT arr[i] || ' ' || arr[i + 1] AS bigram
+          FROM (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i
+                FROM t))
+        SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY 1
+        ORDER BY n DESC, bigram LIMIT 20""",
+        "doclen_quantiles": _TOK
+        + """
+        SELECT round(quantile_cont(dl, 0.5), 4) AS p50,
+               round(quantile_cont(dl, 0.9), 4) AS p90,
+               round(quantile_cont(dl, 0.99), 4) AS p99
+        FROM dl""",
         "cosine_neardup": """
         WITH p AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,

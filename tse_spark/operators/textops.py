@@ -42,6 +42,32 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(bigram, n) — corpus counts of adjacent token pairs (same
+    lowercase whitespace tokenization as :func:`tokens`), the phrase
+    statistic collocation mining / phrase suggesters start from.
+
+    Adjacency is computed INSIDE the token array (``zip_with`` over two
+    slices of the same array) so no positions ever shuffle — only the
+    (bigram, partial count) pairs after the map-side combine.  At 100 TB
+    that means one hash-agg shuffle over the bigram vocabulary, never an
+    occurrence-level exchange or a positional self-join."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.octet_length(t) > 0,
+    )
+    bigrams = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, stop_ratio, avg_token_len, quality) — a
     length/stopword-ratio quality heuristic; quality = tokens-capped
