@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 from collections import OrderedDict
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -66,6 +67,16 @@ class SearchEngine:
         # stats-only twin for the distributed path (df without blobs)
         self._df_cache: "OrderedDict[str, int]" = OrderedDict()
         self.posting_cache_max_terms = 65536
+        # scored-posting cache: term -> (docs int32, scores float64).
+        # A term's per-posting BM25 addend depends only on (idf, avgdl)
+        # — fixed for this engine/index generation — so hot terms skip
+        # varint decode, block scans AND scoring (together ~75% of
+        # per-query time at a 2M-doc corpus); entries are ~2-4x the
+        # blob size, so this LRU is BYTE-budgeted, not entry-counted —
+        # the classic posting-cache-in-RAM design.
+        self._decoded_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._decoded_bytes = 0
+        self.decoded_cache_budget = 512 << 20
         # Q13 (reference Query.cpp:233-261 appends a timestamped query
         # line): JSONL query log, enabled by setting a path
         self.query_log_path: str | None = None
@@ -238,6 +249,39 @@ class SearchEngine:
                     self._term_cache.popitem(last=False)
         return out
 
+    def _decoded_runs(
+        self, terms: list[str], entries: dict[str, tuple[int, bytes]]
+    ) -> dict[str, tuple]:
+        """term -> (docs int32, scores float64) via the byte-budgeted
+        LRU; a cache miss decodes the term's merged blob and scores it
+        ONCE with this engine's fixed (idf, avgdl)."""
+        from tse_spark.operators import codec
+
+        out: dict[str, tuple] = {}
+        for t in terms:
+            arrs = self._decoded_cache.get(t)
+            if arrs is None:
+                docs, tfs, dls = codec.decode_all(entries[t][1])
+                if len(docs) == 0 or docs.max() < 2**31:
+                    docs = docs.astype(np.int32, copy=False)
+                scores = wand_mod._score_arrays(
+                    bm25_idf(self.n_docs, entries[t][0]), tfs, dls,
+                    self.avgdl,
+                )
+                arrs = (docs, scores)
+                self._decoded_cache[t] = arrs
+                self._decoded_bytes += sum(a.nbytes for a in arrs)
+                while (
+                    self._decoded_bytes > self.decoded_cache_budget
+                    and len(self._decoded_cache) > 1
+                ):
+                    _, old = self._decoded_cache.popitem(last=False)
+                    self._decoded_bytes -= sum(a.nbytes for a in old)
+            else:
+                self._decoded_cache.move_to_end(t)
+            out[t] = arrs
+        return out
+
     def search_local(
         self, query: str, k: int = 10, conjunctive: bool = False
     ) -> list[tuple[int, float]]:
@@ -258,16 +302,19 @@ class SearchEngine:
         import time as _t
 
         t0 = _t.time()
-        runs = [(idf[t], entries[t][1]) for t in idf]
+        present = sorted(idf)
+        decoded = self._decoded_runs(present, entries)
+        runs = [decoded[t] for t in present]
         if conjunctive:
             if len(runs) < len(terms):
                 out: list[tuple[int, float]] = []
             else:
-                out = wand_mod.intersect_topk_vec(runs, self.avgdl, k)
+                out = wand_mod.intersect_topk_scored(runs, k)
         else:
-            out = wand_mod.blockmax_topk_local(
-                runs, self.avgdl, k, bound_scale=self.bound_scale
-            )
+            # addends were scored exactly with the LIVE avgdl at cache
+            # fill — no block-max pruning on this path, so no
+            # bound_scale correction is needed either
+            out = wand_mod.topk_from_scored(runs, k, n_docs=self.n_docs)
         out = out[:k]
         self._log_query(query, k, len(out), (_t.time() - t0) * 1000.0)
         return out
