@@ -89,6 +89,7 @@ os.makedirs(SCRATCH, exist_ok=True)
 
 HEADLINE = [
     "bm25_topk",
+    "bm25f_anchor",
     "wand_topk",
     "tf_table",
     "postings_strings",
@@ -97,6 +98,7 @@ HEADLINE = [
     "quality_score",
     "lang_id",
     "doc_fingerprint",
+    "anchor_text",
     "replica_groups",
     "minhash_neardup",
     "simhash",
