@@ -474,6 +474,32 @@ def _q_bpe_token_count(spark, sf):
     return textops.bpe_token_count(_t(spark, sf, "documents"))
 
 
+PHRASE_QUERY = "spark join"  # quoted-query phrase over the synth corpus
+SPELL_TERM = "sparc"  # misspelling of 'spark' (distance 1)
+
+
+def _q_phrase_match(spark, sf):
+    """Quoted-query serving: docs containing the exact token-adjacent
+    phrase, with per-doc hit counts — matched inside the token array
+    (codegen), positions never shuffle."""
+    from tse_spark.operators import textops
+
+    out = textops.phrase_match(_t(spark, sf, "documents"), PHRASE_QUERY)
+    return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+def _q_spell_suggest(spark, sf):
+    """'Did you mean': top-5 vocabulary terms nearest the misspelled
+    query term by levenshtein, ties by df then lexicographic; runs over
+    the vocabulary-sized df aggregate with a length-window prefilter."""
+    from tse_spark.operators import textops
+
+    out = textops.spell_suggest(_tf_ws_cached(spark, sf), SPELL_TERM, k=5)
+    return out.select(
+        "term", F.col("dist").cast("long").alias("dist"), "df"
+    )
+
+
 def _q_bigram_count(spark, sf):
     """Top-20 adjacent token pairs: collocation stats computed inside
     the per-doc token array (zip_with over two slices) — one hash-agg
@@ -1068,6 +1094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": _q_bpe_token_count,
         "bigram_count": _q_bigram_count,
         "doclen_quantiles": _q_doclen_quantiles,
+        "phrase_match": _q_phrase_match,
+        "spell_suggest": _q_spell_suggest,
         "cosine_neardup": _q_cosine_neardup,
         "snapshot_by_url": _q_snapshot_by_url,
         "media_image_features": _q_media_image_features,
@@ -1908,6 +1936,27 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(dl, 0.9), 4) AS p90,
                round(quantile_cont(dl, 0.99), 4) AS p99
         FROM dl""",
+        "phrase_match": rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> strlen(x) > 0) AS arr
+          FROM documents),
+        pos AS (
+          SELECT doc_id, arr,
+                 unnest(generate_series(1, len(arr) - 1)) AS i
+          FROM t)
+        SELECT doc_id, count(*)::BIGINT AS n_hits FROM pos
+        WHERE arr[i] = '{PHRASE_QUERY.split()[0]}'
+          AND arr[i + 1] = '{PHRASE_QUERY.split()[1]}'
+        GROUP BY 1""",
+        "spell_suggest": _TOK
+        + f"""
+        SELECT term, levenshtein(term, '{SPELL_TERM}')::BIGINT AS dist, df
+        FROM dfreq
+        WHERE abs(strlen(term) - strlen('{SPELL_TERM}')) <= 2
+          AND levenshtein(term, '{SPELL_TERM}') <= 2
+        ORDER BY dist, df DESC, term LIMIT 5""",
         "cosine_neardup": """
         WITH p AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -20,3 +20,50 @@ def test_bigram_counts(spark):
         ("data big", 2),
         ("data rocks", 1),
     }
+
+
+def test_phrase_match_two_words(spark):
+    rows = [
+        (1, "big data big data"),   # 2 hits
+        (2, "big and data"),        # not adjacent
+        (3, "BIG  DATA"),           # case/whitespace folded -> 1 hit
+        (4, "data big"),            # wrong order
+        (5, "big"),                 # shorter than the phrase
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["n_hits"])
+        for r in textops.phrase_match(df, "Big Data").collect()
+    }
+    assert got == {(1, 2), (3, 1)}
+
+
+def test_phrase_match_three_words_overlapping(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b a a a")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["n_hits"])
+        for r in textops.phrase_match(df, "a a a").collect()
+    }
+    # doc 1: starts at 1 and 2; doc 2: only the trailing run
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_spell_suggest(spark):
+    rows = [
+        (1, "spark spark spark sparse spars park ship"),
+        (2, "spark sharp spam"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from tse_spark.operators import index_build as ib
+
+    tf = ib.build_tf_ws(docs)
+    got = [
+        (r["term"], r["dist"], r["df"])
+        for r in textops.spell_suggest(tf, "spakr", k=3).collect()
+    ]
+    # dist 1: none; dist 2: spark (df 2) wins over spars/sharp...
+    assert got[0] == ("spark", 2, 2)
+    assert all(d <= 2 for _, d, _ in got)

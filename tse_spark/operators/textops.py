@@ -68,6 +68,79 @@ def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def phrase_match(
+    docs: DataFrame, phrase: str, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_hits) for documents containing the exact token-adjacent
+    phrase — the serving-side "quoted query" feature.  The n-gram is
+    matched inside each doc's token array (the same zip_with-over-slices
+    construction as :func:`bigram_counts`, generalized to len(phrase)
+    words), so matching is pure codegen and positions never shuffle;
+    only matching (doc_id, n_hits) rows leave the scan.
+
+    Tokenization matches :func:`tokens` (lowercase, whitespace), so
+    "big data" matches "Big  DATA" but not "bigdata"."""
+    words = [w for w in phrase.lower().split() if w]
+    if not words:
+        raise ValueError("empty phrase")
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.octet_length(t) > 0,
+    )
+    n = len(words)
+    # acc[i] = true iff the phrase starts at token position i+1: start
+    # from word-0 equality over the window slice, then AND in each
+    # subsequent word's shifted slice
+    win_len = F.greatest(F.size(arr) - (n - 1), F.lit(0))
+    acc = F.transform(
+        F.slice(arr, 1, win_len), lambda a: a == F.lit(words[0])
+    )
+    def _and_word(word: str):
+        # zip_with inspects the lambda's arity: keep it strictly binary
+        return lambda m, w: m & (w == F.lit(word))
+
+    for i in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(arr, 1 + i, win_len), _and_word(words[i])
+        )
+    n_hits = F.size(F.filter(acc, lambda m: m))
+    return (
+        docs.select("doc_id", n_hits.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def spell_suggest(
+    tf: DataFrame, term: str, k: int = 5, max_dist: int = 2
+) -> DataFrame:
+    """(term, dist, df) — the ``k`` index-vocabulary terms closest to a
+    (possibly misspelled) query term by Levenshtein distance, ties
+    broken by higher df then lexicographic: the "did you mean" feature
+    every search box grew after this reference's era.
+
+    Runs over the df aggregate (vocabulary-sized, tiny next to the
+    corpus), with a cheap codegen length-window prefilter ahead of the
+    O(len^2) levenshtein so the distance only runs on plausible
+    candidates.  At web scale the vocabulary is still only millions of
+    rows — this is a single narrow scan, no shuffle before the top-k."""
+    from tse_spark.operators import index_build as ib
+
+    q = term.lower()
+    vocab = ib.build_df_stats(tf)
+    cand = vocab.filter(
+        (F.length("term") >= len(q) - max_dist)
+        & (F.length("term") <= len(q) + max_dist)
+    )
+    out = cand.withColumn(
+        "dist", F.levenshtein(F.col("term"), F.lit(q))
+    ).filter(F.col("dist") <= max_dist)
+    return (
+        out.select("term", "dist", "df")
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, stop_ratio, avg_token_len, quality) — a
     length/stopword-ratio quality heuristic; quality = tokens-capped
