@@ -724,6 +724,47 @@ def _q_anchor_text(spark, sf):
     return crawl.anchor_text_agg(crawl.extract_anchors(pages))
 
 
+def _q_search_collapsed(spark, sf):
+    """Site-collapsed serving: top-50 BM25 candidates -> at most 2
+    results per host (window over parse_url(HOST)) -> global top-10,
+    the diversity rule that stops one site from filling the page.
+    Oracle: same window law over the synth host construction."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import textops
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(
+        tf.filter(F.col("term").isin(list(set(BM25_QUERY))))
+    )
+    n, avgdl = ib.corpus_stats(doclen)
+    top = ib.bm25_topk(spark, tf, doclen, dfreq, n, avgdl, BM25_QUERY, 50)
+    ranked = top.join(_synth_urls(spark, sf), "doc_id").select(
+        "doc_id", "url", "score"
+    )
+    out = textops.collapse_by_host(ranked, per_host=2, k=K)
+    return out.select(
+        "doc_id", "url", F.round("score", 4).alias("score")
+    )
+
+
+def _q_ann_recall(spark, sf):
+    """Recall@10 of the multi-probe LSH ANN against the exact cosine
+    top-10 — the evaluation loop an embedding pipeline runs whenever it
+    swaps an index or re-tunes probes; one row (k, n_hit, recall)."""
+    hit = (
+        _q_lsh_ann(spark, sf)
+        .select("vec_id")
+        .join(_q_cosine_topk(spark, sf).select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return hit.select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n_hit"),
+        F.round(F.col("n_hit") / 10.0, 4).alias("recall"),
+    )
+
+
 def _q_bm25f_anchor(spark, sf):
     """Fielded web ranking: body BM25 + 0.5 x anchor-field BM25 where
     the anchor evidence comes through the REAL pipeline — law-built html
@@ -1105,6 +1146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_outdegree": _q_link_outdegree,
         "anchor_text": _q_anchor_text,
         "bm25f_anchor": _q_bm25f_anchor,
+        "search_collapsed": _q_search_collapsed,
+        "ann_recall": _q_ann_recall,
         "http_header_skip": _q_http_header_skip,
         "url_segment": _q_url_segment,
         "minhash_neardup": _q_minhash_neardup,
@@ -1693,6 +1736,24 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(b, 0) + 0.5 * coalesce(a, 0), 4) AS score
         FROM bsum FULL OUTER JOIN asum ON bsum.doc_id = asum.doc_id
         ORDER BY 2 DESC, 1 LIMIT 10""",
+        # site-collapsed ranking: top-50 candidates, <= 2 per host,
+        # global top-10 (host from the synth url law)
+        "search_collapsed": _TOK
+        + bm25_3
+        + f"""
+        , r AS (
+          SELECT doc_id, sum(s) AS score FROM perterm GROUP BY doc_id
+          ORDER BY score DESC, doc_id LIMIT 50),
+        u AS (SELECT doc_id, {_SYNTH_URL_EXPR} AS url,
+                     {_SYNTH_HOST_EXPR} AS host
+              FROM documents),
+        rr AS (
+          SELECT r.doc_id, u.url, r.score,
+                 row_number() OVER (PARTITION BY u.host
+                                    ORDER BY r.score DESC, r.doc_id) AS rn
+          FROM r JOIN u USING (doc_id))
+        SELECT doc_id, url, round(score, 4) AS score FROM rr
+        WHERE rn <= 2 ORDER BY score DESC, doc_id LIMIT 10""",
         # WAND over compressed shards must reproduce exhaustive BM25
         "wand_topk": _TOK
         + bm25_3
@@ -2074,6 +2135,14 @@ def oracle_sql() -> dict[str, str]:
     # ...and the O(delta)-appended index must serve the same results as
     # a one-shot build (append buckets with the pinned params)
     out["lsh_ann_appended"] = out["lsh_ann"]
+    # recall@10 of the approximate path vs the exact one — composed
+    # from the two oracles so the eval law is shared verbatim
+    out["ann_recall"] = f"""
+    WITH a AS ({out['lsh_ann']}),
+    e AS ({out['cosine_topk']})
+    SELECT 10::BIGINT AS k, count(*)::BIGINT AS n_hit,
+           round(count(*) / 10.0, 4) AS recall
+    FROM a JOIN e USING (vec_id)"""
     pages_sql = _pages_bm25_oracle_sql()
     if pages_sql:
         out["pages_bm25"] = pages_sql

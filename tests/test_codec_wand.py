@@ -322,3 +322,38 @@ def test_posting_build_survives_zero_term_docs(spark):
     )
     rows = po.build_posting_shards(mixed, 2, 1.0, num_shards=2).collect()
     assert sorted(r["term"] for r in rows) == ["ab", "cd"]
+
+
+def test_scored_cache_budget_and_eviction(built, spark, py_engine):
+    """The scored-posting LRU respects its byte budget, evicts oldest
+    terms first, and results are identical through fills/evictions.
+
+    Loads a FRESH handle from the index dir: an earlier test re-runs
+    the pipeline into the same out_dir (resume semantics), so the
+    module fixture's cached postings DataFrame points at replaced
+    files — evicted-term refetches here need the live listing."""
+    pipe, _, _ = built
+    eng = pl.load_index(
+        spark, pipe.out_dir, fixtures.mini_dict_bytes()
+    ).engine
+    qs = fixtures.gen_queries()
+    baseline = {q: eng.search_local(q, 10) for _qid, q, _k in qs}
+    filled = eng._decoded_bytes
+    assert filled > 0 and len(eng._decoded_cache) > 0
+    # shrink the budget below the working set: refills must evict
+    eng.decoded_cache_budget = max(1, filled // 3)
+    for _qid, q, _k in qs:
+        assert eng.search_local(q, 10) == baseline[q], q
+    assert eng._decoded_bytes <= max(
+        eng.decoded_cache_budget,
+        # a single entry may exceed a tiny budget; the LRU keeps >= 1
+        max(sum(a.nbytes for a in v) for v in eng._decoded_cache.values()),
+    )
+    # accounting stays exact: recompute from the live entries
+    assert eng._decoded_bytes == sum(
+        sum(a.nbytes for a in v) for v in eng._decoded_cache.values()
+    )
+    # restore and confirm identical results once more
+    eng.decoded_cache_budget = 512 << 20
+    for _qid, q, _k in qs[::5]:
+        assert eng.search_local(q, 10) == baseline[q], q

@@ -150,12 +150,30 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("comp").alias("__m"))
         )
+        stepped = labels.join(
+            nbr_min, labels.id == nbr_min.s, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("__m"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jumping (path compression): also adopt the label OF
+        # my label — comp values are node ids, so one self-join halves
+        # the remaining chain length and the loop converges in
+        # O(log diameter) rounds instead of O(diameter).  Rounds are
+        # the expensive unit here (each is a full join+agg with fixed
+        # scheduling cost at sandbox scale, a full shuffle at 100 TB).
+        jump = stepped.select(
+            F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.s, "left")
+            stepped.join(jump, stepped.comp == jump.__jid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("__m"), F.col("comp"))
+                    F.col("comp"),
+                    F.coalesce(F.col("__jcomp"), F.col("comp")),
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)  # materialize + cut lineage

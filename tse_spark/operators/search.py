@@ -271,15 +271,18 @@ class SearchEngine:
                 arrs = (docs, scores)
                 self._decoded_cache[t] = arrs
                 self._decoded_bytes += sum(a.nbytes for a in arrs)
-                while (
-                    self._decoded_bytes > self.decoded_cache_budget
-                    and len(self._decoded_cache) > 1
-                ):
-                    _, old = self._decoded_cache.popitem(last=False)
-                    self._decoded_bytes -= sum(a.nbytes for a in old)
             else:
                 self._decoded_cache.move_to_end(t)
             out[t] = arrs
+        # enforce the budget on EVERY access (a lowered budget must take
+        # effect on hit-only traffic too); the current query's terms sit
+        # at the LRU tail, so they are evicted last
+        while (
+            self._decoded_bytes > self.decoded_cache_budget
+            and len(self._decoded_cache) > 1
+        ):
+            _, old = self._decoded_cache.popitem(last=False)
+            self._decoded_bytes -= sum(a.nbytes for a in old)
         return out
 
     def search_local(

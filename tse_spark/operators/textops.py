@@ -236,6 +236,38 @@ def bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def collapse_by_host(
+    ranked: DataFrame,
+    per_host: int = 2,
+    k: int = 10,
+    url_col: str = "url",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Site-collapsed ranking: keep at most ``per_host`` results per
+    host, then take the global top-k — the result-diversity rule every
+    web engine applies so one site cannot fill the page.
+
+    One window over (host) ordered by (score desc, id asc) — the input
+    is an already-small ranked candidate list (top-N for N a small
+    multiple of k), so the window is cheap; at scale the candidate list
+    arrives from the per-shard top-k merge, never the full corpus."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__host").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        ranked.withColumn("__host", host)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= per_host)
+        .drop("__host", "__r")
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def render_results(
     topk: DataFrame,
     docs: DataFrame,
