@@ -492,9 +492,11 @@ def _q_spell_suggest(spark, sf):
     """'Did you mean': top-5 vocabulary terms nearest the misspelled
     query term by levenshtein, ties by df then lexicographic; runs over
     the vocabulary-sized df aggregate with a length-window prefilter."""
+    from tse_spark.operators import index_build as ib
     from tse_spark.operators import textops
 
-    out = textops.spell_suggest(_tf_ws_cached(spark, sf), SPELL_TERM, k=5)
+    vocab = ib.build_df_stats(_tf_ws_cached(spark, sf))
+    out = textops.spell_suggest(vocab, SPELL_TERM, k=5)
     return out.select(
         "term", F.col("dist").cast("long").alias("dist"), "df"
     )

@@ -90,11 +90,15 @@ os.makedirs(SCRATCH, exist_ok=True)
 HEADLINE = [
     "bm25_topk",
     "bm25f_anchor",
+    "search_collapsed",
     "wand_topk",
     "tf_table",
     "postings_strings",
     "top_terms",
     "token_count",
+    "bigram_count",
+    "phrase_match",
+    "spell_suggest",
     "quality_score",
     "lang_id",
     "doc_fingerprint",

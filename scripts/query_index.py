@@ -41,6 +41,12 @@ def main(argv: list[str] | None = None) -> int:
         "low-latency driver path",
     )
     ap.add_argument(
+        "--suggest", action="store_true",
+        help="when a query returns fewer than k results, add 'did you "
+        "mean' spelling suggestions per query term (levenshtein over "
+        "the index vocabulary / term_stats)",
+    )
+    ap.add_argument(
         "--queries-file", default=None,
         help="UTF-8 file, one query per line (use for non-ASCII queries: "
         "spark-submit under a C locale mangles non-ASCII argv)",
@@ -93,18 +99,27 @@ def main(argv: list[str] | None = None) -> int:
                 )
             ]
         res = res[args.page * args.k : (args.page + 1) * args.k]
-        print(
-            json.dumps(
-                {
-                    "query": q,
-                    "k": args.k,
-                    "page": args.page,
-                    "ms": round((time.time() - t0) * 1000, 2),
-                    "results": res,
-                },
-                ensure_ascii=False,
-            )
-        )
+        out = {
+            "query": q,
+            "k": args.k,
+            "page": args.page,
+            "ms": round((time.time() - t0) * 1000, 2),
+            "results": res,
+        }
+        if args.suggest and len(res) < args.k:
+            from tse_spark.operators import textops
+
+            out["suggestions"] = {
+                t: [
+                    r["term"]
+                    for r in textops.spell_suggest(
+                        handle.engine.term_stats, t, k=3
+                    ).collect()
+                    if r["term"] != t
+                ]
+                for t in handle.engine.query_terms(q)
+            }
+        print(json.dumps(out, ensure_ascii=False))
     return 0
 
 

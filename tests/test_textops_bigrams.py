@@ -62,7 +62,9 @@ def test_spell_suggest(spark):
     tf = ib.build_tf_ws(docs)
     got = [
         (r["term"], r["dist"], r["df"])
-        for r in textops.spell_suggest(tf, "spakr", k=3).collect()
+        for r in textops.spell_suggest(
+            ib.build_df_stats(tf), "spakr", k=3
+        ).collect()
     ]
     # dist 1: none; dist 2: spark (df 2) wins over spars/sharp...
     assert got[0] == ("spark", 2, 2)

@@ -111,23 +111,22 @@ def phrase_match(
 
 
 def spell_suggest(
-    tf: DataFrame, term: str, k: int = 5, max_dist: int = 2
+    vocab: DataFrame, term: str, k: int = 5, max_dist: int = 2
 ) -> DataFrame:
-    """(term, dist, df) — the ``k`` index-vocabulary terms closest to a
+    """(term, dist, df) — the ``k`` vocabulary terms closest to a
     (possibly misspelled) query term by Levenshtein distance, ties
     broken by higher df then lexicographic: the "did you mean" feature
     every search box grew after this reference's era.
 
-    Runs over the df aggregate (vocabulary-sized, tiny next to the
-    corpus), with a cheap codegen length-window prefilter ahead of the
-    O(len^2) levenshtein so the distance only runs on plausible
-    candidates.  At web scale the vocabulary is still only millions of
-    rows — this is a single narrow scan, no shuffle before the top-k."""
-    from tse_spark.operators import index_build as ib
-
+    ``vocab`` is any (term, df) table — the df aggregate at analysis
+    time, or a built index's term_stats at serving time (the CLI's
+    --suggest path).  Vocabulary-sized (tiny next to the corpus), with
+    a cheap codegen length-window prefilter ahead of the O(len^2)
+    levenshtein so the distance only runs on plausible candidates.  At
+    web scale the vocabulary is still only millions of rows — a single
+    narrow scan, no shuffle before the top-k."""
     q = term.lower()
-    vocab = ib.build_df_stats(tf)
-    cand = vocab.filter(
+    cand = vocab.select("term", "df").filter(
         (F.length("term") >= len(q) - max_dist)
         & (F.length("term") <= len(q) + max_dist)
     )
