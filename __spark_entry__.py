@@ -1098,6 +1098,81 @@ def _q_dedup_keep_one(spark, sf):
     return linkrank.dedup_keep_one(emb, pairs, doc_id="vec_id")
 
 
+# C13 robots.txt synth: five per-host templates covering every ParseRobot
+# branch (CRLF value retention, foreign-agent skip, TSE/1.0 reset,
+# comment/empty-value, MAXDIR cap).  Spark PARSES these with the real
+# operator; the DuckDB oracle states the expected rules directly from the
+# template law — an independent known-answer check (the general parser is
+# additionally conformance-tested against the pure-Python ParseRobot port
+# on a 300-file random corpus in tests/test_robots.py).
+_ROBOTS_SYNTH_SPARK = """
+  CASE cast(doc_id % 5 AS int)
+    WHEN 0 THEN concat('User-agent: *', char(13), char(10),
+                       'Disallow: /a', cast(doc_id AS string), char(13), char(10),
+                       'Disallow: /b', cast(doc_id AS string), ' junk', char(13), char(10))
+    WHEN 1 THEN concat('User-agent: Googlebot', char(10),
+                       'Disallow: /x', char(10),
+                       'User-agent: *', char(10),
+                       'Disallow: /y', cast(doc_id AS string), char(10))
+    WHEN 2 THEN concat('User-agent: *', char(10),
+                       'Disallow: /z', cast(doc_id AS string), char(10),
+                       'User-agent: TSE/1.0', char(10),
+                       'Disallow: /t', cast(doc_id AS string), char(10))
+    WHEN 3 THEN concat('# robots for h', cast(doc_id AS string), char(10), char(10),
+                       'User-agent: *', char(10),
+                       'Disallow:', char(10),
+                       'Disallow: /c', cast(doc_id AS string), char(10))
+    ELSE concat('User-agent: *', char(10),
+                concat_ws('', transform(sequence(0, 44),
+                  j -> concat('Disallow: /r', cast(doc_id AS string), 'x',
+                              cast(j AS string), char(10)))))
+  END
+"""
+
+
+def _robots_rules_df(spark, sf):
+    from tse_spark.operators import robots as rb
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    synth = docs.selectExpr(
+        "concat('h', cast(doc_id AS string), '.test') AS host",
+        f"({_ROBOTS_SYNTH_SPARK}) AS robots_txt",
+    )
+    return rb.parse_robots(synth)
+
+
+def _q_robots_rules(spark, sf):
+    """C13 ParseRobot (reference tse/Res.cpp:16-75) over synthesized
+    per-host robots.txt files; output is the surviving Disallow-prefix
+    array per host in collection order."""
+    return _robots_rules_df(spark, sf).select(
+        "host", F.col("rn").cast("long").alias("rn"), "prefix"
+    )
+
+
+def _q_robots_frontier(spark, sf):
+    """Frontier filtering against the parsed robots rules: three URLs
+    per host (one matching the m0 '/a<id>' prefix, one safe, one
+    matching the m2 '/t<id>' prefix via startswith, no path separator
+    needed) plus 20 hosts with no robots file at all (allowed).  The
+    rules side is the REAL parse output of _ROBOTS_SYNTH_SPARK — the
+    filter consumes what the parser produced, end to end."""
+    from tse_spark.operators import robots as rb
+
+    rules = _robots_rules_df(spark, sf)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    frontier = docs.selectExpr(
+        """explode(array(
+             concat('http://h', cast(doc_id AS string), '.test/a',
+                    cast(doc_id AS string), '/page'),
+             concat('http://h', cast(doc_id AS string), '.test/safe/page'),
+             concat('http://h', cast(doc_id AS string), '.test/t',
+                    cast(doc_id AS string), 'abc')
+           )) AS url"""
+    )
+    return rb.robots_frontier_filter(frontier, rules).select("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_table": _q_tf_table,
@@ -1163,6 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_lsh": _q_dedup_components_lsh,
         "dedup_keep_one": _q_dedup_keep_one,
         "lsh_neardup": _q_lsh_neardup,
+        "robots_rules": _q_robots_rules,
+        "robots_frontier": _q_robots_frontier,
         # rows-only engine path (no DuckDB equivalent; pytest-verified)
         "pages_bm25": _q_pages_bm25,
     }
@@ -2145,6 +2222,53 @@ def oracle_sql() -> dict[str, str]:
     SELECT 10::BIGINT AS k, count(*)::BIGINT AS n_hit,
            round(count(*) / 10.0, 4) AS recall
     FROM a JOIN e USING (vec_id)"""
+    # robots known-answer oracles: expected rules/allow-set stated
+    # directly from the _ROBOTS_SYNTH_SPARK template law (the Spark side
+    # runs the real parser; general-parser conformance is pinned against
+    # the pure-Python ParseRobot port in tests/test_robots.py)
+    out["robots_rules"] = """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+    exp AS (
+      SELECT 'h'||doc_id::VARCHAR||'.test' AS host, 1 AS rn,
+             '/a'||doc_id::VARCHAR||chr(13) AS prefix
+        FROM ids WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT 'h'||doc_id::VARCHAR||'.test', 2, '/b'||doc_id::VARCHAR
+        FROM ids WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT 'h'||doc_id::VARCHAR||'.test', 1, '/y'||doc_id::VARCHAR
+        FROM ids WHERE doc_id % 5 = 1
+      UNION ALL
+      SELECT 'h'||doc_id::VARCHAR||'.test', 1, '/t'||doc_id::VARCHAR
+        FROM ids WHERE doc_id % 5 = 2
+      UNION ALL
+      SELECT 'h'||doc_id::VARCHAR||'.test', 1, ''
+        FROM ids WHERE doc_id % 5 = 3
+      UNION ALL
+      SELECT 'h'||doc_id::VARCHAR||'.test', 2, '/c'||doc_id::VARCHAR
+        FROM ids WHERE doc_id % 5 = 3
+      UNION ALL
+      SELECT 'h'||doc_id::VARCHAR||'.test', j + 1,
+             '/r'||doc_id::VARCHAR||'x'||j::VARCHAR
+        FROM ids, range(0, 39) t(j) WHERE doc_id % 5 = 4
+    )
+    SELECT host, rn::BIGINT AS rn, prefix FROM exp"""
+    out["robots_frontier"] = """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+    urls AS (
+      SELECT doc_id, 1 AS k,
+             'http://h'||doc_id::VARCHAR||'.test/a'||doc_id::VARCHAR||'/page' AS url
+        FROM ids
+      UNION ALL
+      SELECT doc_id, 2, 'http://h'||doc_id::VARCHAR||'.test/safe/page' FROM ids
+      UNION ALL
+      SELECT doc_id, 3,
+             'http://h'||doc_id::VARCHAR||'.test/t'||doc_id::VARCHAR||'abc'
+        FROM ids
+    )
+    SELECT url FROM urls
+    WHERE NOT (doc_id < 100 AND doc_id % 5 = 0 AND k = 1)
+      AND NOT (doc_id < 100 AND doc_id % 5 = 2 AND k = 3)"""
     pages_sql = _pages_bm25_oracle_sql()
     if pages_sql:
         out["pages_bm25"] = pages_sql

@@ -464,3 +464,84 @@ def raw_tse_search(
         matched = {str(d) for d, terms in docs_terms.items() if t in terms}
         result = matched if result is None else (result & matched)
     return sorted(result) if result else []
+
+
+# ---------------------------------------------------------------------------
+# C13 — robots.txt parser (reference tse/Res.cpp:16-75, ParseRobot)
+# ---------------------------------------------------------------------------
+
+ROBOTS_USER_AGENT = "TSE/1.0"  # Res.cpp:13 USER_AGENT
+ROBOTS_MAXDIR = 40             # Res.cpp:12 MAXDIR
+
+
+def _robots_getword(line: str, stop: str) -> tuple[str, str]:
+    """Res.cpp:16-33 ``my_getword``: skip leading blanks (space and the
+    literal backspace ``\\b`` — Res.cpp:20, almost certainly a typo for
+    ``\\t`` but faithful here), then copy chars until the stop char or
+    end, keeping at most 255 (Res.cpp:24 ``i < 255``; the rest of the
+    word is consumed but dropped).  Returns (word, text after the stop
+    char)."""
+    i = 0
+    while i < len(line) and line[i] in " \b":
+        i += 1
+    word = []
+    n = 0
+    while i < len(line) and line[i] != stop:
+        if n < 255:
+            word.append(line[i])
+        i += 1
+        n += 1
+    return "".join(word), line[i + 1 :]
+
+
+def parse_robot(data: str) -> list[str]:
+    """Faithful port of ``ParseRobot`` (Res.cpp:36-75): returns the
+    Disallow prefixes collected for this engine's user agent.
+
+    Semantics preserved exactly:
+    - line = chars up to ``\\n`` after skipping leading blanks, capped at
+      255 chars (my_getline = my_getword with stop ``\\n``);
+    - word before the first ``:`` selects the directive; the match is
+      ``strncmp`` so any *prefix* ``User-agent``/``Disallow`` matches
+      (``User-agentX:`` counts, Res.cpp:48,59);
+    - a ``User-agent`` value starting with ``*`` (only the first char is
+      tested, Res.cpp:52) or exactly equal to ``TSE/1.0`` turns matching
+      on; any other agent turns it off; the exact-agent case also RESETS
+      the write pointer to 0 (Res.cpp:55-57), discarding everything
+      collected so far;
+    - ``Disallow`` values are read up to the first space, so a trailing
+      ``\\r`` from CRLF files stays *inside the prefix* (bug-faithful) and
+      an empty value yields an empty-string prefix;
+    - at most MAXDIR=40 entries are stored, and the NULL terminator
+      overwrites slot 39 when the array is full (Res.cpp:70-71), so a
+      full array yields only 39 usable prefixes.
+
+    Divergence (documented): the C loop's ``continue`` on an empty word
+    skips the end-of-data check and, for inputs ending in a blank line or
+    without a trailing newline, walks past the NUL terminator (undefined
+    behavior).  This port treats exhausted input as end-of-file instead.
+    """
+    arr: list[str | None] = [None] * ROBOTS_MAXDIR
+    num = 0
+    match = 0
+    while True:
+        line, data = _robots_getword(data, "\n")
+        word, line = _robots_getword(line, ":")
+        if word != "":
+            if word.startswith("User-agent"):
+                value, line = _robots_getword(line, " ")
+                match = 1 if value.startswith("*") else 0
+                if value == ROBOTS_USER_AGENT:
+                    match = 1
+                    num = 0
+            elif word.startswith("Disallow"):
+                if match == 1:
+                    value, line = _robots_getword(line, " ")
+                    if num < ROBOTS_MAXDIR:
+                        arr[num] = value
+                        num += 1
+        if len(data) == 0:
+            break
+    if num >= ROBOTS_MAXDIR:
+        num = ROBOTS_MAXDIR - 1  # dir[num-1] = NULL (Res.cpp:71)
+    return [w for w in arr[:num]]  # type: ignore[misc]
