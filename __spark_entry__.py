@@ -1173,6 +1173,46 @@ def _q_robots_frontier(spark, sf):
     return rb.robots_frontier_filter(frontier, rules).select("url")
 
 
+def _q_gzip_decode(spark, sf):
+    """C10 gzip body decode (reference tse/Crawl.cpp:462-493), verified
+    as a compress->store->decode round trip: four content modes per
+    doc_id exercise the inflate path (gzip+text/html), the identity
+    passthrough, the bug-faithful gate (gzip bytes under text/plain stay
+    compressed — md5 masked, DuckDB cannot gunzip), and gzread's
+    transparent copy of non-gzip bytes; doc 0 carries a 1.15 MB ASCII
+    payload proving the 1,024,000-byte single-gzread truncation.  The
+    oracle recomputes every unmasked md5/length from the payload law."""
+    from tse_spark.operators import crawl
+
+    gz = crawl.gzip_compress_udf()
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    payload = F.when(
+        F.col("doc_id") == 0, F.expr("repeat('ab12 ', 230000)")
+    ).otherwise(F.col("text"))
+    mode = (F.col("doc_id") % 4).cast("int")
+    raw = F.encode(payload, "UTF-8")
+    pages = docs.select(
+        "doc_id",
+        F.when(mode.isin(0, 2), gz(raw)).otherwise(raw).alias("content"),
+        F.when(mode == 1, F.lit("identity"))
+        .otherwise(F.lit("gzip"))
+        .alias("content_encoding"),
+        F.when(mode == 2, F.lit("text/plain"))
+        .otherwise(F.lit("text/html"))
+        .alias("content_type"),
+    )
+    out = crawl.gunzip_content(pages)
+    mask = (F.col("doc_id") % 4) != 2
+    return out.select(
+        "doc_id",
+        "gunzipped",
+        F.when(mask, F.md5("content")).alias("body_md5"),
+        F.when(mask, F.octet_length("content").cast("long")).alias(
+            "body_len"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_table": _q_tf_table,
@@ -1240,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_neardup": _q_lsh_neardup,
         "robots_rules": _q_robots_rules,
         "robots_frontier": _q_robots_frontier,
+        "gzip_decode": _q_gzip_decode,
         # rows-only engine path (no DuckDB equivalent; pytest-verified)
         "pages_bm25": _q_pages_bm25,
     }
@@ -2269,6 +2310,25 @@ def oracle_sql() -> dict[str, str]:
     SELECT url FROM urls
     WHERE NOT (doc_id < 100 AND doc_id % 5 = 0 AND k = 1)
       AND NOT (doc_id < 100 AND doc_id % 5 = 2 AND k = 3)"""
+    # gzip round-trip: expected md5/length restated from the payload law
+    # (mode 2 — gzip bytes gated out by text/plain — is masked to NULL:
+    # the bytes stay compressed and SQL cannot gunzip them)
+    out["gzip_decode"] = """
+    WITH ids AS (
+      SELECT doc_id,
+             CASE WHEN doc_id = 0 THEN repeat('ab12 ', 230000)
+                  ELSE text END AS payload
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           (doc_id % 4 = 0) AS gunzipped,
+           CASE WHEN doc_id % 4 = 2 THEN NULL
+                WHEN doc_id = 0 THEN md5(substring(payload, 1, 1024000))
+                ELSE md5(payload) END AS body_md5,
+           CASE WHEN doc_id % 4 = 2 THEN NULL
+                WHEN doc_id = 0 THEN 1024000
+                ELSE strlen(payload) END::BIGINT AS body_len
+    FROM ids"""
     pages_sql = _pages_bm25_oracle_sql()
     if pages_sql:
         out["pages_bm25"] = pages_sql

@@ -363,3 +363,110 @@ def crawl_wave(
         & F.col("valid_host")
     ).select("url")
     return frontier_wave(keep, visited)
+
+
+def gunzip_content(
+    pages: DataFrame,
+    content_col: str = "content",
+    encoding_col: str = "content_encoding",
+    type_col: str = "content_type",
+    cap: int = 1024000,
+) -> DataFrame:
+    """C10 gzip body decode (reference tse/Crawl.cpp:462-493).
+
+    Faithful gate and buffer semantics: only rows with
+    ``Content-Encoding: gzip`` AND ``Content-Type: text/html`` are
+    decoded (any other encoding/type combination passes through
+    untouched — bug-faithful: a gzipped ``text/plain`` body stays
+    compressed); the decode is a single ``gzread`` into a
+    1,024,000-byte buffer, so longer bodies are silently truncated at
+    ``cap`` decompressed bytes.  ``gzread`` is *transparent* for
+    non-gzip payloads — when the gated bytes lack the gzip magic, the
+    raw bytes are copied through (capped) instead of failing, exactly
+    like zlib's gzio layer.
+
+    Divergence (documented): a corrupt gzip stream makes the reference
+    ``exit(-1)`` — killing a 1000-executor job over one bad page is not
+    an option, so here the row keeps its raw bytes and ``gunzipped``
+    stays false.  Multi-member gzip files decode their first member
+    only (the reference's single 1 MB gzread has the same practical
+    window).
+
+    Adds/overwrites ``content_col`` with the decoded bytes and adds a
+    ``gunzipped`` boolean (true only when a real gzip stream was
+    inflated).  The UDF is Arrow-batched and receives NULL for ungated
+    rows (the gate masks them JVM-side), so only gzip+html blobs cross
+    the Python boundary.
+    """
+    import zlib
+
+    from pyspark.sql import types as T
+
+    gate = (F.col(encoding_col) == "gzip") & (F.col(type_col) == "text/html")
+
+    ret = T.StructType(
+        [
+            T.StructField("body", T.BinaryType()),
+            T.StructField("inflated", T.BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(ret)
+    def inflate(raw: pd.Series) -> pd.DataFrame:
+        bodies: list[bytes | None] = []
+        flags: list[bool | None] = []
+        for v in raw:
+            if v is None:
+                bodies.append(None)
+                flags.append(None)
+                continue
+            b = bytes(v)
+            if b[:2] == b"\x1f\x8b":
+                try:
+                    d = zlib.decompressobj(wbits=31)
+                    out = d.decompress(b, cap)
+                    # corrupt/truncated stream that neither finished nor
+                    # filled the cap -> treat as the gzread error path
+                    if len(out) < cap and not d.eof:
+                        raise zlib.error("incomplete gzip stream")
+                    bodies.append(out)
+                    flags.append(True)
+                except zlib.error:
+                    bodies.append(None)
+                    flags.append(False)
+            else:
+                # gzread transparent mode: non-gzip bytes copy through
+                bodies.append(b[:cap])
+                flags.append(False)
+        return pd.DataFrame({"body": bodies, "inflated": flags})
+
+    dec = inflate(F.when(gate, F.col(content_col)))
+    return (
+        pages.withColumn("__dec", dec)
+        .withColumn(
+            content_col,
+            F.coalesce(F.col("__dec.body"), F.col(content_col)),
+        )
+        .withColumn(
+            "gunzipped", F.coalesce(F.col("__dec.inflated"), F.lit(False))
+        )
+        .drop("__dec")
+    )
+
+
+def gzip_compress_udf(mtime: int = 0):
+    """Deterministic gzip compressor UDF — the fixture-side twin of
+    :func:`gunzip_content` for round-trip tests and synth queries
+    (mtime pinned so outputs are byte-stable)."""
+    import gzip as _gzip
+
+    @F.pandas_udf("binary")
+    def gz(raw: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if v is None else _gzip.compress(bytes(v), mtime=mtime)
+                for v in raw
+            ]
+        )
+
+    return gz
