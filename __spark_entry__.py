@@ -488,6 +488,19 @@ def _q_phrase_match(spark, sf):
     return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
 
 
+def _q_phrase_match_indexed(spark, sf):
+    """The scale path for quoted queries: candidate docs pruned through
+    the (term, doc_id) index (pushed-down term IN + contains-all), the
+    adjacency check verified only on candidates.  Result-identical to
+    phrase_match — the oracle is shared."""
+    from tse_spark.operators import textops
+
+    out = textops.phrase_match_indexed(
+        _t(spark, sf, "documents"), _tf_ws_cached(spark, sf), PHRASE_QUERY
+    )
+    return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
 def _q_spell_suggest(spark, sf):
     """'Did you mean': top-5 vocabulary terms nearest the misspelled
     query term by levenshtein, ties by df then lexicographic; runs over
@@ -1253,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_count": _q_bigram_count,
         "doclen_quantiles": _q_doclen_quantiles,
         "phrase_match": _q_phrase_match,
+        "phrase_match_indexed": _q_phrase_match_indexed,
         "spell_suggest": _q_spell_suggest,
         "cosine_neardup": _q_cosine_neardup,
         "snapshot_by_url": _q_snapshot_by_url,
@@ -2310,6 +2324,9 @@ def oracle_sql() -> dict[str, str]:
     SELECT url FROM urls
     WHERE NOT (doc_id < 100 AND doc_id % 5 = 0 AND k = 1)
       AND NOT (doc_id < 100 AND doc_id % 5 = 2 AND k = 3)"""
+    # the index-pruned quoted-query path returns IDENTICAL results to
+    # the full-scan phrase matcher — the oracle is shared
+    out["phrase_match_indexed"] = out["phrase_match"]
     # gzip round-trip: expected md5/length restated from the payload law
     # (mode 2 — gzip bytes gated out by text/plain — is masked to NULL:
     # the bytes stay compressed and SQL cannot gunzip them)

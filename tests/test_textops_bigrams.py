@@ -69,3 +69,63 @@ def test_spell_suggest(spark):
     # dist 1: none; dist 2: spark (df 2) wins over spars/sharp...
     assert got[0] == ("spark", 2, 2)
     assert all(d <= 2 for _, d, _ in got)
+
+
+def test_phrase_match_indexed_identical(spark):
+    """Index-pruned quoted-query == full-scan matcher, including phrases
+    with index-ineligible words (1-byte / >= 9-byte: absent from tf, so
+    they cannot prune and must be verified by the adjacency scan)."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import textops
+
+    rows = [
+        (1, "big data wins big data loses"),
+        (2, "big data"),
+        (3, "data big"),
+        (4, "a big data x"),          # 1-byte neighbors
+        (5, "wonderful9 big data"),   # >= 9-byte neighbor
+        (6, "big whatever data"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    tf = ib.build_tf_ws(docs)
+
+    def got(phrase, **kw):
+        out = textops.phrase_match_indexed(docs, tf, phrase, **kw)
+        return {(r["doc_id"], r["n_hits"]) for r in out.collect()}
+
+    def want(phrase):
+        out = textops.phrase_match(docs, phrase)
+        return {(r["doc_id"], r["n_hits"]) for r in out.collect()}
+
+    for phrase in ["big data", "a big data", "wonderful9 big", "x", "a x"]:
+        assert got(phrase) == want(phrase), phrase
+    # sanity on the values themselves
+    assert got("big data") == {(1, 2), (2, 1), (4, 1), (5, 1)}
+    # non-broadcast join path returns the same thing
+    assert got("big data", broadcast_candidates=False) == {
+        (1, 2), (2, 1), (4, 1), (5, 1)
+    }
+
+
+def test_phrase_match_indexed_plan_barrier(spark):
+    """The adjacency zip_with must NOT be pushed below the candidate
+    join: everything under the join on the docs side is scan+isnotnull,
+    so only hash-join survivors pay the token-array match."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "big data"), (2, "data big")], ["doc_id", "text"]
+    )
+    tf = ib.build_tf_ws(docs)
+    out = textops.phrase_match_indexed(docs, tf, "big data")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+    # the match may live in the post-join Project or as the join's
+    # residual condition — but never in a pre-join Filter node
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "zip_with" in ln and ln.lstrip(" :+-").startswith("Filter")
+    ]
+    assert not bad, "\n".join(bad)

@@ -80,9 +80,25 @@ def phrase_match(
 
     Tokenization matches :func:`tokens` (lowercase, whitespace), so
     "big data" matches "Big  DATA" but not "bigdata"."""
+    words = _phrase_words(phrase)
+    n_hits = _phrase_hits_expr(words, text_col)
+    return (
+        docs.select("doc_id", n_hits.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def _phrase_words(phrase: str) -> list[str]:
     words = [w for w in phrase.lower().split() if w]
     if not words:
         raise ValueError("empty phrase")
+    return words
+
+
+def _phrase_hits_expr(words: list[str], text_col: str):
+    """Occurrence count of the token-adjacent word n-gram inside
+    ``text_col``'s (lowercase, whitespace) token array, as one codegen
+    expression shared by the scan and index-pruned matchers."""
     arr = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"),
         lambda t: F.octet_length(t) > 0,
@@ -103,9 +119,69 @@ def phrase_match(
         acc = F.zip_with(
             acc, F.slice(arr, 1 + i, win_len), _and_word(words[i])
         )
-    n_hits = F.size(F.filter(acc, lambda m: m))
+    return F.size(F.filter(acc, lambda m: m))
+
+
+def phrase_match_indexed(
+    docs: DataFrame,
+    tf: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """:func:`phrase_match` through the index — the 10^12-doc serving
+    plan.  The plain operator re-tokenizes every document per quoted
+    query; here the prebuilt ``(term, doc_id, tf)`` table prunes first:
+    candidates are the docs containing ALL index-eligible phrase words
+    (pushed-down ``term IN`` filter — an index probe when tf is stored
+    partitioned/bucketed by term, exactly how the posting shards are
+    laid out), and the codegen adjacency check then runs only on the
+    candidate docs via a semi-join into the docs scan.
+
+    Result-identical to :func:`phrase_match` (the driver oracle is
+    shared): words outside the index's 2..8-byte eligibility window
+    (reference CrtInvertedIdx.cpp:25) cannot prune — they are skipped
+    at the candidate stage and verified by the adjacency scan, the same
+    contains-all-then-verify shape every positional-index engine uses.
+    With no eligible word the operator degrades to the full scan.
+
+    ``broadcast_candidates`` fits the quoted-query case (candidate sets
+    are small for selective phrases); set it False for stopword-only
+    phrases so Catalyst/AQE picks the join side."""
+    from tse_spark import oracle as _o
+
+    words = _phrase_words(phrase)
+    eligible = {
+        w
+        for w in words
+        if _o.MIN_TERM_BYTES <= len(w.encode("utf-8")) <= _o.MAX_TERM_BYTES
+    }
+    if not eligible:
+        return phrase_match(docs, phrase, text_col)
+    cand = (
+        tf.filter(F.col("term").isin(list(eligible)))
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("term")).alias("nt"))
+        .filter(F.col("nt") == len(eligible))
+        .select("doc_id", "nt")
+    )
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
+    n_hits = _phrase_hits_expr(words, text_col)
+    # guard the adjacency count with the build-side nt column (a real
+    # aggregate, not a literal a constant-folder would erase) so the
+    # predicate references both join sides: Catalyst cannot push it
+    # below the join, so the expensive zip_with runs ONLY on hash-join
+    # survivors (unguarded, PushPredicateThroughJoin moves it under the
+    # join and every doc pays the scan cost the pruning was built to
+    # avoid — pinned via .explain in tests).  The nt == len check is
+    # always true post-filter; it exists purely as the barrier.
+    guarded = F.when(
+        F.col("nt") == len(eligible), n_hits
+    ).otherwise(F.lit(0))
     return (
-        docs.select("doc_id", n_hits.alias("n_hits"))
+        docs.join(cand, "doc_id", "inner")
+        .select("doc_id", guarded.alias("n_hits"))
         .filter(F.col("n_hits") > 0)
     )
 
