@@ -501,6 +501,38 @@ def _q_phrase_match_indexed(spark, sf):
     return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
 
 
+_POS_INDEX_CACHE: dict[str, DataFrame] = {}
+
+
+def _pos_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One cached positional shard table per sf_dir (built once,
+    reused by every positional query — the serving situation, where the
+    index is a prebuilt table, not per-query work)."""
+    if sf_dir not in _POS_INDEX_CACHE:
+        from tse_spark.operators import positions as pos
+
+        docs = _t(spark, sf_dir, "documents")
+        _POS_INDEX_CACHE[sf_dir] = pos.build_position_index(
+            docs, docs.count()
+        ).cache()
+    return _POS_INDEX_CACHE[sf_dir]
+
+
+def _q_phrase_match_pos(spark, sf):
+    """Quoted-query serving from the POSITIONAL index: term positions
+    are delta-varint-encoded inside the posting blocks, so adjacency is
+    answered from position-list intersection alone — document text is
+    never fetched or re-tokenized (the true 10^12-doc shape; the
+    `_indexed` variant above still re-scans candidate texts).
+    Result-identical to phrase_match — the oracle is shared."""
+    from tse_spark.operators import positions as pos
+
+    out = pos.phrase_match_positional(
+        _pos_index_cached(spark, sf), PHRASE_QUERY
+    )
+    return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
 def _q_spell_suggest(spark, sf):
     """'Did you mean': top-5 vocabulary terms nearest the misspelled
     query term by levenshtein, ties by df then lexicographic; runs over
@@ -1267,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen_quantiles": _q_doclen_quantiles,
         "phrase_match": _q_phrase_match,
         "phrase_match_indexed": _q_phrase_match_indexed,
+        "phrase_match_pos": _q_phrase_match_pos,
         "spell_suggest": _q_spell_suggest,
         "cosine_neardup": _q_cosine_neardup,
         "snapshot_by_url": _q_snapshot_by_url,
@@ -2327,6 +2360,7 @@ def oracle_sql() -> dict[str, str]:
     # the index-pruned quoted-query path returns IDENTICAL results to
     # the full-scan phrase matcher — the oracle is shared
     out["phrase_match_indexed"] = out["phrase_match"]
+    out["phrase_match_pos"] = out["phrase_match"]
     # gzip round-trip: expected md5/length restated from the payload law
     # (mode 2 — gzip bytes gated out by text/plain — is masked to NULL:
     # the bytes stay compressed and SQL cannot gunzip them)

@@ -101,6 +101,7 @@ HEADLINE = [
     "token_count",
     "bigram_count",
     "phrase_match",
+    "phrase_match_pos",
     "spell_suggest",
     "quality_score",
     "lang_id",

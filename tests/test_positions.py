@@ -1,0 +1,123 @@
+"""Positional posting index: codec roundtrip, build, and index-only
+phrase serving — result-identical to the scan-side phrase_match."""
+
+import numpy as np
+import pytest
+
+from tse_spark.operators import positions as P
+from tse_spark.operators import textops
+
+
+def test_positional_codec_roundtrip_randomized():
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        n = int(rng.integers(1, 400))
+        docs = np.unique(rng.integers(0, 10_000, size=n).astype(np.int64))
+        cnts = rng.integers(1, 6, size=docs.size).astype(np.int64)
+        posflat = np.concatenate(
+            [
+                np.sort(
+                    rng.choice(100_000, size=c, replace=False)
+                ).astype(np.int64)
+                for c in cnts
+            ]
+        )
+        blob = P.encode_positions_run(docs, cnts, posflat, block_size=32)
+        d2, c2, p2 = P.decode_positions(blob)
+        assert np.array_equal(docs, d2)
+        assert np.array_equal(cnts, c2)
+        assert np.array_equal(posflat, p2)
+
+
+def test_positional_codec_interleaved_partials_resort():
+    # partial runs from different input partitions may interleave doc
+    # ranges; the decoder must re-sort postings (with their ragged
+    # position slices) by doc id
+    b1 = P.encode_positions_run(
+        np.array([1, 5], np.int64),
+        np.array([1, 1], np.int64),
+        np.array([0, 3], np.int64),
+    )
+    b2 = P.encode_positions_run(
+        np.array([2, 4], np.int64),
+        np.array([2, 1], np.int64),
+        np.array([1, 7, 2], np.int64),
+    )
+    d, c, p = P.decode_positions(b1 + b2)
+    assert d.tolist() == [1, 2, 4, 5]
+    assert c.tolist() == [1, 2, 1, 1]
+    assert p.tolist() == [0, 1, 7, 2, 3]
+
+
+def test_positional_codec_empty():
+    d, c, p = P.decode_positions(b"")
+    assert d.size == 0 and c.size == 0 and p.size == 0
+
+
+@pytest.fixture(scope="module")
+def pos_docs(spark):
+    rows = [
+        (1, "big data big data big"),
+        (2, "Big\t DATA\nrocks big data"),
+        (3, ""),  # empty doc drops out of the index entirely
+        (4, "data big"),  # wrong order
+        (5, "a a a a"),
+        (6, "a a b a a a"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, pos_docs):
+    idx = P.build_position_index(pos_docs, n_docs=6, num_shards=3).cache()
+    idx.count()
+    yield idx
+    idx.unpersist()
+
+
+def _collect(df):
+    return {(r["doc_id"], r["n_hits"]) for r in df.collect()}
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [
+        "Big Data",      # case/whitespace folding, multiple hits
+        "big data big",  # overlapping starts
+        "a a a",         # duplicate-word phrase, overlapping runs
+        "data rocks",
+        "big",           # single word: n_hits == tf
+        "zzz missing",   # absent word -> empty
+    ],
+)
+def test_phrase_positional_matches_scan(pos_docs, pos_index, phrase):
+    got = _collect(P.phrase_match_positional(pos_index, phrase))
+    want = _collect(textops.phrase_match(pos_docs, phrase))
+    assert got == want
+
+
+def test_phrase_positional_on_testdata(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = P.build_position_index(docs, docs.count(), num_shards=4).cache()
+    try:
+        for phrase in ["spark join", "the the"]:
+            got = _collect(P.phrase_match_positional(idx, phrase))
+            want = _collect(textops.phrase_match(docs, phrase))
+            assert got == want and got
+    finally:
+        idx.unpersist()
+
+
+def test_position_shards_pushdown(spark, pos_docs, tmp_path):
+    # stored as parquet, the serving-side term IN filter must reach the
+    # scan (PushedFilters) so only the phrase terms' rows are read
+    path = str(tmp_path / "pos_shards")
+    P.build_position_index(pos_docs, 6, num_shards=3).write.parquet(path)
+    stored = spark.read.parquet(path)
+    plan = (
+        P.phrase_match_positional(stored, "big data")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "In(term" in plan

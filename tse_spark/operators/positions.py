@@ -1,0 +1,383 @@
+"""Positional posting index: term positions ride inside the posting
+blocks, so quoted-phrase queries resolve ENTIRELY index-side — no
+document text is fetched or re-tokenized at serving time.
+
+The reference has no positional index (its ``sun.iidx`` stores bare
+docid lists, index/CrtInvertedIdx.cpp:29-47) and no phrase queries;
+this is the standard fulltext-engine extension of that format.  The
+existing :func:`tse_spark.operators.textops.phrase_match_indexed`
+prunes candidates through the (term, doc) index but still re-scans the
+candidate documents' text for adjacency — at 10^12 docs that second
+pass touches the (huge) docs table.  Here adjacency is answered from
+position lists alone: serving reads only the phrase terms' shard rows
+(pushed-down ``term IN`` on a table laid out by term) and never joins
+back to text.
+
+Tokenization matches :func:`textops.tokens` exactly (lowercase,
+whitespace-split, empties dropped); positions are 0-based indices in
+that filtered token sequence, so "adjacent" means ``pos_{i+1} ==
+pos_i + 1`` — the same adjacency :func:`textops.phrase_match` checks
+inside the token array, which is why the two operators share one
+oracle.
+
+Layout — one row per (term, shard); ``blocks`` concatenates
+self-delimiting blocks of up to ``block_size`` postings:
+
+  header '<HIIIQQ': count, gaps_len, cnts_len, pos_len,
+                    first_doc, last_doc
+  payload: varint(doc delta-gaps, gaps[0]==0 — first_doc absolute)
+        ++ varint(per-posting position counts)      (== tf)
+        ++ varint(position deltas: per posting the first position is
+                  absolute, the rest are gaps; positions are strictly
+                  increasing within a posting)
+
+Scale shape mirrors the tf posting build (postings.py): the doc-major
+tokenize keeps every occurrence inside its document row (NO
+occurrence-level exchange), map-side partial runs are encoded before
+the one shuffle by (term, shard) — the shard salt spreads a hot term's
+postings across the cluster — and the reduce side only concatenates
+self-delimiting partial blobs.  Positions are int64 < 2^32 (a doc with
+more tokens than that does not exist), so serving packs (doc, pos)
+into one sortable int64 key.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from tse_spark.operators import codec
+
+_PHDR = struct.Struct("<HIIIQQ")
+PHDR_SIZE = _PHDR.size
+_STRIDE = np.int64(1) << np.int64(32)  # (doc, pos) -> doc * 2^32 + pos
+
+
+# ---------------------------------------------------------------------------
+# codec
+# ---------------------------------------------------------------------------
+
+def encode_positions_run(
+    docs: np.ndarray,
+    cnts: np.ndarray,
+    posflat: np.ndarray,
+    block_size: int = codec.BLOCK_SIZE,
+) -> bytes:
+    """Encode ONE (term, shard) run — postings doc-ascending, positions
+    strictly increasing within each posting — into concatenated blocks."""
+    n = docs.size
+    # per-posting position deltas with a reset (absolute) at each
+    # posting's first position, computed without a per-posting loop
+    starts = np.concatenate(([0], np.cumsum(cnts)))[:-1]
+    pd_ = np.empty_like(posflat)
+    pd_[1:] = posflat[1:] - posflat[:-1]
+    pd_[starts] = posflat[starts]
+    out = []
+    for lo in range(0, n, block_size):
+        hi = min(lo + block_size, n)
+        b_docs = docs[lo:hi]
+        gaps = np.empty(hi - lo, dtype=np.int64)
+        gaps[0] = 0
+        gaps[1:] = b_docs[1:] - b_docs[:-1]
+        b_cnts = cnts[lo:hi]
+        p_lo = int(starts[lo])
+        p_hi = int(starts[hi - 1] + cnts[hi - 1])
+        g = codec.varint_encode(gaps)
+        c = codec.varint_encode(b_cnts)
+        p = codec.varint_encode(pd_[p_lo:p_hi])
+        out.append(
+            _PHDR.pack(hi - lo, len(g), len(c), len(p),
+                       int(b_docs[0]), int(b_docs[-1]))
+        )
+        out.append(g)
+        out.append(c)
+        out.append(p)
+    return b"".join(out)
+
+
+def decode_positions(blob: bytes):
+    """-> (docs, cnts, posflat) int64 arrays, one ``varint_decode`` per
+    SECTION across all blocks (streams are self-delimiting), postings
+    re-sorted by doc id (partial runs from different input partitions
+    may interleave doc ranges)."""
+    hdrs = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        cnt, g_len, c_len, p_len, first, last = _PHDR.unpack_from(blob, pos)
+        hdrs.append((cnt, pos + PHDR_SIZE, g_len, c_len, p_len, first))
+        pos += PHDR_SIZE + g_len + c_len + p_len
+    if not hdrs:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    counts = np.array([h[0] for h in hdrs], dtype=np.int64)
+    total = int(counts.sum())
+    g_buf = b"".join(blob[h[1] : h[1] + h[2]] for h in hdrs)
+    c_buf = b"".join(blob[h[1] + h[2] : h[1] + h[2] + h[3]] for h in hdrs)
+    p_buf = b"".join(
+        blob[h[1] + h[2] + h[3] : h[1] + h[2] + h[3] + h[4]] for h in hdrs
+    )
+    gaps = codec.varint_decode(g_buf, total)
+    cnts = codec.varint_decode(c_buf, total)
+    n_pos = int(cnts.sum())
+    pdeltas = codec.varint_decode(p_buf, n_pos)
+    # docs: segmented cumsum with per-block absolute first_doc
+    c = np.cumsum(gaps)
+    b_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    firsts = np.array([h[5] for h in hdrs], dtype=np.int64)
+    docs = c + np.repeat(firsts - c[b_starts], counts)
+    # positions: segmented cumsum with a reset at each posting start
+    pc = np.cumsum(pdeltas)
+    p_starts = np.concatenate(([0], np.cumsum(cnts)))[:-1].astype(np.int64)
+    base = pc[p_starts] - pdeltas[p_starts]
+    posflat = pc - np.repeat(base, cnts)
+    if docs.size > 1 and np.any(docs[1:] < docs[:-1]):
+        order = np.argsort(docs, kind="stable")
+        take = np.repeat(p_starts[order], cnts[order])
+        within = np.arange(n_pos, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnts[order])))[:-1], cnts[order]
+        )
+        posflat = posflat[take + within]
+        docs, cnts = docs[order], cnts[order]
+    return docs, cnts, posflat
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+def build_doc_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """docs -> doc-major (doc_id, terms[], cnts[], posflat[]): per doc,
+    distinct terms (sorted) with each term's ascending position list,
+    concatenated.  Occurrences never leave their document row — the
+    only exchange in the whole build is the later (term, shard) one."""
+    schema = (
+        "doc_id long, terms array<string>, cnts array<long>, "
+        "posflat array<long>"
+    )
+
+    def tokenize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = np.array((text or "").lower().split(), dtype=object)
+                if toks.size == 0:
+                    continue
+                uniq, inv, counts = np.unique(
+                    toks, return_inverse=True, return_counts=True
+                )
+                order = np.argsort(inv, kind="stable")
+                rows.append(
+                    (
+                        int(doc_id),
+                        uniq.tolist(),
+                        counts.astype(np.int64),
+                        np.arange(toks.size, dtype=np.int64)[order],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "terms", "cnts", "posflat"]
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(tokenize, schema)
+
+
+def build_position_shards(
+    doc_pos: DataFrame,
+    n_docs: int,
+    num_shards: int = 32,
+    block_size: int = codec.BLOCK_SIZE,
+    shard_range: int | None = None,
+) -> DataFrame:
+    """doc-major positions -> (term, shard, df, blocks) rows.  Map-side
+    partial encode per scan chunk (one shuffle row per (term, shard,
+    chunk), not per occurrence), then a merge that concatenates the
+    self-delimiting partial blobs in first_doc order."""
+    if shard_range is None:
+        shard_range = max(1, -(-n_docs // num_shards))
+    partial_schema = (
+        "term string, shard long, df long, first_doc long, blocks binary"
+    )
+
+    def encode_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            cnt_lists = [np.asarray(c, dtype=np.int64) for c in pdf["cnts"]]
+            n_terms = np.array([c.size for c in cnt_lists], dtype=np.int64)
+            if int(n_terms.sum()) == 0:
+                continue
+            doc = np.repeat(pdf["doc_id"].to_numpy(np.int64), n_terms)
+            terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in pdf["terms"]]
+            )
+            cnts = np.concatenate(cnt_lists)
+            posflat = np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in pdf["posflat"]]
+            )
+            shards = doc // shard_range
+            codes, _ = pd.factorize(terms, sort=False)
+            order = np.lexsort((doc, shards, codes.astype(np.int64)))
+            # ragged gather: reorder each posting's position slice along
+            # with its (term, shard, doc) row
+            starts = np.concatenate(([0], np.cumsum(cnts)))[:-1]
+            o_cnts = cnts[order]
+            o_ends = np.cumsum(o_cnts)
+            take = np.repeat(starts[order], o_cnts) + (
+                np.arange(int(o_ends[-1]), dtype=np.int64)
+                - np.repeat(o_ends - o_cnts, o_cnts)
+            )
+            posflat = posflat[take]
+            codes_o, shards_o, docs_o = (
+                codes[order], shards[order], doc[order],
+            )
+            change = np.flatnonzero(
+                (codes_o[1:] != codes_o[:-1]) | (shards_o[1:] != shards_o[:-1])
+            )
+            bounds = np.concatenate(([0], change + 1, [codes_o.size]))
+            p_bounds = np.concatenate(([0], o_ends))
+            rows = []
+            terms_o = terms[order]
+            for i in range(bounds.size - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                blob = encode_positions_run(
+                    docs_o[lo:hi],
+                    o_cnts[lo:hi],
+                    posflat[int(p_bounds[lo]) : int(p_bounds[hi])],
+                    block_size,
+                )
+                rows.append(
+                    (
+                        terms_o[lo],
+                        int(shards_o[lo]),
+                        hi - lo,
+                        int(docs_o[lo]),
+                        blob,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["term", "shard", "df", "first_doc", "blocks"],
+            )
+
+    partials = doc_pos.mapInPandas(encode_map, partial_schema)
+
+    merged_schema = "term string, shard long, df long, blocks binary"
+
+    def merge_stream(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # partitioned by (term, shard) and sorted by (term, shard,
+        # first_doc): stream runs, concatenating self-delimiting blobs
+        carry: tuple | None = None  # (term, shard, df, [blobs])
+        for pdf in it:
+            out = []
+            for term, shard, df_, blob in zip(
+                pdf["term"], pdf["shard"], pdf["df"], pdf["blocks"]
+            ):
+                if carry is not None and (
+                    carry[0] != term or carry[1] != shard
+                ):
+                    out.append(
+                        (carry[0], carry[1], carry[2], b"".join(carry[3]))
+                    )
+                    carry = None
+                if carry is None:
+                    carry = (term, int(shard), int(df_), [blob])
+                else:
+                    carry = (
+                        carry[0], carry[1], carry[2] + int(df_),
+                        carry[3] + [blob],
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["term", "shard", "df", "blocks"]
+                )
+        if carry is not None:
+            yield pd.DataFrame(
+                [(carry[0], carry[1], carry[2], b"".join(carry[3]))],
+                columns=["term", "shard", "df", "blocks"],
+            )
+
+    return (
+        partials.repartition("term", "shard")
+        .sortWithinPartitions("term", "shard", "first_doc")
+        .mapInPandas(merge_stream, merged_schema)
+    )
+
+
+def build_position_index(
+    docs: DataFrame,
+    n_docs: int,
+    num_shards: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Convenience: docs -> positional posting shards."""
+    return build_position_shards(
+        build_doc_positions(docs, text_col), n_docs, num_shards
+    )
+
+
+# ---------------------------------------------------------------------------
+# serving
+# ---------------------------------------------------------------------------
+
+def phrase_match_positional(
+    pos_shards: DataFrame, phrase: str
+) -> DataFrame:
+    """(doc_id, n_hits) for the exact token-adjacent phrase, answered
+    from position lists alone.  Result-identical to
+    :func:`textops.phrase_match` (shared oracle).
+
+    Plan: pushed-down ``term IN (phrase words)`` on the shard table
+    (partition/bucket pruning when stored by term), then a per-shard
+    vectorized intersect: each posting's (doc, pos) packs into one
+    int64 key ``doc * 2^32 + pos``; phrase starts are the survivors of
+    ``keys(word_0) + i ∈ keys(word_i)`` for every following word —
+    sorted-array membership via searchsorted, no per-doc loop.  Shards
+    are disjoint doc ranges, so per-executor work is that shard's
+    posting mass for the phrase terms only."""
+    from tse_spark.operators.textops import _phrase_words
+
+    words = _phrase_words(phrase)
+    uniq_words = sorted(set(words))
+    sub = pos_shards.filter(F.col("term").isin(uniq_words))
+    schema = "doc_id long, n_hits long"
+    n_words = len(words)
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "n_hits": []}).astype(
+            {"doc_id": "int64", "n_hits": "int64"}
+        )
+        keys_by_word: dict[str, np.ndarray] = {}
+        for w in uniq_words:
+            blobs = pdf.loc[pdf["term"] == w, "blocks"]
+            if blobs.empty:
+                return empty  # word absent from this shard: no match
+            parts = []
+            for blob in blobs:
+                docs, cnts, posflat = decode_positions(bytes(blob))
+                parts.append(
+                    np.repeat(docs, cnts) * _STRIDE + posflat
+                )
+            keys = np.concatenate(parts)
+            keys.sort()
+            keys_by_word[w] = keys
+        surv = keys_by_word[words[0]]
+        for i in range(1, n_words):
+            k = keys_by_word[words[i]]
+            t = surv + np.int64(i)
+            idx = np.searchsorted(k, t)
+            ok = idx < k.size
+            ok[ok] = k[idx[ok]] == t[ok]
+            surv = surv[ok]
+            if surv.size == 0:
+                return empty
+        doc_ids, n_hits = np.unique(surv // _STRIDE, return_counts=True)
+        return pd.DataFrame(
+            {"doc_id": doc_ids, "n_hits": n_hits.astype(np.int64)}
+        )
+
+    return sub.groupBy("shard").applyInPandas(match, schema)
