@@ -533,6 +533,26 @@ def _q_phrase_match_pos(spark, sf):
     return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
 
 
+PROX_WINDOW = 5  # NEAR/5 for the two phrase-query words
+
+
+def _q_proximity_count(spark, sf):
+    """NEAR-query serving from the positional index: ordered (w0, w1)
+    position pairs within a token window, counted per doc by one
+    vectorized searchsorted range-subtraction over packed (doc, pos)
+    keys — the proximity feature phrase-slop rankers are built on, and
+    like phrase_match_pos it never touches document text."""
+    from tse_spark.operators import positions as pos
+
+    w0, w1 = PHRASE_QUERY.split()
+    out = pos.proximity_count(
+        _pos_index_cached(spark, sf), w0, w1, PROX_WINDOW
+    )
+    return out.select(
+        "doc_id", F.col("n_pairs").cast("long").alias("n_pairs")
+    )
+
+
 def _q_spell_suggest(spark, sf):
     """'Did you mean': top-5 vocabulary terms nearest the misspelled
     query term by levenshtein, ties by df then lexicographic; runs over
@@ -1300,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "phrase_match_indexed": _q_phrase_match_indexed,
         "phrase_match_pos": _q_phrase_match_pos,
+        "proximity_count": _q_proximity_count,
         "spell_suggest": _q_spell_suggest,
         "cosine_neardup": _q_cosine_neardup,
         "snapshot_by_url": _q_snapshot_by_url,
@@ -2361,6 +2382,24 @@ def oracle_sql() -> dict[str, str]:
     # the full-scan phrase matcher — the oracle is shared
     out["phrase_match_indexed"] = out["phrase_match"]
     out["phrase_match_pos"] = out["phrase_match"]
+    # NEAR/5: ordered (i, j) position pairs, 0 < j - i <= window
+    out["proximity_count"] = rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> strlen(x) > 0) AS arr
+          FROM documents),
+        a AS (
+          SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+          FROM t),
+        i0 AS (SELECT doc_id, i FROM a
+               WHERE arr[i] = '{PHRASE_QUERY.split()[0]}'),
+        j0 AS (SELECT doc_id, i AS j FROM a
+               WHERE arr[i] = '{PHRASE_QUERY.split()[1]}')
+        SELECT i0.doc_id, count(*)::BIGINT AS n_pairs
+        FROM i0 JOIN j0 ON i0.doc_id = j0.doc_id
+        WHERE j0.j > i0.i AND j0.j - i0.i <= {PROX_WINDOW}
+        GROUP BY 1"""
     # gzip round-trip: expected md5/length restated from the payload law
     # (mode 2 — gzip bytes gated out by text/plain — is masked to NULL:
     # the bytes stay compressed and SQL cannot gunzip them)

@@ -102,6 +102,7 @@ HEADLINE = [
     "bigram_count",
     "phrase_match",
     "phrase_match_pos",
+    "proximity_count",
     "spell_suggest",
     "quality_score",
     "lang_id",

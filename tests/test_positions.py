@@ -108,6 +108,40 @@ def test_phrase_positional_on_testdata(spark):
         idx.unpersist()
 
 
+def _brute_proximity(rows, w0, w1, window):
+    want = {}
+    for doc_id, text in rows:
+        toks = text.lower().split()
+        n = sum(
+            1
+            for i, a in enumerate(toks)
+            for j in range(i + 1, min(i + window, len(toks) - 1) + 1)
+            if a == w0 and toks[j] == w1
+        )
+        if n:
+            want[doc_id] = n
+    return want
+
+
+@pytest.mark.parametrize(
+    "w0,w1,window",
+    [
+        ("big", "data", 1),   # == exact bigram adjacency
+        ("big", "data", 3),
+        ("data", "big", 2),   # order matters
+        ("a", "a", 2),        # same-word pairs
+        ("big", "zzz", 4),    # absent second word -> empty
+    ],
+)
+def test_proximity_count(pos_docs, pos_index, w0, w1, window):
+    got = {
+        r["doc_id"]: r["n_pairs"]
+        for r in P.proximity_count(pos_index, w0, w1, window).collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in pos_docs.collect()]
+    assert got == _brute_proximity(rows, w0, w1, window)
+
+
 def test_position_shards_pushdown(spark, pos_docs, tmp_path):
     # stored as parquet, the serving-side term IN filter must reach the
     # scan (PushedFilters) so only the phrase terms' rows are read

@@ -381,3 +381,52 @@ def phrase_match_positional(
         )
 
     return sub.groupBy("shard").applyInPandas(match, schema)
+
+
+def proximity_count(
+    pos_shards: DataFrame, w0: str, w1: str, window: int
+) -> DataFrame:
+    """(doc_id, n_pairs): ordered co-occurrence counts — pairs of
+    positions (i, j) with ``w0`` at i, ``w1`` at j and ``0 < j - i <=
+    window`` — answered from position lists alone (the proximity
+    operator behind NEAR queries and phrase-slop ranking features).
+
+    Same serving shape as :func:`phrase_match_positional`: pushed-down
+    ``term IN (w0, w1)``, then per shard a vectorized range count over
+    the packed (doc, pos) keys — for every w0 key k, the number of w1
+    keys in (k, k + window] is one searchsorted subtraction; the pack
+    stride (2^32) exceeds any document's token count, so a range never
+    leaks across doc boundaries."""
+    sub = pos_shards.filter(F.col("term").isin(list({w0, w1})))
+    schema = "doc_id long, n_pairs long"
+    win = np.int64(window)
+
+    def count(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "n_pairs": []}).astype(
+            {"doc_id": "int64", "n_pairs": "int64"}
+        )
+        keys: dict[str, np.ndarray] = {}
+        for w in {w0, w1}:
+            blobs = pdf.loc[pdf["term"] == w, "blocks"]
+            if blobs.empty:
+                return empty
+            parts = []
+            for blob in blobs:
+                docs, cnts, posflat = decode_positions(bytes(blob))
+                parts.append(np.repeat(docs, cnts) * _STRIDE + posflat)
+            k = np.concatenate(parts)
+            k.sort()
+            keys[w] = k
+        k0, k1 = keys[w0], keys[w1]
+        per_k = (
+            np.searchsorted(k1, k0 + win, side="right")
+            - np.searchsorted(k1, k0, side="right")
+        ).astype(np.int64)
+        hit = per_k > 0
+        doc_ids, inv = np.unique(k0[hit] // _STRIDE, return_inverse=True)
+        if doc_ids.size == 0:
+            return empty
+        n_pairs = np.bincount(inv, weights=per_k[hit]).astype(np.int64)
+        return pd.DataFrame({"doc_id": doc_ids, "n_pairs": n_pairs})
+
+    return sub.groupBy("shard").applyInPandas(count, schema)
