@@ -114,21 +114,46 @@ def _comps(spark, pairs, **kw):
     return {r["id"]: r["component"] for r in got}
 
 
-def test_components_basic_groups(spark):
-    got = _comps(spark, [(1, 2), (2, 3), (5, 6), (7, 7)])
+# threshold 0 forces the distributed min-label loop; the default takes
+# the driver-local numpy fast path — both must label identically
+@pytest.mark.parametrize("thresh", [0, 2_000_000])
+def test_components_basic_groups(spark, thresh):
+    got = _comps(
+        spark, [(1, 2), (2, 3), (5, 6), (7, 7)], driver_threshold=thresh
+    )
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7}
 
 
-def test_components_long_chain_converges(spark):
+@pytest.mark.parametrize("thresh", [0, 2_000_000])
+def test_components_long_chain_converges(spark, thresh):
     n = 12  # diameter 11: forces many propagation rounds
-    got = _comps(spark, [(i, i + 1) for i in range(n)])
+    got = _comps(
+        spark, [(i, i + 1) for i in range(n)], driver_threshold=thresh
+    )
     assert set(got.values()) == {0}
     assert len(got) == n + 1
 
 
-def test_components_reversed_pair_order(spark):
-    got = _comps(spark, [(9, 4), (4, 2), (2, 9)])
+@pytest.mark.parametrize("thresh", [0, 2_000_000])
+def test_components_reversed_pair_order(spark, thresh):
+    got = _comps(spark, [(9, 4), (4, 2), (2, 9)], driver_threshold=thresh)
     assert got == {9: 2, 4: 2, 2: 2}
+
+
+def test_components_string_ids_driver_local(spark):
+    pdf = spark.createDataFrame(
+        [("u2", "u9"), ("u9", "u1"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in linkrank.connected_components(pdf).collect()
+    }
+    assert got == {"u1": "u1", "u2": "u1", "u9": "u1", "x": "x", "y": "x"}
+
+
+def test_components_empty_pairs(spark):
+    pdf = spark.createDataFrame([], "id_a long, id_b long")
+    assert linkrank.connected_components(pdf).collect() == []
 
 
 def test_dedup_keep_one(spark):

@@ -122,6 +122,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) over the undirected graph given as pair rows;
     ``component`` is the minimum node id reachable from ``node``.
@@ -129,15 +130,74 @@ def connected_components(
     singletons if they want every document labeled — see
     :func:`dedup_keep_one`).
 
-    Min-label propagation: each round every node takes the min of its
-    own label and its neighbors' labels; stop when no label changed
-    (one scalar isEmpty() action per round — the loop's only driver
-    involvement).  Rounds needed = graph diameter; near-dup components
-    are dense and shallow, so this is 2-4 rounds in practice.
+    The pair lineage is cut ONCE up front (eager localCheckpoint): pair
+    sources are expensive (an LSH bucket join, a cosine verify) and an
+    iterative consumer must never re-evaluate them per round.
+
+    Then a size-based strategy pick, same logic as a broadcast join:
+    near-dup pair sets are SMALL relative to the corpus (at 10^12 docs
+    a 0.1% dup rate is ~10^9 pairs of two longs — tens of GB, but at
+    any bench/sandbox scale a few thousand), so below
+    ``driver_threshold`` edges the whole graph fits on the driver and a
+    vectorized numpy pointer-jumping pass labels it in milliseconds —
+    rounds of distributed joins would pay fixed scheduling latency per
+    round for no parallelism gain.  Above the threshold, distributed
+    min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels, plus a pointer-jumping
+    self-join (adopt the label of my label) that makes convergence
+    O(log diameter) rounds; stop when no label changed (one scalar
+    isEmpty() action per round — the loop's only driver involvement).
     """
     a = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
-    b = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
-    edges = a.union(b).distinct().persist()
+    base = a.localCheckpoint(eager=True)
+    if base.count() <= driver_threshold:
+        return _components_driver_local(base)
+    return _components_distributed(base, max_iter)
+
+
+def _components_driver_local(base: DataFrame) -> DataFrame:
+    """Vectorized numpy pointer-jumping over a driver-resident edge
+    list — output identical to the distributed loop (component = min
+    reachable id; np.unique sorts ids ascending, so min index == min
+    id for any orderable id dtype)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = base.sparkSession
+    id_type = base.schema["s"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("component", id_type),
+        ]
+    )
+    pdf = base.toPandas()
+    if pdf.empty:
+        return spark.createDataFrame([], out_schema)
+    s_vals = pdf["s"].to_numpy()
+    d_vals = pdf["d"].to_numpy()
+    ids = np.unique(np.concatenate([s_vals, d_vals]))
+    se = np.searchsorted(ids, s_vals)
+    de = np.searchsorted(ids, d_vals)
+    lab = np.arange(ids.size, dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, se, lab[de])
+        np.minimum.at(new, de, lab[se])
+        new = np.minimum(new, new[new])  # pointer jump: O(log n) passes
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"id": ids, "component": ids[lab]}), out_schema
+    )
+
+
+def _components_distributed(base: DataFrame, max_iter: int) -> DataFrame:
+    b = base.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    edges = base.union(b).distinct().persist()
     labels = (
         edges.select(F.col("s").alias("id"))
         .distinct()

@@ -606,6 +606,22 @@ def lsh_neardup_pairs(
     to the threshold; recall < 1 by construction and is pytest-pinned
     vs the exact baseline.
 
+    The exact-cosine verify runs INSIDE each (band, sig) bucket as a
+    chunked BLAS matmul over the bucket's vectors: candidate pairs
+    never materialize as rows, no per-pair join ships embedding arrays,
+    and the only corpus exchange is the signature shuffle (one vector
+    copy per band).  The earlier plan — explode candidates to (id_a,
+    id_b) rows, join the embeddings back twice, score with interpreted
+    ``aggregate`` expressions — moved ~2 vectors per candidate pair
+    through a shuffle and paid a per-element lambda per dot product;
+    with weak bands (``n_planes`` small, as a low threshold demands for
+    recall) candidates approach all-pairs and that plan approached the
+    O(n²) baseline it exists to avoid.  Per-bucket work is
+    O(bucket_size²) either way, but as a dense matmul it is ~100x
+    cheaper per pair, and the row-block chunking bounds task memory.
+    At larger corpora raise ``n_planes``/``n_bands`` together so bucket
+    sizes stay bounded while recall holds.
+
     Pass ``dim`` (the embedding width) to keep the operator a single
     job; the ``first()`` fallback schedules a tiny extra probe job."""
     if dim is None:
@@ -620,31 +636,50 @@ def lsh_neardup_pairs(
             )
         )
     sigs = emb.select(
-        "vec_id", F.explode(F.array(*band_cols)).alias("bs")
+        "vec_id", "embedding", F.explode(F.array(*band_cols)).alias("bs")
     ).select(
-        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        "vec_id", "embedding",
+        F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
     )
-    a = sigs.select("band", "sig", F.col("vec_id").alias("id_a"))
-    b = sigs.select("band", "sig", F.col("vec_id").alias("id_b"))
-    cand = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    ea = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
-    )
+
+    out_schema = "id_a long, id_b long, cos double"
+    block = 4096  # rows per matmul chunk: bounds the score-block size
+
+    def bucket_pairs(pdf):
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        n = ids.size
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cos": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cos": "float64"})
+        V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            S = (V[lo:hi] @ V.T) / np.outer(norms[lo:hi], norms)
+            S = np.round(S, 4)
+            # strict upper triangle in ROW ORDER (i < j positionally),
+            # then canonicalize by vec_id so id_a < id_b
+            ii, jj = np.nonzero(S >= threshold)
+            keep = (ii + lo) < jj
+            ii, jj = ii[keep], jj[keep]
+            ia, ib = ids[ii + lo], ids[jj]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_c.append(S[ii, jj])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
     return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("cos", F.round(cos, 4))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        sigs.groupBy("band", "sig")
+        .applyInPandas(bucket_pairs, out_schema)
+        .distinct()  # a pair can match in several bands; copies identical
     )
