@@ -61,6 +61,74 @@ _STRIDE = np.int64(1) << np.int64(32)  # (doc, pos) -> doc * 2^32 + pos
 # codec
 # ---------------------------------------------------------------------------
 
+def encode_positions_many(
+    doc_ids: np.ndarray,
+    cnts: np.ndarray,
+    posflat: np.ndarray,
+    group_bounds: np.ndarray,
+    block_size: int = codec.BLOCK_SIZE,
+) -> list[bytes]:
+    """Encode MANY positional posting runs in one vectorized pass (the
+    positional twin of :func:`codec.encode_many`): ONE varint encode
+    per section for the whole chunk, per-value byte sizes giving the
+    slice offsets, and only the final header-pack/slice assembly
+    looping in Python, once per block.  ``group_bounds`` delimits the
+    (term, shard) runs in POSTING space (len = n_groups + 1); each run
+    must be doc-ascending with strictly increasing positions per
+    posting."""
+    n = int(doc_ids.size)
+    counts = np.diff(group_bounds)
+    if n == 0:
+        return [b""] * len(counts)
+    pos_in_group = np.arange(n) - np.repeat(group_bounds[:-1], counts)
+    bstart_mask = (pos_in_group % block_size) == 0
+    bstarts = np.flatnonzero(bstart_mask)
+    bends = np.concatenate((bstarts[1:], [n]))
+
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = 0
+    gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+    gaps[bstarts] = 0
+
+    # per-posting position deltas with a reset (absolute first position)
+    # at each posting start — computed without a per-posting loop
+    p_starts = np.concatenate(([0], np.cumsum(cnts)))
+    pd_ = np.empty_like(posflat)
+    if posflat.size:
+        pd_[1:] = posflat[1:] - posflat[:-1]
+        pd_[p_starts[:-1]] = posflat[p_starts[:-1]]
+
+    g_bytes, g_sz = codec._varint_encode_sizes(gaps)
+    c_bytes, c_sz = codec._varint_encode_sizes(cnts)
+    p_bytes, p_sz = codec._varint_encode_sizes(pd_)
+    g_off = np.concatenate(([0], np.cumsum(g_sz)))
+    c_off = np.concatenate(([0], np.cumsum(c_sz)))
+    # position-section byte offset at each POSTING boundary
+    p_off = np.concatenate(([0], np.cumsum(p_sz)))[p_starts]
+
+    first = doc_ids[bstarts]
+    last = doc_ids[bends - 1]
+    gv = g_bytes.tobytes()
+    cv = c_bytes.tobytes()
+    pv = p_bytes.tobytes()
+    bgroup = np.searchsorted(group_bounds[:-1], bstarts, side="right") - 1
+    pack = _PHDR.pack
+    parts: list[list[bytes]] = [[] for _ in counts]
+    for i in range(len(bstarts)):
+        s, e = int(bstarts[i]), int(bends[i])
+        ga, gb = int(g_off[s]), int(g_off[e])
+        ca, cb = int(c_off[s]), int(c_off[e])
+        pa, pb = int(p_off[s]), int(p_off[e])
+        parts[int(bgroup[i])].append(
+            pack(e - s, gb - ga, cb - ca, pb - pa,
+                 int(first[i]), int(last[i]))
+            + gv[ga:gb]
+            + cv[ca:cb]
+            + pv[pa:pb]
+        )
+    return [b"".join(p) for p in parts]
+
+
 def encode_positions_run(
     docs: np.ndarray,
     cnts: np.ndarray,
@@ -69,34 +137,8 @@ def encode_positions_run(
 ) -> bytes:
     """Encode ONE (term, shard) run — postings doc-ascending, positions
     strictly increasing within each posting — into concatenated blocks."""
-    n = docs.size
-    # per-posting position deltas with a reset (absolute) at each
-    # posting's first position, computed without a per-posting loop
-    starts = np.concatenate(([0], np.cumsum(cnts)))[:-1]
-    pd_ = np.empty_like(posflat)
-    pd_[1:] = posflat[1:] - posflat[:-1]
-    pd_[starts] = posflat[starts]
-    out = []
-    for lo in range(0, n, block_size):
-        hi = min(lo + block_size, n)
-        b_docs = docs[lo:hi]
-        gaps = np.empty(hi - lo, dtype=np.int64)
-        gaps[0] = 0
-        gaps[1:] = b_docs[1:] - b_docs[:-1]
-        b_cnts = cnts[lo:hi]
-        p_lo = int(starts[lo])
-        p_hi = int(starts[hi - 1] + cnts[hi - 1])
-        g = codec.varint_encode(gaps)
-        c = codec.varint_encode(b_cnts)
-        p = codec.varint_encode(pd_[p_lo:p_hi])
-        out.append(
-            _PHDR.pack(hi - lo, len(g), len(c), len(p),
-                       int(b_docs[0]), int(b_docs[-1]))
-        )
-        out.append(g)
-        out.append(c)
-        out.append(p)
-    return b"".join(out)
+    bounds = np.array([0, docs.size], dtype=np.int64)
+    return encode_positions_many(docs, cnts, posflat, bounds, block_size)[0]
 
 
 def decode_positions(blob: bytes):
@@ -239,29 +281,18 @@ def build_position_shards(
                 (codes_o[1:] != codes_o[:-1]) | (shards_o[1:] != shards_o[:-1])
             )
             bounds = np.concatenate(([0], change + 1, [codes_o.size]))
-            p_bounds = np.concatenate(([0], o_ends))
-            rows = []
-            terms_o = terms[order]
-            for i in range(bounds.size - 1):
-                lo, hi = int(bounds[i]), int(bounds[i + 1])
-                blob = encode_positions_run(
-                    docs_o[lo:hi],
-                    o_cnts[lo:hi],
-                    posflat[int(p_bounds[lo]) : int(p_bounds[hi])],
-                    block_size,
-                )
-                rows.append(
-                    (
-                        terms_o[lo],
-                        int(shards_o[lo]),
-                        hi - lo,
-                        int(docs_o[lo]),
-                        blob,
-                    )
-                )
+            blobs = encode_positions_many(
+                docs_o, o_cnts, posflat, bounds, block_size
+            )
+            starts_o = bounds[:-1]
             yield pd.DataFrame(
-                rows,
-                columns=["term", "shard", "df", "first_doc", "blocks"],
+                {
+                    "term": terms[order][starts_o],
+                    "shard": shards_o[starts_o],
+                    "df": np.diff(bounds),
+                    "first_doc": docs_o[starts_o],
+                    "blocks": blobs,
+                }
             )
 
     partials = doc_pos.mapInPandas(encode_map, partial_schema)
