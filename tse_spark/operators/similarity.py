@@ -26,6 +26,17 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def _lit_vec(values) -> "F.Column":
+    """A literal double-array column in ONE py4j round trip.  F.lit /
+    F.array desugar to one driver call per element — ~3 s of pure
+    driver time per LSH plan at bands x planes x dims elements; a
+    parsed SQL expression is one call, and ``repr(float)`` round-trips
+    float64 exactly so the JVM sees bit-identical coefficients."""
+    return F.expr(
+        "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
+    )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -46,7 +57,7 @@ def _norm(a):
 
 def cosine_scores(emb: DataFrame, query_vec: list[float]) -> DataFrame:
     """(vec_id, label, cos) vs a literal query vector."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = _lit_vec(query_vec)
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
     cos = _dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * F.lit(qn))
     return emb.select("vec_id", "label", F.round(cos, 4).alias("cos"))
@@ -81,7 +92,7 @@ def lsh_bucket_col(planes: np.ndarray):
     literal plane coefficients."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(c)) for c in p])
+        arr = _lit_vec(p)
         bucket = bucket + F.when(
             _dot(F.col("embedding"), arr) >= 0, F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
@@ -350,7 +361,7 @@ def ivf_assign(
     cells (partition pruning), never the full corpus."""
     entries = []
     for i, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
+        arr = _lit_vec(c)
         cn = float(np.sqrt(np.dot(c, c)))
         cos = _dot(F.col("embedding"), arr) / (
             _norm(F.col("embedding")) * F.lit(cn)
