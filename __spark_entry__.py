@@ -553,6 +553,22 @@ def _q_proximity_count(spark, sf):
     )
 
 
+def _q_doc_keywords(spark, sf):
+    """Top-5 tf-idf keywords per document, extracted from the SAME
+    (doc_id, term, tf) relation the index build produces (no second
+    tokenization pass): score = tf * ln(n_docs/df) rounded before
+    ranking so the order is engine-reproducible, ties by term."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import textops
+
+    tf = _tf_ws_cached(spark, sf)
+    n_docs, _ = ib.corpus_stats(ib.build_doclen(tf))
+    out = textops.doc_keywords(tf, n_docs, k=5)
+    return out.select(
+        "doc_id", "term", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_spell_suggest(spark, sf):
     """'Did you mean': top-5 vocabulary terms nearest the misspelled
     query term by levenshtein, ties by df then lexicographic; runs over
@@ -1321,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match_indexed": _q_phrase_match_indexed,
         "phrase_match_pos": _q_phrase_match_pos,
         "proximity_count": _q_proximity_count,
+        "doc_keywords": _q_doc_keywords,
         "spell_suggest": _q_spell_suggest,
         "cosine_neardup": _q_cosine_neardup,
         "snapshot_by_url": _q_snapshot_by_url,
@@ -2382,6 +2399,18 @@ def oracle_sql() -> dict[str, str]:
     # the full-scan phrase matcher — the oracle is shared
     out["phrase_match_indexed"] = out["phrase_match"]
     out["phrase_match_pos"] = out["phrase_match"]
+    # top-5 tf-idf keywords per doc; rank on the ROUNDED score so the
+    # order is engine-reproducible, ties by term ascending
+    out["doc_keywords"] = _TOK + """
+        SELECT doc_id, term, score, rank FROM (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * ln(stats.n_docs / dfreq.df), 4) AS score,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY round(tf.tf * ln(stats.n_docs / dfreq.df), 4)
+                            DESC, tf.term) AS rank
+          FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        ) WHERE rank <= 5"""
     # NEAR/5: ordered (i, j) position pairs, 0 < j - i <= window
     out["proximity_count"] = rf"""
         WITH t AS (

@@ -104,6 +104,7 @@ HEADLINE = [
     "phrase_match_pos",
     "proximity_count",
     "spell_suggest",
+    "doc_keywords",
     "quality_score",
     "lang_id",
     "doc_fingerprint",
@@ -368,12 +369,14 @@ def run_scaling() -> None:
     # different co-tenancy windows so the per-level MIN dodges steal
     # bursts.  The subprocess deadline leaves `reserve` seconds for the
     # headline + serving phases that follow.
-    # measured round-3 tail: headline 58 s + serving ~10 s + ANN index
-    # build ~7 s + session start ~25 s — 120 s covers it and buys the
-    # scaling phase enough deadline for two full quiet 200k rep-pairs
-    # (~316 s incl. startup); serving_large stays adaptive (it sizes
+    # measured round-3 tail: headline ~45 s quiet (incl. the positional
+    # index + keyword additions) + serving ~10 s + ANN index build ~7 s
+    # + session start ~25 s; 150 s adds margin for steal-inflated
+    # queries (each is additionally capped by the watchdog in
+    # run_headline, so a noisy battery degrades query-by-query instead
+    # of eating the tail).  serving_large stays adaptive (it sizes
     # itself to whatever budget remains, 0 = skip).
-    reserve = 120.0
+    reserve = 150.0
     # minimum useful budget: ~100 s fixed (JVM + warmup + worker pools)
     # plus measured ~0.7 ms/doc for one big+small pair
     est = 100.0 + BENCH_DOCS * 7e-4
@@ -445,12 +448,28 @@ def run_headline(spark) -> None:
             )
             break
         fn = qs[name]
+        # watchdog: a steal burst can inflate one query 5-10x (the
+        # r03 driver run saw a 5 s query read 46 s); cancelling its
+        # job group caps the damage to ~cap_s so the battery degrades
+        # query-by-query instead of losing its whole tail
+        import threading
+
+        cap_s = max(20.0, min(75.0, left() - 15.0))
+        sc = spark.sparkContext
+        gid = f"headline-{name}"
+        sc.setJobGroup(gid, name, interruptOnCancel=True)
+        timer = threading.Timer(cap_s, lambda: sc.cancelJobGroup(gid))
+        timer.start()
         try:
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             times[name] = round(time.time() - t0, 3)
         except Exception:
-            times[name] = -1.0
+            # -2.0 = cancelled by the watchdog; -1.0 = real failure
+            times[name] = -2.0 if time.time() - t0 >= cap_s else -1.0
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
         RESULT["value"] = round(sum(t for t in times.values() if t > 0), 3)
         flush()
     flush()

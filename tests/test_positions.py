@@ -155,3 +155,44 @@ def test_position_shards_pushdown(spark, pos_docs, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "In(term" in plan
+
+
+def test_position_table_build_append_load(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter("doc_id < 250")
+    delta = docs.filter("doc_id >= 250")
+    out = str(tmp_path / "pos_table")
+    P.build_position_table(base, out, n_docs=500, num_shards=4)
+    P.append_position_table(delta, out)
+    merged = P.load_position_table(spark, out)
+    for phrase in ["spark join", "the the"]:
+        got = _collect(P.phrase_match_positional(merged, phrase))
+        want = _collect(textops.phrase_match(docs, phrase))
+        assert got == want and got
+
+
+def test_position_table_append_crash_leaves_old_visible(spark, tmp_path):
+    import json
+    import os
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter("doc_id < 250")
+    out = str(tmp_path / "pos_table")
+    P.build_position_table(base, out, n_docs=500, num_shards=4)
+    before = _collect(
+        P.phrase_match_positional(
+            P.load_position_table(spark, out), "spark join"
+        )
+    )
+    # simulate a crash AFTER the delta dir write but BEFORE the meta
+    # republish: write garbage delta dir by hand; meta still lists only
+    # the base dir, so the load must not see it
+    os.makedirs(os.path.join(out, "data_1"), exist_ok=True)
+    after = _collect(
+        P.phrase_match_positional(
+            P.load_position_table(spark, out), "spark join"
+        )
+    )
+    assert after == before
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["data_dirs"] == ["data"]

@@ -129,3 +129,36 @@ def test_phrase_match_indexed_plan_barrier(spark):
         if "zip_with" in ln and ln.lstrip(" :+-").startswith("Filter")
     ]
     assert not bad, "\n".join(bad)
+
+
+def test_doc_keywords_tfidf_ranking(spark):
+    import math
+
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import textops
+
+    rows = [
+        (1, "spark spark spark join rare1"),
+        (2, "spark join join table"),
+        (3, "spark table table table"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = ib.build_tf_ws(docs)
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score"])
+        for r in textops.doc_keywords(tf, n_docs=3, k=2).collect()
+    }
+    # brute-force tf-idf over the same token law (2..8-byte terms)
+    def s(tf_, df_):
+        return round(tf_ * math.log(3 / df_), 4)
+
+    # doc 1: spark tf3 df3 -> 0; join tf1 df2; rare1 tf1 df1
+    assert got[(1, 1)] == ("rare1", s(1, 1))
+    assert got[(1, 2)] == ("join", s(1, 2))
+    # doc 2: join tf2 df2 beats table tf1 df2; spark 0
+    assert got[(2, 1)] == ("join", s(2, 2))
+    assert got[(2, 2)] == ("table", s(1, 2))
+    # doc 3: table tf3 df2
+    assert got[(3, 1)] == ("table", s(3, 2))
+    # every doc has exactly k rows
+    assert len(got) == 6

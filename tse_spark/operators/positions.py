@@ -43,6 +43,7 @@ into one sortable int64 key.
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Iterator
 
@@ -348,6 +349,111 @@ def build_position_index(
     """Convenience: docs -> positional posting shards."""
     return build_position_shards(
         build_doc_positions(docs, text_col), n_docs, num_shards
+    )
+
+
+# ---------------------------------------------------------------------------
+# persisted table (build once, serve many; O(delta) append)
+# ---------------------------------------------------------------------------
+
+def build_position_table(
+    docs: DataFrame,
+    out_dir: str,
+    n_docs: int,
+    num_shards: int = 32,
+    text_col: str = "text",
+) -> str:
+    """Materialize the positional index: shard rows written RANGE-
+    partitioned and sorted by term, so each parquet file covers a
+    narrow term interval and a serving-side ``term IN`` filter skips
+    whole files on row-group min/max stats (the file-level analogue of
+    the pushdown the tests pin).  ``meta.json`` is published LAST via
+    tmp + atomic rename (same visibility-gate contract as the tf index
+    and ANN tables: a crash mid-build leaves no readable index)."""
+    import json
+
+    shards = build_position_shards(
+        build_doc_positions(docs, text_col), n_docs, num_shards
+    )
+    data_dir = os.path.join(out_dir, "data")
+    (
+        shards.repartitionByRange(num_shards, "term")
+        .sortWithinPartitions("term", "shard")
+        .write.mode("overwrite")
+        .parquet(data_dir)
+    )
+    meta = {
+        "kind": "positional",
+        "n_docs": int(n_docs),
+        "num_shards": int(num_shards),
+        "shard_range": max(1, -(-int(n_docs) // int(num_shards))),
+        "tokenizer": "whitespace_lower",
+        "data_dirs": ["data"],
+    }
+    tmp = os.path.join(out_dir, "meta.json.tmp")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+    return out_dir
+
+
+def append_position_table(
+    docs_delta: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+) -> str:
+    """O(delta) append: encode ONLY the new documents (doc ids must be
+    disjoint from the existing corpus — same contract as
+    plans/append.py) into a fresh ``data_N`` dir using the ORIGINAL
+    build's shard_range, then republish meta with the dir added.
+    Existing files are never rewritten; blocks are self-delimiting and
+    the decoder re-sorts interleaved doc ranges, so a union-of-dirs
+    read IS the merged index.  A crash before the meta republish leaves
+    the old index fully intact; retrying overwrites the same delta dir
+    (idempotent)."""
+    import json
+
+    meta_path = os.path.join(out_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    delta_shards = build_position_shards(
+        build_doc_positions(docs_delta, text_col),
+        n_docs=0,  # unused: shard_range pins the layout
+        shard_range=int(meta["shard_range"]),
+    )
+    n = len(meta["data_dirs"])
+    delta_dir = f"data_{n}"
+    (
+        delta_shards.repartitionByRange(
+            int(meta["num_shards"]), "term"
+        )
+        .sortWithinPartitions("term", "shard")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, delta_dir))
+    )
+    meta["data_dirs"] = meta["data_dirs"] + [delta_dir]
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    return out_dir
+
+
+def load_position_table(spark, out_dir: str) -> DataFrame:
+    """Union-of-dirs read of a persisted positional index; per-dir
+    scans keep file skipping working independently under each root."""
+    import json
+    from functools import reduce
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    return reduce(
+        DataFrame.unionByName,
+        (
+            spark.read.parquet(os.path.join(out_dir, d))
+            for d in meta["data_dirs"]
+        ),
     )
 
 

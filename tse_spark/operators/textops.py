@@ -186,6 +186,38 @@ def phrase_match_indexed(
     )
 
 
+def doc_keywords(tf: DataFrame, n_docs: int, k: int = 5) -> DataFrame:
+    """Top-k tf-idf keywords per document: score = tf * ln(n_docs/df),
+    the classic document-descriptor extraction over the same
+    (doc_id, term, tf) relation the index build produces — keywords
+    come from index statistics, not a second tokenization pass.
+
+    The score is ROUNDED (4 dp) before ranking so the order is
+    reproducible across engines (ties broken by term ascending); df is
+    a vocabulary-sized aggregate joined back onto tf, and the per-doc
+    ranking is one window — at 100 TB that is a hash-agg over the
+    vocabulary plus a single repartition by doc_id, no self-joins.
+
+    Returns (doc_id, term, score, rank) with rank 1..k."""
+    from pyspark.sql import Window
+
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        4,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .select("doc_id", "term", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def spell_suggest(
     vocab: DataFrame, term: str, k: int = 5, max_dist: int = 2
 ) -> DataFrame:
