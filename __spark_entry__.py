@@ -553,6 +553,42 @@ def _q_proximity_count(spark, sf):
     )
 
 
+PROX_BOOST = 0.5  # weight of the ln(1 + NEAR-pairs) proximity feature
+
+
+def _q_bm25_proximity(spark, sf):
+    """Rank fusion: disjunctive BM25 over the two phrase-query words
+    plus PROX_BOOST * ln(1 + in-window ordered pair count) from the
+    positional index — the phrase-slop ranking feature built from two
+    already-verified operators (bm25_scores + proximity_count).  The
+    combined score is rounded once at the end and ties break by doc_id
+    so the order is engine-reproducible."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import positions as pos
+
+    w0, w1 = PHRASE_QUERY.split()
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(tf.filter(F.col("term").isin([w0, w1])))
+    n, avgdl = ib.corpus_stats(doclen)
+    bm = ib.bm25_scores(spark, tf, doclen, dfreq, n, avgdl, [w0, w1])
+    prox = pos.proximity_count(
+        _pos_index_cached(spark, sf), w0, w1, PROX_WINDOW
+    )
+    combined = F.round(
+        F.col("score")
+        + F.lit(PROX_BOOST)
+        * F.log(F.lit(1.0) + F.coalesce(F.col("n_pairs"), F.lit(0)).cast("double")),
+        4,
+    )
+    return (
+        bm.join(prox, "doc_id", "left")
+        .select("doc_id", combined.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(K)
+    )
+
+
 def _q_doc_keywords(spark, sf):
     """Top-5 tf-idf keywords per document, extracted from the SAME
     (doc_id, term, tf) relation the index build produces (no second
@@ -1338,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match_pos": _q_phrase_match_pos,
         "proximity_count": _q_proximity_count,
         "doc_keywords": _q_doc_keywords,
+        "bm25_proximity": _q_bm25_proximity,
         "spell_suggest": _q_spell_suggest,
         "cosine_neardup": _q_cosine_neardup,
         "snapshot_by_url": _q_snapshot_by_url,
@@ -2399,6 +2436,35 @@ def oracle_sql() -> dict[str, str]:
     # the full-scan phrase matcher — the oracle is shared
     out["phrase_match_indexed"] = out["phrase_match"]
     out["phrase_match_pos"] = out["phrase_match"]
+    # proximity-boosted BM25: the bm25 perterm CTE over the two phrase
+    # words + PROX_BOOST * ln(1 + ordered in-window pair count)
+    _pw = PHRASE_QUERY.split()
+    out["bm25_proximity"] = (
+        _TOK
+        + _BM25_SQL.format(terms=", ".join(f"'{t}'" for t in _pw))
+        + rf"""
+        , bm AS (SELECT doc_id, sum(s) AS score FROM perterm GROUP BY 1),
+        t2 AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> strlen(x) > 0) AS arr
+          FROM documents),
+        a2 AS (
+          SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+          FROM t2),
+        i0 AS (SELECT doc_id, i FROM a2 WHERE arr[i] = '{_pw[0]}'),
+        j0 AS (SELECT doc_id, i AS j FROM a2 WHERE arr[i] = '{_pw[1]}'),
+        prox AS (
+          SELECT i0.doc_id, count(*)::BIGINT AS n_pairs
+          FROM i0 JOIN j0 ON i0.doc_id = j0.doc_id
+          WHERE j0.j > i0.i AND j0.j - i0.i <= {PROX_WINDOW}
+          GROUP BY 1)
+        SELECT bm.doc_id,
+               round(bm.score + {PROX_BOOST} * ln(1 + coalesce(prox.n_pairs, 0)),
+                     4) AS score
+        FROM bm LEFT JOIN prox ON bm.doc_id = prox.doc_id
+        ORDER BY score DESC, bm.doc_id LIMIT {K}"""
+    )
     # top-5 tf-idf keywords per doc; rank on the ROUNDED score so the
     # order is engine-reproducible, ties by term ascending
     out["doc_keywords"] = _TOK + """

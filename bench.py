@@ -103,6 +103,7 @@ HEADLINE = [
     "phrase_match",
     "phrase_match_pos",
     "proximity_count",
+    "bm25_proximity",
     "spell_suggest",
     "doc_keywords",
     "quality_score",
