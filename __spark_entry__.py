@@ -533,6 +533,28 @@ def _q_phrase_match_pos(spark, sf):
     return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
 
 
+def _q_phrase_snippet(spark, sf):
+    """Quoted-query serving end to end: rank from the positional index
+    (n_hits desc, doc_id tiebreak), join text ONLY for the top-10 via
+    a broadcast semi-join, snippet = phrase + 2 following tokens at
+    the first hit — the docs table is touched for one page of results."""
+    from tse_spark.operators import positions as pos
+
+    out = pos.phrase_snippet_topk(
+        _pos_index_cached(spark, sf),
+        _t(spark, sf, "documents"),
+        PHRASE_QUERY,
+        k=K,
+        context=2,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+        "snippet",
+    )
+
+
 PROX_WINDOW = 5  # NEAR/5 for the two phrase-query words
 
 
@@ -1375,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_count": _q_proximity_count,
         "doc_keywords": _q_doc_keywords,
         "bm25_proximity": _q_bm25_proximity,
+        "phrase_snippet": _q_phrase_snippet,
         "spell_suggest": _q_spell_suggest,
         "cosine_neardup": _q_cosine_neardup,
         "snapshot_by_url": _q_snapshot_by_url,
@@ -2436,6 +2459,28 @@ def oracle_sql() -> dict[str, str]:
     # the full-scan phrase matcher — the oracle is shared
     out["phrase_match_indexed"] = out["phrase_match"]
     out["phrase_match_pos"] = out["phrase_match"]
+    # quoted-query serving: rank by hit count from token positions,
+    # snippet = phrase + 2 following tokens at the first hit (fi is
+    # 1-based in SQL, first_pos 0-based in the engine)
+    _pw2 = PHRASE_QUERY.split()
+    out["phrase_snippet"] = rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> strlen(x) > 0) AS arr
+          FROM documents),
+        p AS (
+          SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i
+          FROM t),
+        m AS (SELECT doc_id, i FROM p
+              WHERE arr[i] = '{_pw2[0]}' AND arr[i + 1] = '{_pw2[1]}'),
+        agg AS (SELECT doc_id, count(*)::BIGINT AS n_hits,
+                       min(i)::BIGINT AS fi
+                FROM m GROUP BY 1),
+        top AS (SELECT * FROM agg ORDER BY n_hits DESC, doc_id LIMIT {K})
+        SELECT top.doc_id, top.n_hits, (top.fi - 1)::BIGINT AS first_pos,
+               array_to_string(t.arr[top.fi : top.fi + 3], ' ') AS snippet
+        FROM top JOIN t ON t.doc_id = top.doc_id"""
     # proximity-boosted BM25: the bm25 perterm CTE over the two phrase
     # words + PROX_BOOST * ln(1 + ordered in-window pair count)
     _pw = PHRASE_QUERY.split()

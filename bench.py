@@ -104,6 +104,7 @@ HEADLINE = [
     "phrase_match_pos",
     "proximity_count",
     "bm25_proximity",
+    "phrase_snippet",
     "spell_suggest",
     "doc_keywords",
     "quality_score",
@@ -394,6 +395,33 @@ def run_scaling() -> None:
             if "error" in r:
                 out.setdefault("errors", []).append(r)
             else:
+                runs[r["cpus"]].append(r)
+        summarize()
+        flush()
+
+    if (not runs[big_n] or not runs[small_n]) and left() - reserve > 180:
+        # a steal burst starved one level of ANY completed leg (a
+        # deadline kill mid-leg loses the whole leg).  A marked reading
+        # beats none: rerun ONE pair at half corpus — both levels on
+        # the same input keeps the ratio valid, and BASELINE.md
+        # documents the small-corpus bias (~0.775 quiet at 150k), so
+        # the flag tells the reader exactly how to weigh it.
+        half = BENCH_DOCS // 2
+        half_dir = f"{SCRATCH}/tse_bench_pages_{half}_x{BENCH_LENGTH_SCALE}"
+        fixtures.write_pages_parquet_sharded(
+            half_dir, half, n_files=64, length_scale=BENCH_LENGTH_SCALE
+        )
+        out["degraded_corpus"] = half
+        out["all_runs_full"] = out.get("all_runs")  # keep the evidence
+        runs = {big_n: [], small_n: []}
+        rs = one_build_pair(
+            [big_n, small_n, big_n, small_n],
+            half_dir,
+            f"{SCRATCH}/tse_bench_idx_{half}",
+            deadline=left() - reserve,
+        )
+        for r in rs:
+            if "error" not in r:
                 runs[r["cpus"]].append(r)
         summarize()
         flush()

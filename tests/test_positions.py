@@ -196,3 +196,25 @@ def test_position_table_append_crash_leaves_old_visible(spark, tmp_path):
     assert after == before
     meta = json.load(open(os.path.join(out, "meta.json")))
     assert meta["data_dirs"] == ["data"]
+
+
+def test_phrase_first_hit_and_snippet(spark, pos_docs, pos_index):
+    got = {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in P.phrase_first_hit(pos_index, "big data").collect()
+    }
+    # doc1: "big data big data big" -> hits at 0,2; doc2 hit at 0 and 3;
+    # doc4 is "data big" (wrong order)
+    assert got[1] == (2, 0)
+    assert got[2] == (2, 0)
+    assert 4 not in got
+
+    snips = {
+        r["doc_id"]: r["snippet"]
+        for r in P.phrase_snippet_topk(
+            pos_index, pos_docs, "big data", k=2, context=2
+        ).collect()
+    }
+    assert len(snips) == 2
+    assert snips[1] == "big data big data"
+    assert snips[2] == "big data rocks big"

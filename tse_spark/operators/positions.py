@@ -520,6 +520,96 @@ def phrase_match_positional(
     return sub.groupBy("shard").applyInPandas(match, schema)
 
 
+def phrase_first_hit(pos_shards: DataFrame, phrase: str) -> DataFrame:
+    """(doc_id, n_hits, first_pos): :func:`phrase_match_positional`
+    plus the 0-based token position of the FIRST occurrence — the
+    anchor a snippet generator needs, still answered from position
+    lists alone.  Survivor keys are ascending, so each doc's first
+    occurrence is its first key (np.unique's return_index)."""
+    from tse_spark.operators.textops import _phrase_words
+
+    words = _phrase_words(phrase)
+    uniq_words = sorted(set(words))
+    sub = pos_shards.filter(F.col("term").isin(uniq_words))
+    schema = "doc_id long, n_hits long, first_pos long"
+    n_words = len(words)
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": [], "n_hits": [], "first_pos": []}
+        ).astype("int64")
+        keys_by_word: dict[str, np.ndarray] = {}
+        for w in uniq_words:
+            blobs = pdf.loc[pdf["term"] == w, "blocks"]
+            if blobs.empty:
+                return empty
+            parts = []
+            for blob in blobs:
+                docs, cnts, posflat = decode_positions(bytes(blob))
+                parts.append(np.repeat(docs, cnts) * _STRIDE + posflat)
+            keys = np.concatenate(parts)
+            keys.sort()
+            keys_by_word[w] = keys
+        surv = keys_by_word[words[0]]
+        for i in range(1, n_words):
+            k = keys_by_word[words[i]]
+            t = surv + np.int64(i)
+            idx = np.searchsorted(k, t)
+            ok = idx < k.size
+            ok[ok] = k[idx[ok]] == t[ok]
+            surv = surv[ok]
+            if surv.size == 0:
+                return empty
+        doc_ids, first_idx, n_hits = np.unique(
+            surv // _STRIDE, return_index=True, return_counts=True
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "n_hits": n_hits.astype(np.int64),
+                "first_pos": surv[first_idx] % _STRIDE,
+            }
+        )
+
+    return sub.groupBy("shard").applyInPandas(match, schema)
+
+
+def phrase_snippet_topk(
+    pos_shards: DataFrame,
+    docs: DataFrame,
+    phrase: str,
+    k: int = 10,
+    context: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Quoted-query SERVING end to end: rank matching docs from the
+    positional index alone (n_hits desc, doc_id tiebreak), then join
+    document text ONLY for the top-k to render a snippet of the phrase
+    plus ``context`` following tokens at the first hit.  This is the
+    shape a 10^12-doc engine must have — the (huge) docs table is
+    touched for exactly one page of results, via a broadcast semi-join
+    of k ids into the scan."""
+    from tse_spark.operators.textops import _phrase_words
+
+    n_words = len(_phrase_words(phrase))
+    top = (
+        phrase_first_hit(pos_shards, phrase)
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(k)
+    )
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.octet_length(t) > 0,
+    )
+    snippet = F.array_join(
+        F.slice(arr, F.col("first_pos") + 1, n_words + context), " "
+    )
+    return (
+        docs.join(F.broadcast(top), "doc_id")
+        .select("doc_id", "n_hits", "first_pos", snippet.alias("snippet"))
+    )
+
+
 def proximity_count(
     pos_shards: DataFrame, w0: str, w1: str, window: int
 ) -> DataFrame:
