@@ -269,6 +269,28 @@ def _q_jaccard_top_pairs(spark, sf):
     return dedup.jaccard_pairs(sh, top=10, max_shingle_df=64)
 
 
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination (the 13-gram eval-overlap check from
+    LLM training pipelines, at n=5 for the short-doc corpus): docs with
+    doc_id % 97 == 0 stand in as the held-out eval suite; every other
+    doc is scored for distinct-5-gram overlap against it via a
+    broadcast gram-set join (dedup.ngram_contamination)."""
+    from tse_spark.operators import dedup
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.ngram_contamination(train, bench, n=5)
+
+
+def _q_repetition_filter(spark, sf):
+    """Gopher-style repetition quality filters: top-bigram token
+    coverage + duplicate-trigram fraction per doc, with keep/drop."""
+    from tse_spark.operators import textops
+
+    return textops.repetition_stats(_t(spark, sf, "documents"))
+
+
 def _q_cosine_topk(spark, sf):
     from tse_spark.operators import similarity
 
@@ -1374,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "shingle_count": _q_shingle_count,
         "jaccard_top_pairs": _q_jaccard_top_pairs,
+        "decontaminate": _q_decontaminate,
+        "repetition_filter": _q_repetition_filter,
         "cosine_topk": _q_cosine_topk,
         "ivf_ann": _q_ivf_ann,
         "embedding_norms": _q_embedding_norms,
@@ -2102,6 +2126,62 @@ def oracle_sql() -> dict[str, str]:
           FROM arrs WHERE len(arr) >= 3)
         SELECT doc_id, count(*)::BIGINT AS n_shingles
         FROM sh GROUP BY doc_id""",
+        "decontaminate": """
+        WITH arrs AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS arr
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(arr) - 3),
+                        i -> arr[i] || ' ' || arr[i+1] || ' ' ||
+                             arr[i+2] || ' ' || arr[i+3] || ' ' ||
+                             arr[i+4])) AS g
+          FROM arrs WHERE len(arr) >= 5),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        train AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+        per_doc AS (
+          SELECT doc_id, count(*)::BIGINT AS n_grams
+          FROM train GROUP BY 1),
+        hits AS (
+          SELECT t.doc_id, count(*)::BIGINT AS n_contaminated
+          FROM train t JOIN bench b ON t.g = b.g GROUP BY 1)
+        SELECT h.doc_id, p.n_grams, h.n_contaminated,
+               round(h.n_contaminated / p.n_grams::DOUBLE, 6)
+                 AS contam_frac
+        FROM hits h JOIN per_doc p USING (doc_id)""",
+        "repetition_filter": """
+        WITH arrs AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t <> '') AS arr
+          FROM documents),
+        d AS (SELECT * FROM arrs WHERE len(arr) >= 3),
+        bi AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(arr)),
+                        i -> arr[i] || ' ' || arr[i+1])) AS bigram
+          FROM d),
+        top_bi AS (
+          SELECT doc_id, max(n)::BIGINT AS top_bigram_n FROM (
+            SELECT doc_id, bigram, count(*) AS n FROM bi GROUP BY 1, 2)
+          GROUP BY 1),
+        tri AS (
+          SELECT doc_id, len(arr)::BIGINT AS n_tokens,
+                 (len(arr) - 2)::BIGINT AS n_tri,
+                 len(list_distinct(list_transform(range(1, len(arr) - 1),
+                      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])))
+                   ::BIGINT AS n_tri_distinct
+          FROM d)
+        SELECT t.doc_id, t.n_tokens,
+               round(2.0 * b.top_bigram_n / t.n_tokens, 6)
+                 AS top_bigram_frac,
+               round((t.n_tri - t.n_tri_distinct) / t.n_tri::DOUBLE, 6)
+                 AS dup_trigram_frac,
+               CAST(round(2.0 * b.top_bigram_n / t.n_tokens, 6) <= 0.18
+                    AND round((t.n_tri - t.n_tri_distinct)
+                              / t.n_tri::DOUBLE, 6) <= 0.60
+                    AS INT) AS keep
+        FROM tri t JOIN top_bi b USING (doc_id)""",
         "jaccard_top_pairs": """
         WITH arrs AS (
           SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS arr

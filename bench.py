@@ -112,6 +112,8 @@ HEADLINE = [
     "doc_fingerprint",
     "anchor_text",
     "replica_groups",
+    "decontaminate",
+    "repetition_filter",
     "minhash_neardup",
     "simhash",
     "jaccard_top_pairs",

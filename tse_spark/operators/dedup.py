@@ -319,3 +319,58 @@ def simhash64(
             F.col(f"b{i}") >= 0, F.lit(val).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return agg.select("doc_id", sim.alias("simhash"))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    min_frac: float = 0.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    n-grams overlap a held-out evaluation set (the standard 13-gram
+    contamination check from LLM training-data pipelines, parameterized
+    here because the synthetic corpus is short-doc).
+
+    Returns (doc_id, n_grams, n_contaminated, contam_frac) for every
+    training doc with at least one benchmark n-gram hit and
+    ``contam_frac >= min_frac``; counts are over DISTINCT per-doc
+    n-grams (overlap of sets, the published definition).
+
+    Plan: the benchmark side reduces to a DISTINCT n-gram set —
+    tiny relative to the corpus even when the eval suite is millions of
+    grams — and is broadcast; the training grams stream through a
+    broadcast left-semi-style inner join with zero shuffle of the
+    corpus, then one hash-agg by doc_id.  At 10^12 docs this is a
+    single map-side-joined pass; no pair blowup is possible because the
+    join key is the gram and the output is pre-aggregated per doc.
+    """
+    from pyspark.sql.functions import broadcast
+
+    t_grams = shingles(train, n=n, text_col=text_col)
+    b_grams = (
+        shingles(bench, n=n, text_col=text_col)
+        .select(F.col("shingle"))
+        .distinct()
+    )
+    per_doc = t_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = (
+        t_grams.join(broadcast(b_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        hits.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_grams"), 6
+            ).alias("contam_frac"),
+        )
+        .filter(F.col("contam_frac") >= min_frac)
+    )

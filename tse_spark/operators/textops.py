@@ -445,3 +445,70 @@ def snapshot_by_url(pages: DataFrame, url: str) -> DataFrame:
     matching rows with all input columns (callers project)."""
     target = F.md5(F.lit(url))
     return pages.filter(F.md5(F.col("url")) == target)
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_top_bigram_frac: float = 0.18,
+    max_dup_trigram_frac: float = 0.60,
+) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al. 2021
+    §A1.1): per doc the fraction of tokens covered by the single most
+    frequent bigram (``top_bigram_frac`` = 2 * max bigram count /
+    n_tokens) and the fraction of duplicated trigram occurrences
+    (``dup_trigram_frac`` = 1 - distinct/total trigrams), plus the
+    keep/drop decision at the given thresholds.
+
+    Plan: bigram counts go explode -> hash-agg -> per-doc max (one
+    shuffle keyed by (doc_id, bigram), map-side combine absorbs the
+    repetition that makes a doc fail); the trigram dup fraction never
+    leaves the row — ``size(arr) - size(array_distinct(arr))`` inside
+    codegen — so the whole statistic is one exchange at any corpus
+    size."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.octet_length(t) > 0,
+    )
+    d = docs.select("doc_id", arr.alias("arr")).filter(F.size("arr") >= 3)
+    bigrams = F.zip_with(
+        F.slice(F.col("arr"), 1, F.size("arr") - 1),
+        F.slice(F.col("arr"), 2, F.size("arr") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top_bi = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bigram_n"))
+    )
+    trigrams = F.expr(
+        "transform(sequence(0, size(arr) - 3), "
+        "i -> concat_ws(' ', arr[i], arr[i + 1], arr[i + 2]))"
+    )
+    tri = d.select(
+        "doc_id",
+        F.size("arr").alias("n_tokens"),
+        F.size(trigrams).alias("n_tri"),
+        F.size(F.array_distinct(trigrams)).alias("n_tri_distinct"),
+    )
+    out = tri.join(top_bi, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.lit(2.0) * F.col("top_bigram_n") / F.col("n_tokens"), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            (F.col("n_tri") - F.col("n_tri_distinct"))
+            / F.col("n_tri").cast("double"),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (
+            (F.col("top_bigram_frac") <= max_top_bigram_frac)
+            & (F.col("dup_trigram_frac") <= max_dup_trigram_frac)
+        ).cast("int"),
+    )
