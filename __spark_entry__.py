@@ -291,6 +291,45 @@ def _q_repetition_filter(spark, sf):
     return textops.repetition_stats(_t(spark, sf, "documents"))
 
 
+def _mix_rates() -> dict[str, float]:
+    """The driver mix law: rate(srcN) = ((N % 4) + 1) / 4 — four strata
+    at 0.25/0.5/0.75/1.0.  Spelled over range(32) so any sf's source
+    set is covered; the oracle derives the identical rate arithmetically
+    from the source suffix."""
+    return {f"src{i}": ((i % 4) + 1) / 4.0 for i in range(32)}
+
+
+def _q_mix_sample(spark, sf):
+    """Deterministic stratified training-mix audit: per-source totals,
+    kept counts and observed vs target rate under the salted-hash keep
+    law (sampling.mix_sample / mix_report).  Reproducible bit-for-bit
+    at any partitioning — the property DataFrame.sample lacks."""
+    from tse_spark.operators import sampling
+
+    return sampling.mix_report(_t(spark, sf, "documents"), _mix_rates())
+
+
+def _q_seq_pack(spark, sf):
+    """Fixed-budget sequence packing (256-token sequences, 8 shards):
+    docs concatenate in (shard, doc_id) order and split at exact token
+    boundaries — every interior sequence carries exactly 256 tokens;
+    the per-shard running-offset window keeps shards independent."""
+    from tse_spark.operators import sampling
+
+    return sampling.pack_sequences(
+        _t(spark, sf, "documents"), budget=256, n_shards=8
+    )
+
+
+def _q_pii_redact(spark, sf):
+    """PII scrub over the corpus: email/IPv4/phone counts + redacted
+    text per doc, chained regexp_replace in the Java/RE2 common subset
+    so DuckDB applies the identical patterns."""
+    from tse_spark.operators import textops
+
+    return textops.pii_redact(_t(spark, sf, "documents"))
+
+
 def _q_cosine_topk(spark, sf):
     from tse_spark.operators import similarity
 
@@ -1398,6 +1437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_top_pairs": _q_jaccard_top_pairs,
         "decontaminate": _q_decontaminate,
         "repetition_filter": _q_repetition_filter,
+        "mix_sample": _q_mix_sample,
+        "seq_pack": _q_seq_pack,
+        "pii_redact": _q_pii_redact,
         "cosine_topk": _q_cosine_topk,
         "ivf_ann": _q_ivf_ann,
         "embedding_norms": _q_embedding_norms,
@@ -2149,6 +2191,69 @@ def oracle_sql() -> dict[str, str]:
                round(h.n_contaminated / p.n_grams::DOUBLE, 6)
                  AS contam_frac
         FROM hits h JOIN per_doc p USING (doc_id)""",
+        "mix_sample": """
+        WITH t AS (
+          SELECT source,
+                 ('0x' || substr(md5('mix_v1:' || doc_id::VARCHAR), 1, 8))
+                   ::BIGINT AS u,
+                 ((CAST(substr(source, 4) AS INT) % 4) + 1) / 4.0 AS rate
+          FROM documents)
+        SELECT source, count(*)::BIGINT AS n_total,
+               sum(CASE WHEN u < rate * 4294967296.0 THEN 1 ELSE 0 END)
+                 ::BIGINT AS n_kept,
+               round(max(rate), 6) AS target_rate,
+               round(sum(CASE WHEN u < rate * 4294967296.0
+                              THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE, 6) AS observed_rate
+        FROM t GROUP BY source""",
+        "seq_pack": """
+        WITH d AS (
+          SELECT doc_id % 8 AS shard, doc_id,
+                 len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 t -> t <> ''))::BIGINT AS n_tok
+          FROM documents),
+        d2 AS (SELECT * FROM d WHERE n_tok > 0),
+        c AS (
+          SELECT shard, n_tok,
+                 sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS tok_end
+          FROM d2),
+        e AS (SELECT shard, tok_end - n_tok AS tok_start, tok_end FROM c),
+        pb AS (
+          SELECT shard, tok_start, tok_end,
+                 unnest(range(tok_start // 256,
+                              (tok_end - 1) // 256 + 1)) AS seq_id
+          FROM e)
+        SELECT shard, seq_id, count(*)::BIGINT AS n_docs,
+               sum(least(tok_end, (seq_id + 1) * 256) -
+                   greatest(tok_start, seq_id * 256))::BIGINT AS n_tokens
+        FROM pb GROUP BY 1, 2""",
+        "pii_redact": """
+        WITH s1 AS (
+          SELECT doc_id,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT
+               AS n_email,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS r
+          FROM documents),
+        s2 AS (
+          SELECT doc_id, n_email,
+             len(regexp_extract_all(r,
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))::INT AS n_ip,
+             regexp_replace(r, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b',
+               '<IP>', 'g') AS r
+          FROM s1),
+        s3 AS (
+          SELECT doc_id, n_email, n_ip,
+             len(regexp_extract_all(r,
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))::INT AS n_phone,
+             regexp_replace(r, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b',
+               '<PHONE>', 'g') AS r
+          FROM s2)
+        SELECT doc_id, n_email, n_ip, n_phone, r AS redacted FROM s3""",
         "repetition_filter": """
         WITH arrs AS (
           SELECT doc_id,

@@ -114,6 +114,9 @@ HEADLINE = [
     "replica_groups",
     "decontaminate",
     "repetition_filter",
+    "mix_sample",
+    "seq_pack",
+    "pii_redact",
     "minhash_neardup",
     "simhash",
     "jaccard_top_pairs",

@@ -512,3 +512,40 @@ def repetition_stats(
             & (F.col("dup_trigram_frac") <= max_dup_trigram_frac)
         ).cast("int"),
     )
+
+
+# patterns shared verbatim with the DuckDB oracle: the common
+# Java-regex / RE2 subset only (no lookaround, no backrefs), applied in
+# a fixed order (emails first — an email's dotted host must not be
+# half-eaten by the IP rule)
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub the PII classes a web-text training pipeline redacts
+    before tokenization: emails, IPv4 addresses, phone numbers —
+    each replaced by a typed placeholder token, with per-class match
+    counts for the corpus audit.
+
+    Returns (doc_id, n_email, n_ip, n_phone, redacted).
+
+    Counts are taken BEFORE any replacement (so a phone-shaped string
+    inside an email is attributed once, to the email class, because the
+    later patterns run over the already-redacted text) and the three
+    substitutions chain in PII_PATTERNS order.  Everything is
+    ``regexp_count`` / ``regexp_replace`` — whole-stage codegen, zero
+    shuffles, linear scan at any corpus size; the patterns sit in the
+    Java/RE2 common subset so the DuckDB oracle applies the identical
+    strings."""
+    out = docs.select("doc_id", F.col(text_col).alias("redacted"))
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col("redacted"), F.lit(pat))
+        ).withColumn(
+            "redacted", F.regexp_replace(F.col("redacted"), pat, repl)
+        )
+    return out.select("doc_id", "n_email", "n_ip", "n_phone", "redacted")
