@@ -331,7 +331,14 @@ def run_scaling() -> None:
         when only one level has completed so far."""
         out["all_runs"] = {
             str(n): [
-                {"s": r["seconds"], "steal": r.get("steal_frac")}
+                {
+                    "s": r["seconds"],
+                    "steal": r.get("steal_frac"),
+                    # single-thread spin reference (M iters/s) bracketing
+                    # the leg: catches same-VM/host contention that
+                    # steal_frac cannot see — compare legs to the run max
+                    "mref": r.get("spin_mref"),
+                }
                 for r in rs
             ]
             for n, rs in runs.items()

@@ -45,6 +45,25 @@ def _cpu_stat() -> tuple[float, float]:
         return 0.0, 0.0
 
 
+def _spin_mref(duration: float = 0.15) -> float:
+    """Single-thread CPU reference: calibrated arithmetic-loop rate
+    (M iterations/s) over a short window.  Catches the contention mode
+    steal_frac cannot see — same-VM load or host-level slowdown that
+    throttles effective per-core speed without stolen jiffies (a
+    measured failure: a leg with steal 0.011 ran 1.5x its quiet time).
+    Recorded per leg; a leg only counts as quiet for early-stop when
+    its reference rate is within tolerance of the best seen, so a
+    contended-but-steal-free window keeps the sampler running."""
+    t_end = time.perf_counter() + duration
+    n = 0
+    x = 1.0
+    while time.perf_counter() < t_end:
+        for _ in range(10000):
+            x = x * 1.0000001 + 1e-9
+        n += 10000
+    return round(n / duration / 1e6, 2)
+
+
 def build_session(cpus: int) -> SparkSession:
     from tse_spark.session import export_worker_sitecustomize
 
@@ -196,6 +215,7 @@ def main() -> None:
 
     levels = [int(x) for x in args.cpus.split(",")]
     quiet_legs: dict[int, int] = {n: 0 for n in levels}
+    best_mref = 0.0
     for i, cpus in enumerate(levels):
         if args.min_quiet and all(
             c >= args.min_quiet for c in quiet_legs.values()
@@ -222,11 +242,14 @@ def main() -> None:
             force_extract=True,  # always exercise the extraction automaton
             checkpoint_mode="final",
         )
+        mref0 = _spin_mref()
         b0, s0 = _cpu_stat()
         t0 = time.time()
         handle = pipe.run_from_pages(args.pages, resume=False)
         dt = time.time() - t0
         b1, s1 = _cpu_stat()
+        mref = min(mref0, _spin_mref())
+        best_mref = max(best_mref, mref)
         stages = {
             name: st.get("seconds")
             for name, st in handle.manifest.stages.items()
@@ -241,13 +264,20 @@ def main() -> None:
             "index_dir": final_dir,
             "stages": stages,
         }
+        rec["spin_mref"] = mref
         if b1 + s1 > b0 + s0:
             # share of this leg's cycles stolen by the hypervisor: the
             # wall clock is pessimistic by roughly 1/(1-steal)
             rec["steal_frac"] = round(
                 (s1 - s0) / max(1.0, (b1 - b0) + (s1 - s0)), 3
             )
-            if rec["steal_frac"] <= args.quiet_steal:
+            # quiet = low steal AND per-core reference speed within 7%
+            # of the best window seen: same-VM/host contention shows in
+            # the spin reference, never in steal
+            if (
+                rec["steal_frac"] <= args.quiet_steal
+                and mref >= 0.93 * best_mref
+            ):
                 quiet_legs[cpus] += 1
         print(json.dumps(rec), flush=True)
         # stop the context, keep the JVM (and its codegen/JIT caches):
