@@ -1,0 +1,63 @@
+"""Plan-shape assertions for the training-pipeline operators added in
+round 3: the scale claims in their docstrings (no shuffle / broadcast
+join / per-shard windows) checked against the physical plan Catalyst
+actually produces, so a refactor that silently regresses the plan
+fails here before it costs anything at 100 TB."""
+
+from pyspark.sql import functions as F
+
+from tse_spark.operators import dedup, sampling, textops
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark, n=64):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 7).cast("string")).alias(
+            "text"
+        ),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias(
+            "source"
+        ),
+    )
+
+
+def test_mix_sample_is_shuffle_free(spark):
+    plan = _plan(sampling.mix_sample(_docs(spark), {"src0": 0.5}))
+    assert "Exchange" not in plan  # pure map-side filter over the scan
+
+
+def test_pii_redact_is_shuffle_free(spark):
+    plan = _plan(textops.pii_redact(_docs(spark)))
+    assert "Exchange" not in plan
+
+
+def test_mix_report_is_one_hash_agg(spark):
+    plan = _plan(sampling.mix_report(_docs(spark), {"src0": 0.5}))
+    # partial agg -> single key exchange -> final agg; never a sort-agg
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortAggregate" not in plan
+
+
+def test_contamination_broadcasts_bench_grams(spark):
+    d = _docs(spark)
+    bench = d.filter(F.col("doc_id") % 16 == 0)
+    train = d.filter(F.col("doc_id") % 16 != 0)
+    plan = _plan(dedup.ngram_contamination(train, bench, n=2))
+    # the corpus side must stream through a broadcast join — a
+    # sort-merge join here would shuffle every training gram
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_never_sorts_globally(spark):
+    plan = _plan(sampling.pack_sequences(_docs(spark), budget=16,
+                                         n_shards=4))
+    # the running-offset window partitions by shard: shards stay
+    # independent, so no single-partition exchange (a global sort
+    # would serialize the whole corpus through one task)
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
