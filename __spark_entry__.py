@@ -1413,6 +1413,118 @@ def _q_gzip_decode(spark, sf):
     )
 
 
+# ----- round-3b additions: quantized ANN tier, static index pruning,
+# typeahead completion, time-travel snapshots, per-domain curation -----
+
+PREFIX_QUERY = "s"  # query-box prefix (scan/sort/slow/stream/spark/small)
+PRUNE_M = 200  # postings kept per term by the static pruner
+ASOF_CUTOFF = "2024-02-20 00:00:00"  # time-travel point for pages_asof
+
+
+def _q_ann_int8(spark, sf):
+    """Compressed ANN tier: top-10 by cosine over int8-quantized codes
+    (per-vector scale = max|x|/127, half-up rounding via floor(x+0.5)).
+    The DuckDB oracle recomputes quantization end to end, so the scale
+    law, the rounding law and the quantized ranking are all
+    value-verified; the exact-rerank recovery path is pytest-pinned."""
+    from tse_spark.operators import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    qv = similarity.get_query_vec(emb, 0)
+    return similarity.int8_ann_topk(emb, qv, K, exclude_id=0)
+
+
+def _q_prefix_complete(spark, sf):
+    """Typeahead: top-5 vocabulary completions for a query-box prefix
+    by df, over the same (term, df) relation spell_suggest serves
+    from."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import textops
+
+    vocab = ib.build_df_stats(_tf_ws_cached(spark, sf))
+    return textops.prefix_complete(vocab, PREFIX_QUERY, k=5)
+
+
+def _q_static_prune_topk(spark, sf):
+    """BM25 top-10 served from an impact-pruned index (top-PRUNE_M
+    postings per term by BM25 impact, full-corpus stats) — the static
+    pruning tier that bounds posting-list length at web scale.  The
+    oracle reproduces the per-term impact window row-for-row."""
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq_all = ib.build_df_stats(tf)
+    n, avgdl = ib.corpus_stats(doclen)
+    pruned = ib.impact_pruned_tf(tf, doclen, dfreq_all, n, avgdl, PRUNE_M)
+    dfreq_q = dfreq_all.filter(F.col("term").isin(list(set(BM25_QUERY))))
+    out = ib.bm25_topk(
+        spark, pruned, doclen, dfreq_q, n, avgdl, BM25_QUERY, K
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_prune_recall(spark, sf):
+    """Overlap@10 of the pruned-index ranking vs the exhaustive one —
+    the quality eval that decides how small PRUNE_M can go; one row
+    (k, n_hit, overlap)."""
+    hit = (
+        _q_static_prune_topk(spark, sf)
+        .select("doc_id")
+        .join(
+            _q_bm25_topk(spark, sf).select("doc_id"), "doc_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return hit.select(
+        F.lit(K).cast("long").alias("k"),
+        F.col("n_hit"),
+        F.round(F.col("n_hit") / float(K), 4).alias("overlap"),
+    )
+
+
+def _synth_history(spark, sf):
+    """Deterministic multi-version crawl history over the synth urls:
+    doc_id gets versions 0..(doc_id % 3), version v fetched at
+    2024-01-01 + (30*v + doc_id % 29) days — so as-of ASOF_CUTOFF some
+    urls resolve to v=1 (iff doc_id % 29 <= 20) and the rest to v=0."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    h = d.withColumn(
+        "ver", F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 3)))
+    )
+    return h.select(
+        "doc_id",
+        _synth_url_col().alias("url"),
+        F.col("ver").cast("long").alias("ver"),
+        F.expr(
+            "timestampadd(DAY, cast(ver * 30 + doc_id % 29 AS int),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("warc_ts"),
+    )
+
+
+def _q_pages_asof(spark, sf):
+    """Time-travel snapshot: latest version per url as of ASOF_CUTOFF
+    over the synthesized recrawl history (argmax warc_ts per url under
+    the cutoff — one window shuffle)."""
+    from tse_spark.operators import textops
+
+    out = textops.snapshot_asof(_synth_history(spark, sf), ASOF_CUTOFF)
+    return out.select("url", "ver", "warc_ts")
+
+
+def _q_domain_stats(spark, sf):
+    """Per-host curation scoreboard: doc counts, exact-dup rate (md5
+    distinct), mean length, language spread — grouped on the synth host
+    law so DuckDB reproduces every row."""
+    from tse_spark.operators import textops
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "host", F.parse_url(_synth_url_col(), F.lit("HOST"))
+    )
+    return textops.domain_stats(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_table": _q_tf_table,
@@ -1492,6 +1604,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": _q_robots_rules,
         "robots_frontier": _q_robots_frontier,
         "gzip_decode": _q_gzip_decode,
+        "ann_int8": _q_ann_int8,
+        "prefix_complete": _q_prefix_complete,
+        "static_prune_topk": _q_static_prune_topk,
+        "prune_recall": _q_prune_recall,
+        "pages_asof": _q_pages_asof,
+        "domain_stats": _q_domain_stats,
         # rows-only engine path (no DuckDB equivalent; pytest-verified)
         "pages_bm25": _q_pages_bm25,
     }
@@ -2744,6 +2862,91 @@ def oracle_sql() -> dict[str, str]:
                 WHEN doc_id = 0 THEN 1024000
                 ELSE strlen(payload) END::BIGINT AS body_len
     FROM ids"""
+    # int8-quantized ANN: DuckDB recomputes the quantization law end to
+    # end (scale = max|x|/127 guarded, codes = floor(x/s + 0.5)) — the
+    # scales cancel in cosine, so qcos is the cosine of the codes
+    out["ann_int8"] = f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    sc AS (
+      SELECT vec_id, label, e,
+             greatest(list_aggregate(list_transform(e, x -> abs(x)),
+                                     'max'), 1e-30) / 127.0 AS s
+      FROM base),
+    qv AS (
+      SELECT vec_id, label, s,
+             list_transform(e, x -> floor(x / s + 0.5)) AS q
+      FROM sc),
+    qq AS (SELECT q FROM qv WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(list_dot_product(q, (SELECT q FROM qq))
+                 / (sqrt(list_dot_product(q, q))
+                    * sqrt(list_dot_product((SELECT q FROM qq),
+                                            (SELECT q FROM qq)))),
+                 4) AS qcos,
+           round(s, 6) AS qscale
+    FROM qv WHERE vec_id <> 0
+    ORDER BY qcos DESC, vec_id LIMIT {K}"""
+    # typeahead completion over the index vocabulary
+    out["prefix_complete"] = _TOK + f"""
+    SELECT term, df FROM dfreq
+    WHERE term LIKE '{PREFIX_QUERY}%'
+    ORDER BY df DESC, term LIMIT 5"""
+    # impact-ordered static pruning: per-term top-M postings by the
+    # exact bm25 per-posting score (full-corpus stats), then the normal
+    # ranked sum over the pruned relation
+    _prune_terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY)))
+    out["static_prune_topk"] = _TOK + f"""
+    , imp AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats),
+    pruned AS (
+      SELECT doc_id, term, s,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY s DESC, doc_id) AS rn
+      FROM imp)
+    SELECT doc_id, round(sum(s), 4) AS score
+    FROM pruned
+    WHERE rn <= {PRUNE_M} AND term IN ({_prune_terms})
+    GROUP BY 1 ORDER BY score DESC, doc_id LIMIT {K}"""
+    # overlap@10 pruned vs exhaustive — composed from the two oracles
+    out["prune_recall"] = f"""
+    WITH p AS ({out['static_prune_topk']}),
+    f AS ({out['bm25_topk']})
+    SELECT {K}::BIGINT AS k, count(*)::BIGINT AS n_hit,
+           round(count(*) / {K}.0, 4) AS overlap
+    FROM p JOIN f USING (doc_id)"""
+    # time-travel as-of snapshot over the synthesized recrawl history
+    out["pages_asof"] = f"""
+    WITH v AS (
+      SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS ver
+      FROM documents),
+    h AS (
+      SELECT {_SYNTH_URL_EXPR} AS url, ver::BIGINT AS ver,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL 1 DAY * (ver * 30 + doc_id % 29) AS warc_ts
+      FROM v),
+    r AS (
+      SELECT url, ver, warc_ts,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC) AS rn
+      FROM h WHERE warc_ts <= TIMESTAMP '{ASOF_CUTOFF}')
+    SELECT url, ver, warc_ts FROM r WHERE rn = 1"""
+    # per-host curation scoreboard over the synth host law
+    out["domain_stats"] = f"""
+    WITH d AS (SELECT {_SYNTH_HOST_EXPR} AS host, lang, text, n_chars
+               FROM documents)
+    SELECT host, count(*)::BIGINT AS n_docs,
+           count(DISTINCT md5(text))::BIGINT AS n_unique,
+           round(avg(n_chars), 4) AS mean_chars,
+           count(DISTINCT lang)::BIGINT AS n_langs
+    FROM d GROUP BY 1"""
     pages_sql = _pages_bm25_oracle_sql()
     if pages_sql:
         out["pages_bm25"] = pages_sql

@@ -390,6 +390,59 @@ def bm25_scores(
     )
 
 
+def impact_pruned_tf(
+    tf: DataFrame,
+    doclen: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    m: int,
+) -> DataFrame:
+    """Impact-ordered static index pruning (Carmel et al.: keep only
+    each term's top-``m`` postings by BM25 impact).  A build-time
+    transformation: per-term window over the posting impact (the SAME
+    score expression as :func:`bm25_scores`, full-corpus df/avgdl),
+    keep rank <= m, return the pruned ``(doc_id, term, tf)`` relation.
+
+    At 10^12 docs this bounds every posting list at ``m`` entries, so
+    serving cost tracks the query, not the corpus tail; the one shuffle
+    (partitionBy term) happens once at build, never at query time.
+    Ties break by doc_id ascending so the pruned set is deterministic
+    and the DuckDB oracle reproduces it row-for-row.
+    """
+    from pyspark.sql import Window
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    k1, b = oracle.BM25_K1, oracle.BM25_B
+    imp = (
+        tf.join(dfreq, "term")
+        .join(doclen, "doc_id")
+        .withColumn(
+            "impact",
+            idf
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.desc("impact"), F.asc("doc_id")
+    )
+    return (
+        imp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .select("doc_id", "term", "tf")
+    )
+
+
 def bm25f_topk(
     spark: SparkSession,
     tf: DataFrame,

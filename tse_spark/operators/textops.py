@@ -549,3 +549,64 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "redacted", F.regexp_replace(F.col("redacted"), pat, repl)
         )
     return out.select("doc_id", "n_email", "n_ip", "n_phone", "redacted")
+
+
+def prefix_complete(vocab: DataFrame, prefix: str, k: int = 5) -> DataFrame:
+    """(term, df) — top-``k`` vocabulary completions for a query-box
+    prefix, most-frequent first (ties lexicographic): the typeahead
+    companion to :func:`spell_suggest`.
+
+    ``vocab`` is any (term, df) relation — at serving time the built
+    index's term_stats table, which is sorted by term on disk, so the
+    ``startswith`` predicate is a pushed-down range filter over a
+    vocabulary-sized scan (millions of rows at web scale, no shuffle
+    before the top-k)."""
+    return (
+        vocab.filter(F.col("term").startswith(prefix.lower()))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def snapshot_asof(pages: DataFrame, cutoff_ts: str) -> DataFrame:
+    """Time-travel snapshot: for every url, the LATEST crawled version
+    with ``warc_ts <= cutoff`` — the as-of view a recrawl-aware corpus
+    needs (reference Q11 serves only the current snapshot; a versioned
+    pages table serves any point in time).
+
+    One shuffle (partitionBy url), row_number picks the winner; ties
+    cannot occur for a sane crawl log (one fetch per url per instant)
+    but would break deterministically by the ordering.  At 10^12 rows
+    the cutoff filter is a pushed-down predicate on the timestamp
+    column (partition-prunes a ts-partitioned table) and the window
+    reduces each url group to one row — state O(urls), not O(fetches).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        pages.filter(F.col("warc_ts") <= F.lit(cutoff_ts).cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def domain_stats(docs: DataFrame) -> DataFrame:
+    """Per-host curation scoreboard over a (host, lang, text, n_chars)
+    relation: docs, distinct-content count (exact md5 dedup rate per
+    domain), mean length, language spread — the per-domain quality
+    table a training-data curation pass ranks and caps sources by.
+
+    One hash-aggregate shuffle on host; the md5 distinct is computed
+    inside the same aggregation (no second pass over text).  Skewed
+    hosts (a few domains dominate any web crawl) stay safe: partial
+    aggregation combines map-side, so the hot host ships one row per
+    task, not one per doc."""
+    return docs.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
