@@ -1185,6 +1185,8 @@ def _ann_index_dir(spark, sf, kind: str) -> str:
                     emb.filter(F.col("vec_id") % 2 == 1),
                     assume_disjoint=True,
                 )
+            elif kind == "int8":
+                similarity.build_int8_code_table(emb, out, dim=EMB_DIM)
             else:
                 similarity.build_ivf_cell_table(emb, out, n_cells=8)
         _ANN_INDEX_CACHE[key] = out
@@ -1217,6 +1219,19 @@ def _q_lsh_ann_appended(spark, sf):
     qv = similarity.get_query_vec(emb, 0)
     idx = _ann_index_dir(spark, sf, "lsh_appended")
     return similarity.lsh_ann_topk_indexed(spark, idx, qv, K)
+
+
+def _q_ann_int8_indexed(spark, sf):
+    """Same results as ann_int8 (shared oracle), served from the
+    materialized 4x-smaller code table: the coarse scan reads only
+    (vec_id, label, qscale, dim-byte code) — the float embeddings are
+    never scanned (pytest corrupts them on disk to prove it)."""
+    from tse_spark.operators import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    qv = similarity.get_query_vec(emb, 0)
+    idx = _ann_index_dir(spark, sf, "int8")
+    return similarity.int8_ann_topk_indexed(spark, idx, qv, K, exclude_id=0)
 
 
 def _q_ivf_ann_indexed(spark, sf):
@@ -1605,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_frontier": _q_robots_frontier,
         "gzip_decode": _q_gzip_decode,
         "ann_int8": _q_ann_int8,
+        "ann_int8_indexed": _q_ann_int8_indexed,
         "prefix_complete": _q_prefix_complete,
         "static_prune_topk": _q_static_prune_topk,
         "prune_recall": _q_prune_recall,
@@ -2887,6 +2903,10 @@ def oracle_sql() -> dict[str, str]:
            round(s, 6) AS qscale
     FROM qv WHERE vec_id <> 0
     ORDER BY qcos DESC, vec_id LIMIT {K}"""
+    # the materialized code-table path returns IDENTICAL results (int8
+    # products and partial sums are exact integers in float64, so BLAS
+    # and the JVM fold agree bit-for-bit) — the oracle is shared
+    out["ann_int8_indexed"] = out["ann_int8"]
     # typeahead completion over the index vocabulary
     out["prefix_complete"] = _TOK + f"""
     SELECT term, df FROM dfreq

@@ -121,9 +121,15 @@ HEADLINE = [
     "simhash",
     "jaccard_top_pairs",
     "cosine_topk",
+    "ann_int8",
+    "ann_int8_indexed",
     "lsh_ann",
     "lsh_ann_indexed",
     "ivf_ann_indexed",
+    "static_prune_topk",
+    "prefix_complete",
+    "domain_stats",
+    "pages_asof",
     "pagerank",
     # NOT dedup_components: that variant chains off the exact O(n²)
     # cosine self-join (>2 min at sf0.1 — a budget bomb; it exists as

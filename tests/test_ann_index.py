@@ -253,3 +253,69 @@ def test_compact_folds_deltas_to_one_dir(spark, emb, qv, tmp_path):
     assert _rows(
         similarity.lsh_ann_topk_indexed(spark, inc, qv, K)
     ) == before
+
+
+# ---------------------------------------------------------------------------
+# int8 code table
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def int8_index(emb, qv, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("int8_idx"))
+    similarity.build_int8_code_table(emb, out, dim=len(qv))
+    return out
+
+
+def test_int8_indexed_equals_on_the_fly(spark, emb, qv, int8_index):
+    fly = [
+        (r["vec_id"], r["label"], r["qcos"], r["qscale"])
+        for r in similarity.int8_ann_topk(emb, qv, K, exclude_id=0).collect()
+    ]
+    idx = [
+        (r["vec_id"], r["label"], r["qcos"], r["qscale"])
+        for r in similarity.int8_ann_topk_indexed(
+            spark, int8_index, qv, K, exclude_id=0
+        ).collect()
+    ]
+    # BLAS matmul over exact-integer codes == JVM left fold, bit for bit
+    assert idx == fly
+
+
+def test_int8_indexed_rerank_recovers_exact(spark, emb, qv, int8_index):
+    exact = [
+        (r["vec_id"], r["cos"])
+        for r in similarity.cosine_topk(emb, qv, K, exclude_id=0).collect()
+    ]
+    got = [
+        (r["vec_id"], r["cos"])
+        for r in similarity.int8_ann_topk_rerank_indexed(
+            spark, int8_index, emb, qv, K, mult=4, exclude_id=0
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_int8_coarse_never_reads_float_table(spark, qv, int8_index):
+    # the coarse plan's only scan location is the code table
+    plan = similarity.int8_ann_topk_indexed(
+        spark, int8_index, qv, K
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" not in plan
+    assert int8_index in plan
+
+
+def test_int8_codes_are_smaller_than_floats(int8_index):
+    code_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(int8_index, "data"))
+        for f in fs if f.endswith(".parquet")
+    )
+    float_bytes = os.path.getsize(f"{SF}/embeddings.parquet")
+    # dim bytes vs dim*4 float32 — parquet encodings blur the exact 4x,
+    # but the code table must be decisively smaller
+    assert code_bytes < 0.6 * float_bytes
+
+
+def test_int8_indexed_rejects_wrong_dim(spark, int8_index):
+    with pytest.raises(ValueError):
+        similarity.int8_ann_topk_indexed(spark, int8_index, [1.0, 2.0], K)

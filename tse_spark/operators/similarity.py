@@ -23,6 +23,7 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -774,6 +775,128 @@ def int8_ann_topk(
         .orderBy(F.desc("qcos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def build_int8_code_table(emb: DataFrame, out_dir: str, dim: int) -> str:
+    """Materialize the int8 codes: (vec_id, label, qscale, code binary)
+    where ``code`` is the dim-byte packed int8 vector — the 4x-smaller
+    coarse-scan tier (float32 dim*4 bytes -> dim bytes).  Quantization
+    runs as the SAME JVM expression the on-the-fly path compiles
+    (:func:`_int8_cols` + the floor law); only the byte packing is a
+    build-time Arrow-batched pandas UDF.
+
+    At 10^12 vectors the coarse scan reads ONLY this table — a quarter
+    of the float IO — and the float embeddings are fetched for k*mult
+    re-rank candidates, never scanned (pytest corrupts the float table
+    on disk and the coarse query still answers).  ``meta.json`` is
+    published last (crash-atomic, same contract as the LSH/IVF
+    indexes)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def pack(qs: pd.Series) -> pd.Series:
+        return qs.map(lambda a: np.asarray(a, dtype=np.int8).tobytes())
+
+    d = emb.withColumn("qscale", _int8_cols(F.col("embedding")))
+    d = d.withColumn(
+        "q",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") / F.col("qscale") + F.lit(0.5)
+            ).cast("double"),
+        ),
+    )
+    codes = d.select("vec_id", "label", "qscale", pack(F.col("q")).alias("code"))
+    data_dir = os.path.join(out_dir, "data")
+    codes.write.mode("overwrite").parquet(data_dir)
+    meta = {
+        "kind": "int8_codes",
+        "dim": dim,
+        "schema": codes.schema.json(),
+        "data_dirs": ["data"],
+    }
+    _publish_meta(out_dir, meta)
+    return out_dir
+
+
+def int8_ann_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id=None,
+) -> DataFrame:
+    """Coarse top-k served from the materialized code table — identical
+    results to :func:`int8_ann_topk` (shared oracle): the int8 products
+    and their partial sums are exact integers in float64 (< 2^53), so
+    the Arrow-batched BLAS matmul here and the JVM left-fold there
+    compute bit-identical scores in any summation order.
+
+    One scan of the dim-bytes/vector code table, scored in numpy per
+    Arrow batch, then a TakeOrderedAndProject of 4 narrow columns — no
+    shuffle of codes or vectors, and the float table is never read."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    dim = int(meta["dim"])
+    if len(query_vec) != dim:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {dim}")
+    qq, _ = _int8_quantize_vec(query_vec)
+    acc = 0.0
+    for v in qq:
+        acc += v * v
+    qn = acc ** 0.5
+    qarr = np.asarray(qq, dtype=np.float64)
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = (
+                np.frombuffer(b"".join(pdf["code"]), dtype=np.int8)
+                .reshape(len(pdf), dim)
+                .astype(np.float64)
+            )
+            dots = C @ qarr
+            norms = np.sqrt((C * C).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "qcos": np.round(dots / (norms * qn), 4),
+                    "qscale": np.round(pdf["qscale"], 6),
+                }
+            )
+
+    t = _read_pinned(spark, meta, _index_dirs(index_dir, meta))
+    if exclude_id is not None:
+        t = t.filter(F.col("vec_id") != exclude_id)
+    # label keeps whatever type the source table had (pinned at build)
+    label_t = t.schema["label"].dataType.simpleString()
+    out = t.mapInPandas(
+        score, f"vec_id long, label {label_t}, qcos double, qscale double"
+    )
+    return out.orderBy(F.desc("qcos"), F.asc("vec_id")).limit(k)
+
+
+def int8_ann_topk_rerank_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    mult: int = 4,
+    exclude_id=None,
+) -> DataFrame:
+    """Two-tier serving off the materialized codes: coarse k*mult from
+    the code table, exact float re-rank joins the embeddings for those
+    candidates only (broadcast semi-join — the float table contributes
+    k*mult point reads, not a scan)."""
+    cand_ids = int8_ann_topk_indexed(
+        spark, index_dir, query_vec, k * mult, exclude_id
+    ).select("vec_id")
+    cand = emb.join(F.broadcast(cand_ids), "vec_id", "left_semi")
+    return cosine_topk(cand, query_vec, k, exclude_id)
 
 
 def int8_ann_topk_rerank(
