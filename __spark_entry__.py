@@ -489,6 +489,40 @@ def _q_wand_conjunctive(spark, sf):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _ws_pruned_index(spark, sf):
+    """Impact-pruned sibling of _ws_index: same tokenizer/shards, but
+    every term keeps only its top-PRUNE_M postings (pipeline prune_m);
+    served by the SAME WAND engine."""
+    import hashlib
+
+    from tse_spark.plans import pipeline as pl
+
+    key = "pruned:" + sf
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    out = "/tmp/tse_ws_pidx_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    pipe = pl.IndexPipeline(
+        spark, out, tokenizer="ws", num_shards=8, block_size=128,
+        prune_m=PRUNE_M,  # module constant defined below; bound at call
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    handle = pipe.run_from_docs(docs, input_key=sf, resume=True)
+    _INDEX_CACHE[key] = handle
+    return handle
+
+
+def _q_wand_pruned_topk(spark, sf):
+    """Block-max WAND over the impact-PRUNED compressed index: per-term
+    top-PRUNE_M postings by full-stats BM25 impact, df recomputed from
+    what survived (the index's own stats — both serving paths read df
+    from the shards/term_stats, so the pruned index is self-consistent),
+    dl/avgdl/n_docs full-corpus.  The oracle reproduces prune + rescore
+    end to end in SQL."""
+    h = _ws_pruned_index(spark, sf)
+    out = h.engine.search(" ".join(BM25_QUERY), K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 # ----- rows-only (non-SQL-expressible) engine paths -----
 
 def _q_pages_bm25(spark, sf):
@@ -1623,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_indexed": _q_ann_int8_indexed,
         "prefix_complete": _q_prefix_complete,
         "static_prune_topk": _q_static_prune_topk,
+        "wand_pruned_topk": _q_wand_pruned_topk,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
         "domain_stats": _q_domain_stats,
@@ -2935,6 +2970,37 @@ def oracle_sql() -> dict[str, str]:
     FROM pruned
     WHERE rn <= {PRUNE_M} AND term IN ({_prune_terms})
     GROUP BY 1 ORDER BY score DESC, doc_id LIMIT {K}"""
+    # the PRUNED COMPRESSED INDEX serving path: prune by full-stats
+    # impact (same window as static_prune_topk), then score with the
+    # pruned index's OWN df (both engine serving paths read df from the
+    # shards), full dl/avgdl/n_docs
+    out["wand_pruned_topk"] = _TOK + f"""
+    , imp AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+             ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats),
+    kept AS (
+      SELECT doc_id, term, tf, dl FROM (
+        SELECT *, row_number() OVER (PARTITION BY term
+                                     ORDER BY s DESC, doc_id) AS rn
+        FROM imp)
+      WHERE rn <= {PRUNE_M}),
+    pdf AS (SELECT term, count(*)::BIGINT AS dfp FROM kept GROUP BY 1),
+    sc AS (
+      SELECT kept.doc_id,
+             ln(1 + (stats.n_docs - pdf.dfp + 0.5) / (pdf.dfp + 0.5))
+               * kept.tf * 2.2
+               / (kept.tf + 1.2 * (0.25 + 0.75 * kept.dl / stats.avgdl))
+               AS s
+      FROM kept JOIN pdf USING (term) CROSS JOIN stats
+      WHERE kept.term IN ({_prune_terms}))
+    SELECT doc_id, round(sum(s), 4) AS score
+    FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT {K}"""
     # overlap@10 pruned vs exhaustive — composed from the two oracles
     out["prune_recall"] = f"""
     WITH p AS ({out['static_prune_topk']}),

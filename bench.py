@@ -95,6 +95,7 @@ HEADLINE = [
     "bm25f_anchor",
     "search_collapsed",
     "wand_topk",
+    "wand_pruned_topk",
     "tf_table",
     "postings_strings",
     "top_terms",

@@ -85,6 +85,13 @@ def append_pages(
                 "with a different dictionary would tokenize the delta "
                 "differently than the base index"
             )
+    if meta.get("prune_m") is not None:
+        raise ValueError(
+            "append_pages: the base index was built with impact pruning "
+            f"(prune_m={meta['prune_m']}); an unpruned delta would break "
+            "the per-term top-m invariant silently — rebuild (or prune "
+            "the merged corpus) instead"
+        )
     n0 = int(meta["n_docs"])
     avgdl0 = float(meta["avgdl"])
     enc_avgdl = float(meta.get("enc_avgdl", avgdl0))

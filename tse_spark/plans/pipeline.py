@@ -59,6 +59,7 @@ class IndexPipeline:
         num_partitions: int | None = None,
         force_extract: bool = False,
         checkpoint_mode: str = "full",
+        prune_m: int | None = None,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -76,9 +77,19 @@ class IndexPipeline:
         # write+read barrier — the steady-state production profile where
         # a failed build is simply rerun from docs.
         self.checkpoint_mode = checkpoint_mode
+        # Impact-ordered static pruning (operators/index_build.
+        # impact_pruned_tf): keep only each term's top-m postings by
+        # BM25 impact under the FULL corpus stats, then encode shards
+        # from the pruned relation.  dl/avgdl/n_docs stay full-corpus;
+        # df is recomputed from the pruned postings (term_stats and the
+        # per-shard df rows both come from what was encoded), so both
+        # serving paths score with the same — pruned — df.  Build-only:
+        # append_pages refuses pruned indexes (an unpruned delta would
+        # silently break the per-term top-m invariant).
+        self.prune_m = prune_m
         self.params = (
             tokenizer, num_shards, block_size, sorted(dictionary),
-            force_extract,
+            force_extract, prune_m,
         )
 
     def run_from_pages(
@@ -184,6 +195,7 @@ class IndexPipeline:
                 # build or scores silently diverge — append_pages asserts
                 # this fingerprint before touching anything
                 "dict_fp": cp.fingerprint(sorted(self.dictionary)),
+                "prune_m": self.prune_m,
                 "tokenizer": self.tokenizer,
                 "num_shards": self.num_shards,
                 "block_size": self.block_size,
@@ -202,6 +214,25 @@ class IndexPipeline:
             man.stages["tf"]["seconds"] = round(time.time() - t0_tf, 3)
             man.save()
 
+        tf_po = tf
+        if self.prune_m is not None:
+            # static pruning: rank every posting by its full-stats BM25
+            # impact, keep the per-term top-m, and feed the SAME
+            # encoder the pruned row-major relation (dl stays the FULL
+            # document length — pruning drops postings, not tokens)
+            rm = ib.doc_terms_to_tf(tf) if doc_major else tf
+            dl_doc = dl_per_doc_for(tf, doc_major)
+            full_df = rm.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            pruned = ib.impact_pruned_tf(
+                rm.select("doc_id", "term", "tf"),
+                dl_doc,
+                full_df,
+                meta["n_docs"],
+                meta["avgdl"],
+                self.prune_m,
+            )
+            tf_po = pruned.join(dl_doc, "doc_id")
+
         fp_po = cp.fingerprint("postings", fp_tf, meta["n_docs"], meta["avgdl"])
         postings = cp.run_stage(
             self.spark,
@@ -209,7 +240,7 @@ class IndexPipeline:
             "postings",
             fp_po,
             lambda: po.build_posting_shards(
-                tf,
+                tf_po,
                 meta["n_docs"],
                 meta["avgdl"],
                 self.num_shards,
