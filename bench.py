@@ -483,9 +483,16 @@ def run_headline(spark) -> None:
     try:
         entrymod._ann_index_dir(spark, SF_DIR, "lsh")
         entrymod._ann_index_dir(spark, SF_DIR, "ivf")
+        entrymod._ann_index_dir(spark, SF_DIR, "int8")
         RESULT["ann_index_build_s"] = round(time.time() - t0, 1)
     except Exception as e:
         RESULT["ann_index_build_s"] = f"error: {e}"[:200]
+    t0 = time.time()
+    try:
+        entrymod._ws_pruned_index(spark, SF_DIR)
+        RESULT["pruned_index_build_s"] = round(time.time() - t0, 1)
+    except Exception as e:
+        RESULT["pruned_index_build_s"] = f"error: {e}"[:200]
     times: dict[str, float] = {}
     RESULT["queries"] = times
     for name in HEADLINE:
@@ -618,6 +625,38 @@ def run_serving_large(spark, n_docs: int) -> None:
     flush()
 
 
+def run_serving_pruned(spark) -> None:
+    """Serving latency from an impact-PRUNED index over the SAME bench
+    corpus as the unpruned serving block: every posting list is capped
+    at prune_m, so per-query work is bounded by m * |query terms|
+    regardless of how deep the hot terms' dfs grow — the static-pruning
+    payoff, measured side by side with the unpruned p50/p95."""
+    from tse_spark import fixtures
+    from tse_spark.plans import pipeline as pl
+
+    pages_dir = (
+        f"{SCRATCH}/tse_bench_pages_{BENCH_DOCS}_x{BENCH_LENGTH_SCALE}"
+    )
+    if not os.path.isdir(pages_dir):
+        return
+    out: dict = RESULT.setdefault("serving_pruned", {})
+    m = int(os.environ.get("SPARK_GRAFT_PRUNE_M", "1000"))
+    out["prune_m"] = m
+    t0 = time.time()
+    pipe = pl.IndexPipeline(
+        spark,
+        f"{SCRATCH}/tse_bench_idx_pruned_{BENCH_DOCS}",
+        tokenizer="tse",
+        dictionary=fixtures.mini_dict_bytes(),
+        checkpoint_mode="final",
+        prune_m=m,
+    )
+    h = pipe.run_from_pages(pages_dir, resume=True)
+    out["build_s"] = round(time.time() - t0, 1)
+    out.update(_measure_serving(h))
+    flush()
+
+
 def main() -> None:
     flush()  # phase 0: a parseable line exists from the first second
 
@@ -649,6 +688,17 @@ def main() -> None:
         except Exception as e:  # keep the JSON line coming no matter what
             RESULT["headline_error"] = str(e)[:500]
             flush()
+
+        # pruned-index serving (cheap: one extra build over the bench
+        # corpus), then larger-corpus serving with whatever remains
+        if left() > 100:
+            try:
+                run_serving_pruned(spark)
+            except Exception as e:
+                RESULT.setdefault("serving_pruned", {})[
+                    "error"
+                ] = str(e)[:500]
+                flush()
 
         # optional larger-corpus serving evidence, sized to the budget
         if os.environ.get("SPARK_GRAFT_SKIP_SERVING_LARGE") != "1":

@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
         "the index vocabulary / term_stats)",
     )
     ap.add_argument(
+        "--complete", metavar="PREFIX", default=None,
+        help="typeahead mode: print the top-k vocabulary completions "
+        "for PREFIX (by df, from the index term_stats) instead of "
+        "running queries",
+    )
+    ap.add_argument(
         "--queries-file", default=None,
         help="UTF-8 file, one query per line (use for non-ASCII queries: "
         "spark-submit under a C locale mangles non-ASCII argv)",
@@ -56,8 +62,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.queries_file:
         with open(args.queries_file, encoding="utf-8") as f:
             args.queries += [q.strip() for q in f if q.strip()]
-    if not args.queries:
-        ap.error("no queries given (positional or --queries-file)")
+    if not args.queries and not args.complete:
+        ap.error(
+            "no queries given (positional, --queries-file, or --complete)"
+        )
 
     from tse_spark.plans import pipeline as pl
 
@@ -79,6 +87,21 @@ def main(argv: list[str] | None = None) -> int:
     handle = pl.load_index(spark, args.index, dictionary)
     handle.engine.warm()
     handle.engine.query_log_path = args.index.rstrip("/") + "/query_log.jsonl"
+    if args.complete:
+        from tse_spark.operators import textops
+
+        rows = textops.prefix_complete(
+            handle.term_stats, args.complete, k=args.k
+        ).collect()
+        print(
+            json.dumps(
+                {
+                    "prefix": args.complete,
+                    "completions": [[r["term"], r["df"]] for r in rows],
+                },
+                ensure_ascii=False,
+            )
+        )
     for q in args.queries:
         if args.cgi:
             from urllib.parse import unquote_plus
