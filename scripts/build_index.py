@@ -55,6 +55,17 @@ def main(argv: list[str] | None = None) -> int:
         "--force-extract", action="store_true",
         help="re-derive text from html even if a text column exists",
     )
+    ap.add_argument(
+        "--prune-m", type=int, default=None,
+        help="impact-ordered static pruning: keep only each term's "
+        "top-M postings by BM25 impact (build-only; append refuses "
+        "pruned indexes)",
+    )
+    ap.add_argument(
+        "--report", action="store_true",
+        help="after the build, print the per-stage lineage/metrics "
+        "and on-disk footprint report (one JSON line per row)",
+    )
     args = ap.parse_args(argv)
 
     from tse_spark.plans import pipeline as pl
@@ -83,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
         num_shards=args.shards,
         block_size=args.block_size,
         force_extract=args.force_extract,
+        prune_m=args.prune_m,
     )
     t0 = time.time()
     handle = pipe.run_from_pages(args.pages, resume=not args.no_resume)
@@ -106,6 +118,9 @@ def main(argv: list[str] | None = None) -> int:
             }
         )
     )
+    if args.report:
+        for r in pl.index_report(spark, args.out).collect():
+            print(json.dumps(r.asDict()))
     return 0
 
 

@@ -82,3 +82,18 @@ def test_append_refuses_pruned_base(spark, pruned_handle, tmp_path):
     )
     with pytest.raises(ValueError, match="prune"):
         ap.append_pages(spark, pruned_handle.out_dir, delta)
+
+
+def test_index_report(spark, pruned_handle):
+    rep = pl.index_report(spark, pruned_handle.out_dir)
+    rows = {(r["kind"], r["name"]): r for r in rep.collect()}
+    # every pipeline stage is reported with its lineage metrics
+    for stage in ("tf", "postings", "term_stats"):
+        r = rows[("stage", stage)]
+        assert r["rows"] > 0 and r["seconds"] is not None
+        assert r["n_partitions"] and r["n_partitions"] > 0
+    # every live artifact dir is reported with its on-disk footprint
+    dir_rows = [r for (k, _), r in rows.items() if k == "dir"]
+    assert dir_rows and all(
+        r["files"] > 0 and r["bytes"] > 0 for r in dir_rows
+    )

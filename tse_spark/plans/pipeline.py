@@ -309,3 +309,77 @@ def load_index(
         meta["n_docs"], meta["avgdl"], dictionary, cp.Manifest(out_dir),
         enc_avgdl=meta.get("enc_avgdl"),
     )
+
+
+def index_report(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Index observability: one row per build/append stage recorded in
+    the manifest, plus one row per live artifact dir in meta.json —
+    the operator's answer to "what did this build do, stage by stage,
+    partition by partition, and what is on disk now".
+
+    Columns: (kind, name, fingerprint, rows, seconds, resumed,
+    n_partitions, files, bytes).  Manifest rows carry the build-time
+    metrics (per-partition row counts summarized as n_partitions; the
+    raw map lives in _manifest.json); meta rows carry the current
+    on-disk footprint of every directory the published meta.json
+    references — after appends the delta dirs each get a row, so
+    growth and compaction debt are visible at a glance.
+
+    Pure metadata: reads two small json files and stats local files;
+    no Spark job over the corpus.  At web scale the same listing runs
+    against the table's file index (manifests), never the data."""
+    rows: list[tuple] = []
+    man = cp.Manifest(out_dir)
+    for name, st in sorted(man.stages.items()):
+        parts = st.get("partitions") or {}
+        rows.append(
+            (
+                "stage",
+                name,
+                st.get("fingerprint"),
+                st.get("rows"),
+                st.get("seconds"),
+                bool(st.get("resumed")),
+                len(parts) or None,
+                None,
+                None,
+            )
+        )
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        dirs = (
+            meta.get("docs_dirs", [])
+            + meta.get("postings_dirs", ["postings"])
+            + [meta.get("term_stats_dir", "term_stats")]
+        )
+        for d in dirs:
+            p = os.path.join(out_dir, d)
+            if not os.path.isdir(p):
+                continue
+            files = [
+                os.path.join(r, fn)
+                for r, _, fns in os.walk(p)
+                for fn in fns
+                if fn.endswith(".parquet")
+            ]
+            rows.append(
+                (
+                    "dir",
+                    d,
+                    meta.get("fingerprint"),
+                    None,
+                    None,
+                    None,
+                    None,
+                    len(files),
+                    sum(os.path.getsize(f) for f in files),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "kind string, name string, fingerprint string, rows long, "
+        "seconds double, resumed boolean, n_partitions long, "
+        "files long, bytes long",
+    )
