@@ -319,3 +319,41 @@ def test_int8_codes_are_smaller_than_floats(int8_index):
 def test_int8_indexed_rejects_wrong_dim(spark, int8_index):
     with pytest.raises(ValueError):
         similarity.int8_ann_topk_indexed(spark, int8_index, [1.0, 2.0], K)
+
+
+def test_int8_append_and_compact_equal_full_build(
+    spark, emb, qv, int8_index, tmp_path
+):
+    out = str(tmp_path / "int8_appended")
+    similarity.build_int8_code_table(
+        emb.filter(emb.vec_id % 2 == 0), out, dim=len(qv)
+    )
+    similarity.append_ann_index(
+        spark, out, emb.filter(emb.vec_id % 2 == 1), assume_disjoint=True
+    )
+    full = [
+        tuple(r)
+        for r in similarity.int8_ann_topk_indexed(
+            spark, int8_index, qv, K, exclude_id=0
+        ).collect()
+    ]
+    appended = [
+        tuple(r)
+        for r in similarity.int8_ann_topk_indexed(
+            spark, out, qv, K, exclude_id=0
+        ).collect()
+    ]
+    assert appended == full
+    # compaction folds base + delta into one dir, results unchanged
+    similarity.compact_ann_index(spark, out)
+    import json as _json
+
+    with open(os.path.join(out, "meta.json")) as f:
+        assert _json.load(f)["data_dirs"] == ["data_v0001"]
+    compacted = [
+        tuple(r)
+        for r in similarity.int8_ann_topk_indexed(
+            spark, out, qv, K, exclude_id=0
+        ).collect()
+    ]
+    assert compacted == full

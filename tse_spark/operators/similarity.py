@@ -530,13 +530,17 @@ def append_ann_index(
     elif meta["kind"] == "ivf":
         rows = ivf_assign(emb.select(*cols), meta["centroids"])
         part_cols = ["cell"]
+    elif meta["kind"] == "int8_codes":
+        rows = _int8_rows(emb.select(*cols))
+        part_cols = []  # linear-scan tier: no bucket dirs
     else:  # pragma: no cover - corrupt meta
         raise ValueError(f"unknown ANN index kind {meta.get('kind')!r}")
     dirs = meta.get("data_dirs", ["data"])
     delta = f"data_delta_{len(dirs):04d}"
-    rows.write.mode("overwrite").partitionBy(*part_cols).parquet(
-        os.path.join(index_dir, delta)
-    )
+    w = rows.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(os.path.join(index_dir, delta))
     meta["data_dirs"] = dirs + [delta]
     _publish_meta(index_dir, meta)
     return delta
@@ -555,15 +559,18 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> str:
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     old = meta.get("data_dirs", ["data"])
-    part_cols = (
-        ["band", "sig"] if meta["kind"] == "lsh_sign" else ["cell"]
-    )
+    part_cols = {
+        "lsh_sign": ["band", "sig"],
+        "ivf": ["cell"],
+        "int8_codes": [],
+    }[meta["kind"]]
     gen = int(meta.get("compact_gen", 0)) + 1
     new_dir = f"data_v{gen:04d}"
     rows = _read_pinned(spark, meta, _index_dirs(index_dir, meta))
-    rows.write.mode("overwrite").partitionBy(*part_cols).parquet(
-        os.path.join(index_dir, new_dir)
-    )
+    w = rows.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(os.path.join(index_dir, new_dir))
     meta["data_dirs"] = [new_dir]
     meta["compact_gen"] = gen
     _publish_meta(index_dir, meta)
@@ -791,6 +798,24 @@ def build_int8_code_table(emb: DataFrame, out_dir: str, dim: int) -> str:
     on disk and the coarse query still answers).  ``meta.json`` is
     published last (crash-atomic, same contract as the LSH/IVF
     indexes)."""
+    codes = _int8_rows(emb)
+    data_dir = os.path.join(out_dir, "data")
+    codes.write.mode("overwrite").parquet(data_dir)
+    meta = {
+        "kind": "int8_codes",
+        "dim": dim,
+        "columns": list(emb.columns),
+        "schema": codes.schema.json(),
+        "data_dirs": ["data"],
+    }
+    _publish_meta(out_dir, meta)
+    return out_dir
+
+
+def _int8_rows(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, qscale, code) — the shared quantize+pack
+    transform: build and append must produce byte-identical codes for
+    the same vector or appended generations would rank differently."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
@@ -807,17 +832,9 @@ def build_int8_code_table(emb: DataFrame, out_dir: str, dim: int) -> str:
             ).cast("double"),
         ),
     )
-    codes = d.select("vec_id", "label", "qscale", pack(F.col("q")).alias("code"))
-    data_dir = os.path.join(out_dir, "data")
-    codes.write.mode("overwrite").parquet(data_dir)
-    meta = {
-        "kind": "int8_codes",
-        "dim": dim,
-        "schema": codes.schema.json(),
-        "data_dirs": ["data"],
-    }
-    _publish_meta(out_dir, meta)
-    return out_dir
+    return d.select(
+        "vec_id", "label", "qscale", pack(F.col("q")).alias("code")
+    )
 
 
 def int8_ann_topk_indexed(
