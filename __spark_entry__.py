@@ -29,6 +29,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # ---------------------------------------------------------------------------
 BM25_QUERY = ["spark", "join", "data"]
 BM25_CONJ_QUERY = ["spark", "join"]
+# web-style boolean box: "spark data +join -slow"
+BOOL_POS = ["spark", "data"]
+BOOL_REQ = ["join"]
+BOOL_EXC = ["slow"]
 SCAN_NEEDLE = "merge sort"
 SNIPPET_TERM = "spark"
 PAGES_QUERY = "搜索引擎"
@@ -158,6 +162,33 @@ def _q_bm25_topk(spark, sf):
 
 def _q_bm25_conjunctive(spark, sf):
     return _bm25(spark, sf, BM25_CONJ_QUERY, True)
+
+
+def _q_bm25_boolean(spark, sf):
+    """Boolean search box: 'spark data +join -slow' — doc must contain
+    join, must not contain slow, scored over {spark, data, join}.
+    Declarative oracle-parity path (index_build.bm25_boolean_topk)."""
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    scoring = sorted(set(BOOL_POS) | set(BOOL_REQ))
+    dfreq = ib.build_df_stats(tf.filter(F.col("term").isin(scoring)))
+    n, avgdl = ib.corpus_stats(doclen)
+    out = ib.bm25_boolean_topk(
+        spark, tf, doclen, dfreq, n, avgdl, BOOL_POS, BOOL_REQ, BOOL_EXC, K
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_wand_boolean(spark, sf):
+    """Same boolean query served from the compressed posting shards
+    (SearchEngine.search_boolean): one pruned fetch for scoring +
+    excluded terms, per-shard scored-run masking, global top-k.  Must
+    equal the declarative path row-for-row (shared oracle)."""
+    h = _ws_index(spark, sf)
+    out = h.engine.search_boolean("spark data +join -slow", K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
 def _q_bm25_page2(spark, sf):
@@ -1582,6 +1613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
         "bm25_conjunctive": _q_bm25_conjunctive,
+        "bm25_boolean": _q_bm25_boolean,
+        "wand_boolean": _q_wand_boolean,
         "bm25_page2": _q_bm25_page2,
         "wand_topk": _q_wand_topk,
         "wand_conjunctive": _q_wand_conjunctive,
@@ -2183,6 +2216,29 @@ def oracle_sql() -> dict[str, str]:
     terms2 = ", ".join(f"'{t}'" for t in BM25_CONJ_QUERY)
     bm25_3 = _BM25_SQL.format(terms=terms3)
     bm25_2 = _BM25_SQL.format(terms=terms2)
+    # boolean box: score over positive+required, gate on required,
+    # anti-join the excluded term's docs (one SQL for both the
+    # declarative and the shard-served paths)
+    bool_scoring = ", ".join(
+        f"'{t}'" for t in sorted(set(BOOL_POS) | set(BOOL_REQ))
+    )
+    bool_req = ", ".join(f"'{t}'" for t in sorted(set(BOOL_REQ)))
+    bool_exc = ", ".join(f"'{t}'" for t in sorted(set(BOOL_EXC)))
+    bool_sql = (
+        _TOK
+        + _BM25_SQL.format(terms=bool_scoring)
+        + f"""
+        , req AS (
+          SELECT doc_id FROM tf WHERE term IN ({bool_req})
+          GROUP BY doc_id
+          HAVING count(DISTINCT term) = {len(set(BOOL_REQ))}),
+        ex AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({bool_exc}))
+        SELECT p.doc_id AS doc_id, round(sum(s), 4) AS score
+        FROM perterm p JOIN req USING (doc_id)
+        WHERE p.doc_id NOT IN (SELECT doc_id FROM ex)
+        GROUP BY p.doc_id
+        ORDER BY sum(s) DESC, p.doc_id LIMIT 10"""
+    )
     out = {
         "tf_table": _TOK + "SELECT doc_id, term, tf FROM tf",
         "df_stats": _TOK + "SELECT term, df FROM dfreq",
@@ -2201,6 +2257,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(sum(s), 4) AS score
         FROM perterm GROUP BY doc_id
         ORDER BY sum(s) DESC, doc_id LIMIT 10 OFFSET 10""",
+        "bm25_boolean": bool_sql,
+        "wand_boolean": bool_sql,
         "bm25_conjunctive": _TOK
         + bm25_2
         + f"""

@@ -98,6 +98,8 @@ HEADLINE = [
     "wand_pruned_topk",
     "tf_table",
     "postings_strings",
+    "bm25_boolean",
+    "wand_boolean",
     "top_terms",
     "token_count",
     "bigram_count",

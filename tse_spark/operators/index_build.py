@@ -342,6 +342,66 @@ def bm25_topk(
     )
 
 
+def bm25_boolean_topk(
+    spark: SparkSession,
+    tf: DataFrame,
+    doclen: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    positive: list[str],
+    required: list[str] = (),
+    excluded: list[str] = (),
+    k: int = 10,
+) -> DataFrame:
+    """Declarative boolean BM25 top-k (the web search box's
+    ``term +must -mustnot`` syntax the reference's CGI parser never
+    grew): a doc must contain ALL ``required`` terms and NONE of
+    ``excluded``; the score is the disjunctive BM25 sum over
+    ``positive`` + ``required`` (a required term gates AND scores —
+    classic ``+term`` semantics).  Oracle-parity path; the serving
+    path is :meth:`SearchEngine.search_boolean` over posting shards.
+
+    Scale shape: all three legs are pruned scans of the SAME tf
+    relation with a pushed-down term IN — no leg ever reads the full
+    vocabulary.  The required gate is a semi-join against a term-count
+    aggregate of the required postings; exclusion is an anti hash-join
+    against the excluded terms' distinct doc ids (both sides shuffle on
+    doc_id, and AQE broadcasts whichever posting set is small).  An
+    empty scoring set returns no rows (pure-negative queries are
+    unanswerable without a full corpus scan — same rule as the engine).
+    """
+    required = sorted(set(required))
+    excluded = sorted(set(excluded))
+    if set(required) & set(excluded):
+        return spark.createDataFrame([], "doc_id long, score double")
+    scoring = sorted((set(positive) | set(required)) - set(excluded))
+    if not scoring:
+        return spark.createDataFrame([], "doc_id long, score double")
+    agg = bm25_scores(spark, tf, doclen, dfreq, n_docs, avgdl, scoring)
+    if required:
+        ok = (
+            tf.filter(F.col("term").isin(required))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("nreq"))
+            .filter(F.col("nreq") == len(required))
+            .select("doc_id")
+        )
+        agg = agg.join(ok, "doc_id", "left_semi")
+    if excluded:
+        bad = (
+            tf.filter(F.col("term").isin(excluded))
+            .select("doc_id")
+            .distinct()
+        )
+        agg = agg.join(bad, "doc_id", "left_anti")
+    return (
+        agg.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_scores(
     spark: SparkSession,
     tf: DataFrame,

@@ -29,13 +29,54 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tse_spark import oracle
-from tse_spark.operators import wand as wand_mod
+from tse_spark.operators import codec, wand as wand_mod
 
 RESULT_SCHEMA = "doc_id long, score double"
 
 
 def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def parse_boolean_query(
+    query: str,
+) -> tuple[list[str], list[str], list[str], list[str]]:
+    """Split a web-style boolean query into
+    ``(optional, required, excluded, phrases)``.
+
+    Grammar (the classic search-box syntax the reference's CGI parser
+    never grew, tse/Search.cpp takes the raw string as one bag of
+    words): ``"..."`` spans are phrases (quotes never nest; an unclosed
+    quote runs to the end of the string), and of the remaining
+    whitespace-separated words a ``+`` prefix marks a required term, a
+    ``-`` prefix an excluded term.  Bare ``+``/``-`` tokens are
+    dropped.  Words are lowercased; per-bucket dedup/eligibility is the
+    consumer's job (the engine routes each bucket through its own
+    tokenizer so query and index obey one law)."""
+    import re as _re
+
+    phrases = [p.strip().lower() for p in _re.findall(r'"([^"]*)"', query)]
+    phrases = [p for p in phrases if p]
+    rest = _re.sub(r'"[^"]*"', " ", query)
+    tail = rest.rsplit('"', 1)
+    if len(tail) == 2:  # unclosed quote: trailing span is a phrase
+        rest, p = tail
+        p = p.strip().lower()
+        if p:
+            phrases.append(p)
+    optional: list[str] = []
+    required: list[str] = []
+    excluded: list[str] = []
+    for w in rest.split():
+        if w.startswith("+"):
+            bucket, w = required, w[1:]
+        elif w.startswith("-"):
+            bucket, w = excluded, w[1:]
+        else:
+            bucket = optional
+        if w:
+            bucket.append(w.lower())
+    return optional, required, excluded, phrases
 
 
 class SearchEngine:
@@ -211,6 +252,121 @@ class SearchEngine:
             per_shard, schema=RESULT_SCHEMA
         )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _boolean_buckets(
+        self, query: str
+    ) -> tuple[list[str], list[str], list[str], bool]:
+        """Parse + normalize a boolean query into
+        ``(optional, required, excluded, contradiction)`` with every
+        bucket routed through the index's own tokenizer (one law for
+        query and index).  A term both required and excluded is a
+        contradiction (no doc can satisfy it) — flagged so callers
+        return empty; an optional term that is also excluded can never
+        contribute (its docs are all masked), so it is dropped; an
+        optional term that is also required is folded into required."""
+        optional, required, excluded, phrases = parse_boolean_query(query)
+        if phrases:
+            raise ValueError(
+                "quoted phrases are served by the positional index "
+                "(operators/positions.py phrase_snippet_topk); "
+                "search_boolean takes bare/+/- terms only"
+            )
+        req = self.query_terms(" ".join(required))
+        exc = self.query_terms(" ".join(excluded))
+        contradiction = bool(set(req) & set(exc))
+        drop = set(req) | set(exc)
+        opt = [t for t in self.query_terms(" ".join(optional)) if t not in drop]
+        return opt, req, exc, contradiction
+
+    def search_boolean(self, query: str, k: int = 10) -> DataFrame:
+        """Distributed boolean serving: ``+term`` must match, ``-term``
+        must not, plain terms score optionally (disjunctive BM25 over
+        required + optional — a required term both gates and scores).
+
+        One pruned posting fetch covers scoring AND excluded terms
+        (same pushed-down term IN as :meth:`search`); shards are
+        disjoint doc-id ranges, so an excluded term's postings can only
+        mask docs inside their own shard — exclusion never crosses the
+        shard boundary and the per-shard top-k lists still compose
+        exactly.  Exclusion is applied before top-k selection inside
+        :func:`tse_spark.operators.wand.boolean_topk_scored`."""
+        opt, req, exc, contradiction = self._boolean_buckets(query)
+        scoring = sorted(set(opt) | set(req))
+        if contradiction or not scoring:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        idf = self._idf_map(sorted(set(scoring) | set(exc)))
+        if any(t not in idf for t in req) or not any(
+            t in idf for t in scoring
+        ):
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        avgdl = self.avgdl
+        n_req = len(req)
+        sc = self.spark.sparkContext
+        b_idf = sc.broadcast({t: idf[t] for t in scoring if t in idf})
+        b_req = sc.broadcast(frozenset(req))
+        b_exc = sc.broadcast(frozenset(t for t in exc if t in idf))
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            req_runs, opt_runs, exc_docs = [], [], []
+            for t, blob in zip(pdf["term"], pdf["blocks"]):
+                if t in b_exc.value:
+                    exc_docs.append(codec.decode_all(bytes(blob))[0])
+                    continue
+                i = b_idf.value.get(t)
+                if i is None:
+                    continue
+                d, tf, dl = codec.decode_all(bytes(blob))
+                run = (d, wand_mod._score_arrays(i, tf, dl, avgdl))
+                (req_runs if t in b_req.value else opt_runs).append(run)
+            if len(req_runs) < n_req:
+                # a required term has no postings in this doc range
+                return pd.DataFrame({"doc_id": [], "score": []})
+            ex = (
+                np.unique(np.concatenate(exc_docs)) if exc_docs else None
+            )
+            res = wand_mod.boolean_topk_scored(req_runs, opt_runs, k, ex)
+            return pd.DataFrame(
+                {
+                    "doc_id": [d for d, _ in res],
+                    "score": [s for _, s in res],
+                }
+            )
+
+        terms = sorted(set(scoring) | set(t for t in exc if t in idf))
+        local = self._shard_rows(terms).groupBy("shard").applyInPandas(
+            per_shard, schema=RESULT_SCHEMA
+        )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_boolean_local(
+        self, query: str, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Interactive twin of :meth:`search_boolean`, served from the
+        scored-posting cache (the excluded terms' cached doc arrays are
+        the exclusion mask — their scores are simply unused)."""
+        opt, req, exc, contradiction = self._boolean_buckets(query)
+        scoring = sorted(set(opt) | set(req))
+        if contradiction or not scoring:
+            return []
+        import time as _t
+
+        t0 = _t.time()
+        entries = self._term_entries(sorted(set(scoring) | set(exc)))
+        present = {t for t, (df, _) in entries.items() if df > 0}
+        if any(t not in present for t in req) or not (
+            present & set(scoring)
+        ):
+            return []
+        decoded = self._decoded_runs(
+            sorted(present & (set(scoring) | set(exc))), entries
+        )
+        req_runs = [decoded[t] for t in req]
+        opt_runs = [decoded[t] for t in opt if t in present]
+        exc_arrs = [decoded[t][0] for t in exc if t in present]
+        ex = np.unique(np.concatenate(exc_arrs)) if exc_arrs else None
+        out = wand_mod.boolean_topk_scored(req_runs, opt_runs, k, ex)
+        self._log_query(query, k, len(out), (_t.time() - t0) * 1000.0)
+        return out
 
     def _term_entries(self, terms: list[str]) -> dict[str, tuple[int, bytes]]:
         """(df, merged doc-ascending posting blob) per term, LRU-cached

@@ -383,6 +383,84 @@ def intersect_topk_scored(
     return [(int(d), float(s)) for d, s in order[:k]]
 
 
+def _in_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Membership mask of ``a`` in SORTED unique array ``b`` — one
+    searchsorted instead of np.isin's internal sort (posting doc arrays
+    are already doc-ascending by the codec law)."""
+    if len(b) == 0:
+        return np.zeros(len(a), dtype=bool)
+    idx = np.searchsorted(b, a)
+    idx[idx == len(b)] = len(b) - 1
+    return b[idx] == a
+
+
+def boolean_topk_scored(
+    required: list[tuple[np.ndarray, np.ndarray]],
+    optional: list[tuple[np.ndarray, np.ndarray]],
+    k: int,
+    excluded_docs: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """Web-style boolean top-k over pre-scored posting runs: docs must
+    match ALL ``required`` runs and NONE of ``excluded_docs``; score is
+    the disjunctive BM25 sum over required + optional runs (a required
+    term both gates and scores — classic ``+term`` semantics).
+
+    Runs are ``(docs asc unique, scores)`` pairs — either the engine's
+    scored-posting cache entries or per-shard arrays scored at decode.
+    Exclusion is applied BEFORE top-k selection (an excluded doc must
+    not displace a kept one), as a searchsorted membership mask against
+    the sorted excluded doc array — no hash sets, no Python loops over
+    postings.  With no required runs this degrades to disjunctive
+    scoring with an exclusion mask; with neither exclusions nor
+    required runs use :func:`topk_from_scored` (dense bincount) instead.
+    """
+    if excluded_docs is not None and len(excluded_docs) == 0:
+        excluded_docs = None
+    if required:
+        runs = sorted(required, key=lambda x: len(x[0]))
+        common = runs[0][0]
+        if excluded_docs is not None:
+            common = common[~_in_sorted(common, excluded_docs)]
+        for d, _ in runs[1:]:
+            common = common[_in_sorted(common, d)]
+            if len(common) == 0:
+                return []
+        if len(common) == 0:
+            return []
+        total = np.zeros(len(common), dtype=np.float64)
+        for d, s in required:
+            total += s[np.searchsorted(d, common)]
+        for d, s in optional:
+            m = _in_sorted(common, d)
+            if m.any():
+                total[m] += s[np.searchsorted(d, common[m])]
+        pos, vals = common, total
+    else:
+        doc_parts, score_parts = [], []
+        for d, s in optional:
+            if excluded_docs is not None:
+                keep = ~_in_sorted(d, excluded_docs)
+                d, s = d[keep], s[keep]
+            if len(d):
+                doc_parts.append(d)
+                score_parts.append(s)
+        if not doc_parts:
+            return []
+        docs = np.concatenate(doc_parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        pos, vals = uniq, np.bincount(
+            inv, weights=np.concatenate(score_parts)
+        )
+    if len(pos) > k:
+        kth = np.partition(vals, len(vals) - k)[len(vals) - k]
+        sel = vals >= kth  # keep ties at the k-th score
+        pos, vals = pos[sel], vals[sel]
+    order = sorted(
+        zip(pos.tolist(), vals.tolist()), key=lambda x: (-x[1], x[0])
+    )
+    return [(int(d), float(s)) for d, s in order[:k]]
+
+
 def intersect_topk_vec(
     term_runs: list[tuple[float, bytes]],
     avgdl: float,
