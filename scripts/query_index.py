@@ -34,6 +34,13 @@ def main(argv: list[str] | None = None) -> int:
         help="treat queries as CGI-encoded (T6: '+' -> space, %%xx decode)",
     )
     ap.add_argument("--conjunctive", action="store_true")
+    ap.add_argument(
+        "--boolean", action="store_true",
+        help="web-box boolean syntax: '+term' must match, '-term' must "
+        "not, plain terms score optionally (quoted phrases are NOT "
+        "accepted in this mode — drop the quotes or use the phrase "
+        "operators)",
+    )
     ap.add_argument("--dict", default=None)
     ap.add_argument(
         "--distributed", action="store_true",
@@ -109,7 +116,16 @@ def main(argv: list[str] | None = None) -> int:
             q = unquote_plus(q)
         t0 = time.time()
         fetch = args.k * (args.page + 1)
-        if args.distributed:
+        if args.boolean:
+            if args.distributed:
+                rows = handle.engine.search_boolean(q, fetch).collect()
+                res = [[r["doc_id"], round(r["score"], 4)] for r in rows]
+            else:
+                res = [
+                    [d, round(s, 4)]
+                    for d, s in handle.engine.search_boolean_local(q, fetch)
+                ]
+        elif args.distributed:
             rows = handle.engine.search(
                 q, fetch, conjunctive=args.conjunctive
             ).collect()

@@ -177,6 +177,32 @@ def test_engine_matches_declarative(
     ]
 
 
+def test_cli_boolean_mode(spark, ws_handle, capsys):
+    """scripts/query_index.py --boolean serves the same ranking as the
+    engine (in-process: getOrCreate reuses the test session)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "scripts")
+    try:
+        import query_index
+    finally:
+        sys.path.pop(0)
+    idx_dir = ws_handle.out_dir
+    rc = query_index.main(
+        ["--index", idx_dir, "--boolean", "--k", "5",
+         "spark data +join -slow"]
+    )
+    assert rc == 0
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    res = json.loads(lines[-1])
+    want = ws_handle.engine.search_boolean_local("spark data +join -slow", 5)
+    assert res["results"] == [[d, round(s, 4)] for d, s in want]
+
+
 def test_engine_boolean_edge_cases(ws_handle):
     eng = ws_handle.engine
     # contradiction: required and excluded
