@@ -33,6 +33,9 @@ BM25_CONJ_QUERY = ["spark", "join"]
 BOOL_POS = ["spark", "data"]
 BOOL_REQ = ["join"]
 BOOL_EXC = ["slow"]
+# synonym expansion: groups score by their best-matching member
+SYN_QUERY = "spark merge fast"
+SYN_GROUPS = [["merge", "sort"], ["fast", "quick"]]
 SCAN_NEEDLE = "merge sort"
 SNIPPET_TERM = "spark"
 PAGES_QUERY = "搜索引擎"
@@ -188,6 +191,36 @@ def _q_wand_boolean(spark, sf):
     equal the declarative path row-for-row (shared oracle)."""
     h = _ws_index(spark, sf)
     out = h.engine.search_boolean("spark data +join -slow", K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_bm25_synonyms(spark, sf):
+    """Synonym-expanded BM25 ('#syn'): 'spark merge fast' with
+    merge≈sort, fast≈quick — each group scores by the MAX of its
+    members' addends (no double counting), spark sums as usual.
+    Declarative oracle-parity path (index_build.bm25_expanded_topk)."""
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    allt = sorted(
+        set(SYN_QUERY.split()) | {t for g in SYN_GROUPS for t in g}
+    )
+    dfreq = ib.build_df_stats(tf.filter(F.col("term").isin(allt)))
+    n, avgdl = ib.corpus_stats(doclen)
+    out = ib.bm25_expanded_topk(
+        spark, tf, doclen, dfreq, n, avgdl,
+        SYN_QUERY.split(), SYN_GROUPS, K,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_wand_synonyms(spark, sf):
+    """Same expansion served from the compressed posting shards
+    (SearchEngine.search_expanded): group-max folded on scored runs per
+    shard, zero extra scans.  Shares the declarative path's oracle."""
+    h = _ws_index(spark, sf)
+    out = h.engine.search_expanded(SYN_QUERY, SYN_GROUPS, K)
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -1615,6 +1648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conjunctive": _q_bm25_conjunctive,
         "bm25_boolean": _q_bm25_boolean,
         "wand_boolean": _q_wand_boolean,
+        "bm25_synonyms": _q_bm25_synonyms,
+        "wand_synonyms": _q_wand_synonyms,
         "bm25_page2": _q_bm25_page2,
         "wand_topk": _q_wand_topk,
         "wand_conjunctive": _q_wand_conjunctive,
@@ -2239,6 +2274,43 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY p.doc_id
         ORDER BY sum(s) DESC, p.doc_id LIMIT 10"""
     )
+    # synonym expansion: group-max per (doc, group), then per-doc sum —
+    # the perterm CTE keeps the term column so the CASE can bucket it
+    syn_all = ", ".join(
+        f"'{t}'"
+        for t in sorted(
+            set(SYN_QUERY.split()) | {t for g in SYN_GROUPS for t in g}
+        )
+    )
+    syn_cases = " ".join(
+        "WHEN term IN ({}) THEN '#g{}'".format(
+            ", ".join(f"'{t}'" for t in sorted(set(g))), i
+        )
+        for i, g in enumerate(SYN_GROUPS)
+    )
+    syn_sql = (
+        _TOK
+        + f"""
+        , perterm AS (
+          SELECT tf.doc_id, tf.term,
+                 ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats
+          WHERE tf.term IN ({syn_all})
+        ),
+        g AS (
+          SELECT doc_id,
+                 CASE {syn_cases} ELSE term END AS grp,
+                 max(s) AS gs
+          FROM perterm GROUP BY 1, 2)
+        SELECT doc_id, round(sum(gs), 4) AS score
+        FROM g GROUP BY doc_id
+        ORDER BY sum(gs) DESC, doc_id LIMIT 10"""
+    )
     out = {
         "tf_table": _TOK + "SELECT doc_id, term, tf FROM tf",
         "df_stats": _TOK + "SELECT term, df FROM dfreq",
@@ -2259,6 +2331,8 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY sum(s) DESC, doc_id LIMIT 10 OFFSET 10""",
         "bm25_boolean": bool_sql,
         "wand_boolean": bool_sql,
+        "bm25_synonyms": syn_sql,
+        "wand_synonyms": syn_sql,
         "bm25_conjunctive": _TOK
         + bm25_2
         + f"""

@@ -100,6 +100,8 @@ HEADLINE = [
     "postings_strings",
     "bm25_boolean",
     "wand_boolean",
+    "bm25_synonyms",
+    "wand_synonyms",
     "top_terms",
     "token_count",
     "bigram_count",

@@ -203,6 +203,75 @@ def test_cli_boolean_mode(spark, ws_handle, capsys):
     assert res["results"] == [[d, round(s, 4)] for d, s in want]
 
 
+# ---------------------------------------------------------------------------
+# synonym expansion (#syn group-max)
+# ---------------------------------------------------------------------------
+
+def test_synmax_run_matches_brute_force():
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n_docs = int(rng.integers(5, 80))
+        runs = _mk_runs(rng, int(rng.integers(1, 4)), n_docs)
+        u, vals = wand.synmax_run(runs)
+        want: dict[int, float] = {}
+        for d, s in runs:
+            for doc, sc in zip(d.tolist(), s.tolist()):
+                want[doc] = max(want.get(doc, 0.0), sc)
+        assert u.tolist() == sorted(want)
+        for doc, v in zip(u.tolist(), vals.tolist()):
+            assert v == pytest.approx(want[doc], rel=1e-12)
+    assert wand.synmax_run([])[0].size == 0
+
+
+def _declarative_syn(spark, terms, groups, k=K):
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    tf = ib.build_tf_ws(docs)
+    doclen = ib.build_doclen(tf)
+    allt = sorted(set(terms) | {t for g in groups for t in g})
+    dfreq = ib.build_df_stats(tf.filter(F.col("term").isin(allt)))
+    n, avgdl = ib.corpus_stats(doclen)
+    return ib.bm25_expanded_topk(
+        spark, tf, doclen, dfreq, n, avgdl, terms, groups, k
+    ).collect()
+
+
+def test_expanded_engine_matches_declarative(spark, ws_handle):
+    groups = [["merge", "sort"], ["fast", "quick"]]  # quick: absent term
+    want = _declarative_syn(spark, ["spark", "merge", "fast"], groups)
+    got = ws_handle.engine.search_expanded("spark merge fast", groups, K)
+    got = got.collect()
+    assert [(r["doc_id"], round(r["score"], 6)) for r in got] == [
+        (r["doc_id"], round(r["score"], 6)) for r in want
+    ]
+    loc = ws_handle.engine.search_expanded_local(
+        "spark merge fast", groups, K
+    )
+    assert [(d, round(s, 6)) for d, s in loc] == [
+        (r["doc_id"], round(r["score"], 6)) for r in want
+    ]
+
+
+def test_expansion_only_follows_the_query(spark, ws_handle):
+    """A synonym-table group the query never touched adds nothing."""
+    eng = ws_handle.engine
+    groups = [["scan", "filter"]]  # query below matches neither
+    want = _declarative_syn(spark, ["spark", "data"], [])
+    got = eng.search_expanded("spark data", groups, K).collect()
+    assert [(r["doc_id"], round(r["score"], 6)) for r in got] == [
+        (r["doc_id"], round(r["score"], 6)) for r in want
+    ]
+
+
+def test_expansion_without_groups_equals_plain_search(ws_handle):
+    eng = ws_handle.engine
+    a = eng.search("spark data", K).collect()
+    b = eng.search_expanded("spark data", [], K).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_engine_boolean_edge_cases(ws_handle):
     eng = ws_handle.engine
     # contradiction: required and excluded

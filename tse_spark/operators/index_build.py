@@ -414,6 +414,25 @@ def bm25_scores(
     """Per-doc BM25 partial sums ``(doc_id, score, nterms)`` over the
     matched query terms — the composable core of :func:`bm25_topk`,
     reused by field-combining scorers (:func:`bm25f_topk`)."""
+    per_term = bm25_per_term(spark, tf, doclen, dfreq, n_docs, avgdl, terms)
+    return per_term.groupBy("doc_id").agg(
+        F.sum("s").alias("score"), F.count(F.lit(1)).alias("nterms")
+    )
+
+
+def bm25_per_term(
+    spark: SparkSession,
+    tf: DataFrame,
+    doclen: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+) -> DataFrame:
+    """Pre-aggregation BM25 addends ``(doc_id, term, s)`` for the query
+    terms (one row per matched (doc, term) — tf is already per-pair
+    unique), shared by the sum (:func:`bm25_scores`) and group-max
+    (:func:`bm25_expanded_topk`) combiners."""
     if len(terms) <= 64:
         # short queries: a pushed-down IN predicate prunes the tf scan
         # with zero extra jobs (a broadcast join would schedule a
@@ -445,8 +464,56 @@ def bm25_scores(
             ),
         )
     )
-    return per_term.groupBy("doc_id").agg(
-        F.sum("s").alias("score"), F.count(F.lit(1)).alias("nterms")
+    return per_term.select("doc_id", "term", "s")
+
+
+def bm25_expanded_topk(
+    spark: SparkSession,
+    tf: DataFrame,
+    doclen: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    groups: list[list[str]] = (),
+    k: int = 10,
+) -> DataFrame:
+    """Synonym-expanded BM25 top-k (the ``#syn`` operator): each group
+    of synonyms contributes the MAX of its members' BM25 addends per
+    doc — matching two spellings of one concept never double-counts,
+    while the best-matching member still scores with its own idf —
+    plus the plain terms' usual sum.  Absent members simply contribute
+    nothing (max over the present ones).
+
+    Scale shape: one pruned tf scan over all expanded terms (pushed-
+    down IN), then group-max folded INTO the per-doc hash aggregation:
+    member rows are first combined per (doc, group) map-side — the
+    only extra cost over plain BM25 is that two-level agg, no extra
+    scan and no join.  Serving twin:
+    :meth:`SearchEngine.search_expanded`."""
+    groups = [sorted(set(g)) for g in groups if g]
+    # '#' can't appear in a tokenized term, so pseudo-labels never
+    # collide with a real vocabulary term in the grp column
+    gmap = {t: f"#g{i}" for i, g in enumerate(groups) for t in g}
+    plain = [t for t in sorted(set(terms)) if t not in gmap]
+    allt = sorted(set(plain) | set(gmap))
+    if not allt:
+        return spark.createDataFrame([], "doc_id long, score double")
+    per = bm25_per_term(spark, tf, doclen, dfreq, n_docs, avgdl, allt)
+    grp = F.col("term")
+    for t, g in gmap.items():
+        grp = F.when(F.col("term") == t, g).otherwise(grp)
+    agg = (
+        per.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(F.max("s").alias("gs"))
+        .groupBy("doc_id")
+        .agg(F.sum("gs").alias("score"))
+    )
+    return (
+        agg.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
     )
 
 

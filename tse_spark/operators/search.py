@@ -338,6 +338,108 @@ class SearchEngine:
         )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def _expansion_buckets(
+        self, query: str, synonyms: list[list[str]]
+    ) -> tuple[list[str], list[list[str]]]:
+        """Normalize query + synonym groups through the index tokenizer
+        and split into (plain terms, active groups): a group is active
+        only when the query matched one of its members; the group then
+        replaces that member and scores by its best-matching present
+        member (``#syn`` semantics — expansion follows the query, a
+        synonym table entry the query never touched adds nothing)."""
+        qterms = self.query_terms(query)
+        groups = []
+        claimed: set[str] = set()
+        for g in synonyms:
+            gt = self.query_terms(" ".join(g))
+            if set(gt) & set(qterms):
+                groups.append(gt)
+                claimed |= set(gt)
+        plain = [t for t in qterms if t not in claimed]
+        return plain, groups
+
+    def search_expanded(
+        self, query: str, synonyms: list[list[str]], k: int = 10
+    ) -> DataFrame:
+        """Distributed synonym-expanded serving: each active synonym
+        group contributes the MAX of its members' BM25 addends per doc
+        (one concept never double-counts; each member scores with its
+        own idf), plain terms sum as usual.  One pruned posting fetch
+        covers all expanded terms; the group-max fold happens per shard
+        on scored runs (wand.synmax_run) before the usual disjunctive
+        top-k, so the expansion adds zero extra scans or shuffles.
+        Oracle-parity twin: :func:`index_build.bm25_expanded_topk`."""
+        plain, groups = self._expansion_buckets(query, synonyms)
+        allt = sorted(set(plain) | {t for g in groups for t in g})
+        if not allt:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        idf = self._idf_map(allt)
+        if not idf:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        avgdl = self.avgdl
+        sc = self.spark.sparkContext
+        b_idf = sc.broadcast(idf)
+        # term -> group ordinal; plain terms are their own group
+        b_grp = sc.broadcast(
+            {t: i for i, g in enumerate(groups) for t in g}
+        )
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            plain_runs, grp_runs = [], {}
+            for t, blob in zip(pdf["term"], pdf["blocks"]):
+                i = b_idf.value.get(t)
+                if i is None:
+                    continue
+                d, tf, dl = codec.decode_all(bytes(blob))
+                run = (d, wand_mod._score_arrays(i, tf, dl, avgdl))
+                g = b_grp.value.get(t)
+                if g is None:
+                    plain_runs.append(run)
+                else:
+                    grp_runs.setdefault(g, []).append(run)
+            runs = plain_runs + [
+                wand_mod.synmax_run(rs) for rs in grp_runs.values()
+            ]
+            res = wand_mod.topk_from_scored(runs, k)
+            return pd.DataFrame(
+                {
+                    "doc_id": [d for d, _ in res],
+                    "score": [s for _, s in res],
+                }
+            )
+
+        local = self._shard_rows(allt).groupBy("shard").applyInPandas(
+            per_shard, schema=RESULT_SCHEMA
+        )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_expanded_local(
+        self, query: str, synonyms: list[list[str]], k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Interactive twin of :meth:`search_expanded` over the
+        scored-posting cache."""
+        plain, groups = self._expansion_buckets(query, synonyms)
+        allt = sorted(set(plain) | {t for g in groups for t in g})
+        if not allt:
+            return []
+        import time as _t
+
+        t0 = _t.time()
+        entries = self._term_entries(allt)
+        present = [t for t in allt if entries[t][0] > 0]
+        if not present:
+            return []
+        decoded = self._decoded_runs(present, entries)
+        pset = set(present)
+        runs = [decoded[t] for t in plain if t in pset]
+        for g in groups:
+            members = [decoded[t] for t in g if t in pset]
+            if members:
+                runs.append(wand_mod.synmax_run(members))
+        out = wand_mod.topk_from_scored(runs, k, n_docs=self.n_docs)
+        self._log_query(query, k, len(out), (_t.time() - t0) * 1000.0)
+        return out
+
     def search_boolean_local(
         self, query: str, k: int = 10
     ) -> list[tuple[int, float]]:

@@ -461,6 +461,26 @@ def boolean_topk_scored(
     return [(int(d), float(s)) for d, s in order[:k]]
 
 
+def synmax_run(
+    runs: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fold one synonym group's scored runs into a single pseudo-run
+    ``(docs asc unique, per-doc MAX addend)`` — the ``#syn`` group-max
+    law.  BM25 addends are strictly positive, so seeding the
+    accumulator with zeros and taking elementwise maxima is exact."""
+    runs = [(d, s) for d, s in runs if len(d)]
+    if not runs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    if len(runs) == 1:
+        return runs[0]
+    u = np.unique(np.concatenate([d for d, _ in runs]))
+    vals = np.zeros(len(u), dtype=np.float64)
+    for d, s in runs:
+        pos = np.searchsorted(u, d)
+        np.maximum.at(vals, pos, s)
+    return u, vals
+
+
 def intersect_topk_vec(
     term_runs: list[tuple[float, bytes]],
     avgdl: float,
