@@ -1638,6 +1638,22 @@ def _q_domain_stats(spark, sf):
     return textops.domain_stats(docs)
 
 
+def _q_facet_counts(spark, sf):
+    """Facet sidebar for the flagship query: every doc matching ANY of
+    the BM25 terms, counted per lang and per source value — one
+    semi-join + one stacked hash-agg for all facets (textops
+    .facet_counts).  Oracle: same match set + UNION ALL of the two
+    grouped counts."""
+    from tse_spark.operators import textops
+
+    tf = _tf_ws_cached(spark, sf)
+    matches = tf.filter(
+        F.col("term").isin(sorted(set(BM25_QUERY)))
+    ).select("doc_id")
+    docs = _t(spark, sf, "documents")
+    return textops.facet_counts(matches, docs, ["lang", "source"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_table": _q_tf_table,
@@ -1729,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
         "domain_stats": _q_domain_stats,
+        "facet_counts": _q_facet_counts,
         # rows-only engine path (no DuckDB equivalent; pytest-verified)
         "pages_bm25": _q_pages_bm25,
     }
@@ -3165,6 +3182,16 @@ def oracle_sql() -> dict[str, str]:
            round(avg(n_chars), 4) AS mean_chars,
            count(DISTINCT lang)::BIGINT AS n_langs
     FROM d GROUP BY 1"""
+    # facet sidebar: match set of the flagship terms, counts per facet
+    out["facet_counts"] = _TOK + """
+    , m AS (SELECT DISTINCT doc_id FROM tf
+            WHERE term IN ('data', 'join', 'spark')),
+    hit AS (SELECT d.lang, d.source FROM documents d JOIN m USING (doc_id))
+    SELECT 'lang' AS facet, lang AS value, count(*)::BIGINT AS n_docs
+    FROM hit GROUP BY 2
+    UNION ALL
+    SELECT 'source' AS facet, source AS value, count(*)::BIGINT AS n_docs
+    FROM hit GROUP BY 2"""
     pages_sql = _pages_bm25_oracle_sql()
     if pages_sql:
         out["pages_bm25"] = pages_sql

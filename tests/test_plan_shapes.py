@@ -61,3 +61,28 @@ def test_pack_sequences_never_sorts_globally(spark):
     # would serialize the whole corpus through one task)
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_facet_counts_is_one_agg_all_facets(spark):
+    d = _docs(spark).withColumn(
+        "lang", F.concat(F.lit("l"), (F.col("doc_id") % 2).cast("string"))
+    )
+    matches = d.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    out = textops.facet_counts(matches, d, ["lang", "source"])
+    plan = _plan(out)  # before execution: single (non-AQE-final) section
+    rows = {(r.facet, r.value): r.n_docs for r in out.collect()}
+    # 64 docs, every 3rd matches -> 22 hits; lang = doc_id%2 over
+    # multiples of 3 alternates, source = doc_id%3 == 0 -> all src0
+    assert rows[("source", "src0")] == 22
+    assert rows[("lang", "l0")] + rows[("lang", "l1")] == 22
+    # ONE hash aggregate over the stacked (facet, value) pairs — never
+    # one job/exchange per facet column
+    assert plan.count("Exchange hashpartitioning(facet") == 1
+
+
+def test_facet_counts_rejects_injection(spark):
+    d = _docs(spark)
+    import pytest
+
+    with pytest.raises(ValueError):
+        textops.facet_counts(d.select("doc_id"), d, ["lang, text"])

@@ -610,3 +610,40 @@ def domain_stats(docs: DataFrame) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("mean_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+def facet_counts(
+    matches: DataFrame, docs: DataFrame, facets: list[str]
+) -> DataFrame:
+    """Search-result facets: for the docs in ``matches`` (a doc_id
+    relation — every doc matching the query, not just the served page),
+    count hits per value of each facet column — the refinement sidebar
+    a search UI renders ("lang: en (512) · de (77) …", reference
+    TSESearch renders a flat list; facets are the standard extension).
+
+    Returns (facet string, value string, n_docs long), one row per
+    observed (facet, value).
+
+    Scale shape: ONE semi-join on doc_id restricts the docs scan to the
+    match set (Catalyst/AQE broadcasts the match side when it is small,
+    shuffles otherwise), then a single ``stack`` unpivot feeds ONE hash
+    aggregate covering all facets at once — never one job per facet.
+    Map-side partial aggregation means a task ships at most one row per
+    (facet, value), so a dominant value (most web corpora are one
+    language) cannot skew the exchange; the result cardinality is the
+    facet vocabulary, never the corpus.
+    """
+    for f_ in facets:
+        if not f_.isidentifier():
+            raise ValueError(f"facet must be a column identifier: {f_!r}")
+    pairs = ", ".join(f"'{f_}', cast({f_} AS string)" for f_ in facets)
+    hit = docs.join(
+        matches.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    return (
+        hit.select(
+            F.expr(f"stack({len(facets)}, {pairs}) AS (facet, value)")
+        )
+        .groupBy("facet", "value")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
