@@ -1638,6 +1638,45 @@ def _q_domain_stats(spark, sf):
     return textops.domain_stats(docs)
 
 
+MLT_DOC = 42  # seed document for the more-like-this query
+FACET_LANG = "en"  # facet value the filtered-search query clicks
+
+
+def _q_bm25_filtered(spark, sf):
+    """Facet-filtered serving: the flagship BM25 query restricted to
+    lang='en' docs (the click on a facet_counts row).  Stats stay
+    corpus-wide; the filter semi-joins the score aggregate
+    (index_build.bm25_filtered_topk)."""
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(
+        tf.filter(F.col("term").isin(sorted(set(BM25_QUERY))))
+    )
+    n, avgdl = ib.corpus_stats(doclen)
+    allowed = _t(spark, sf, "documents").filter(
+        F.col("lang") == FACET_LANG
+    )
+    out = ib.bm25_filtered_topk(
+        spark, tf, doclen, dfreq, n, avgdl, BM25_QUERY, allowed, K
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_more_like_this(spark, sf):
+    """Related docs for seed doc 42: its top-5 tf-idf keywords (same
+    law as doc_keywords) run as a BM25 query, seed excluded — one plan,
+    keyword list stays cluster-side (index_build.more_like_this)."""
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    n, avgdl = ib.corpus_stats(doclen)
+    out = ib.more_like_this(spark, tf, doclen, n, avgdl, MLT_DOC, 5, K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_facet_counts(spark, sf):
     """Facet sidebar for the flagship query: every doc matching ANY of
     the BM25 terms, counted per lang and per source value — one
@@ -1746,6 +1785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_asof": _q_pages_asof,
         "domain_stats": _q_domain_stats,
         "facet_counts": _q_facet_counts,
+        "more_like_this": _q_more_like_this,
+        "bm25_filtered": _q_bm25_filtered,
         # rows-only engine path (no DuckDB equivalent; pytest-verified)
         "pages_bm25": _q_pages_bm25,
     }
@@ -3192,6 +3233,38 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL
     SELECT 'source' AS facet, source AS value, count(*)::BIGINT AS n_docs
     FROM hit GROUP BY 2"""
+    # facet-filtered BM25: corpus-wide stats, result set gated on lang
+    out["bm25_filtered"] = _TOK + bm25_3 + f"""
+    SELECT doc_id, round(sum(s), 4) AS score
+    FROM perterm
+    WHERE doc_id IN (SELECT doc_id FROM documents
+                     WHERE lang = '{FACET_LANG}')
+    GROUP BY doc_id
+    ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+    # more-like-this: doc_keywords law picks the seed's top-5 terms,
+    # then the standard BM25 law scores them with the seed excluded
+    out["more_like_this"] = _TOK + f"""
+    , kw AS (
+      SELECT term, df FROM (
+        SELECT tf.term, dfreq.df,
+               row_number() OVER (
+                 ORDER BY round(tf.tf * ln(stats.n_docs / dfreq.df), 4)
+                          DESC, tf.term) AS rank
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        WHERE tf.doc_id = {MLT_DOC}
+      ) WHERE rank <= 5),
+    perterm AS (
+      SELECT tf.doc_id,
+             ln(1 + (stats.n_docs - kw.df + 0.5) / (kw.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tf JOIN kw USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      WHERE tf.doc_id <> {MLT_DOC})
+    SELECT doc_id, round(sum(s), 4) AS score
+    FROM perterm GROUP BY doc_id
+    ORDER BY sum(s) DESC, doc_id LIMIT 10"""
     pages_sql = _pages_bm25_oracle_sql()
     if pages_sql:
         out["pages_bm25"] = pages_sql

@@ -467,6 +467,125 @@ def bm25_per_term(
     return per_term.select("doc_id", "term", "s")
 
 
+def bm25_filtered_topk(
+    spark: SparkSession,
+    tf: DataFrame,
+    doclen: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    allowed: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Facet-filtered search — the click on a :func:`facet_counts` row:
+    BM25 over ``terms`` restricted to the docs in ``allowed`` (a doc_id
+    relation, e.g. ``documents.filter(lang == 'en')``).  Corpus
+    statistics (df, avgdl) deliberately stay corpus-wide: the filter
+    narrows the RESULT SET, not the ranking law — how engines serve
+    facet-restricted queries without maintaining one index per facet.
+
+    Returns ``(doc_id, score)`` ordered score desc, doc_id asc.
+
+    Scale shape: the semi-join lands on the per-doc score aggregate
+    (cardinality ≤ matching docs, already pruned by the query terms),
+    never on the raw tf scan; AQE broadcasts whichever side is small;
+    the final order is TakeOrderedAndProject, no global sort."""
+    agg = bm25_scores(
+        spark, tf, doclen, dfreq, n_docs, avgdl, sorted(set(terms))
+    )
+    hit = agg.join(
+        allowed.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    return (
+        hit.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def more_like_this(
+    spark: SparkSession,
+    tf: DataFrame,
+    doclen: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    seed_doc_id: int,
+    n_terms: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Related-documents query ("more like this", the link next to every
+    result in a classic engine): the seed document's top ``n_terms``
+    tf-idf keywords (same rounded law and tie order as
+    :func:`tse_spark.operators.textops.doc_keywords`) become a BM25
+    query over the corpus, with the seed itself excluded.
+
+    Returns ``(doc_id, score)`` ordered score desc, doc_id asc.
+
+    Scale shape: the seed filter is a pushed-down point predicate on the
+    tf table; keyword df comes from ONE aggregate over tf pruned by a
+    broadcast semi-join to the seed's vocabulary (never the full
+    vocabulary shuffle); the keyword-ranking window covers a single
+    document's terms (bounded by its doclen, so the unpartitioned
+    window is a few hundred rows by construction); scoring then joins
+    the broadcast keyword list into the standard pruned-scan BM25 shape.
+    The keyword list never leaves the cluster — no driver collect
+    between the two halves, so the whole query composes into one plan.
+    """
+    sid = int(seed_doc_id)
+    seed = tf.filter(F.col("doc_id") == sid).select(
+        "term", F.col("tf").alias("seed_tf")
+    )
+    dfq = (
+        tf.join(F.broadcast(seed.select("term")), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    kscore = F.round(
+        F.col("seed_tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        4,
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("kscore"), F.asc("term"))
+    kw = (
+        seed.join(dfq, "term")
+        .select("term", "df", kscore.alias("kscore"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(n_terms))
+        .select("term", "df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    k1, b = oracle.BM25_K1, oracle.BM25_B
+    per = (
+        tf.join(F.broadcast(kw), "term")
+        .filter(F.col("doc_id") != sid)
+        .join(doclen, "doc_id")
+        .withColumn(
+            "s",
+            idf
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_expanded_topk(
     spark: SparkSession,
     tf: DataFrame,
