@@ -1677,6 +1677,36 @@ def _q_more_like_this(spark, sf):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _q_wand_filtered(spark, sf):
+    """bm25_filtered served from the compressed index: the lang=en
+    doc sets come from the facet sidecar (partition-pruned read of one
+    (facet, value) directory) and mask the scored posting runs inside
+    the same doc-range shard tasks (SearchEngine.search_filtered).
+    Must equal the declarative path row-for-row (shared oracle)."""
+    import json
+    import os
+
+    from tse_spark.operators import facets as fx
+
+    h = _ws_index(spark, sf)
+    fdir = os.path.join(h.out_dir, "facets")
+    if not os.path.exists(os.path.join(fdir, "_SUCCESS")):
+        with open(os.path.join(h.out_dir, "meta.json")) as f:
+            meta = json.load(f)
+        docs = _t(spark, sf, "documents").select(
+            "doc_id", "lang", "source"
+        )
+        fx.write_facet_index(
+            fx.build_facet_shards(
+                docs, ["lang", "source"], meta["shard_range"]
+            ),
+            h.out_dir,
+        )
+    rows = fx.load_facet_rows(spark, h.out_dir, "lang", FACET_LANG)
+    out = h.engine.search_filtered(" ".join(BM25_QUERY), rows, K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_facet_counts(spark, sf):
     """Facet sidebar for the flagship query: every doc matching ANY of
     the BM25 terms, counted per lang and per source value — one
@@ -1787,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": _q_facet_counts,
         "more_like_this": _q_more_like_this,
         "bm25_filtered": _q_bm25_filtered,
+        "wand_filtered": _q_wand_filtered,
         # rows-only engine path (no DuckDB equivalent; pytest-verified)
         "pages_bm25": _q_pages_bm25,
     }
@@ -3241,6 +3272,8 @@ def oracle_sql() -> dict[str, str]:
                      WHERE lang = '{FACET_LANG}')
     GROUP BY doc_id
     ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+    # the facet-sidecar-served twin shares the declarative oracle
+    out["wand_filtered"] = out["bm25_filtered"]
     # more-like-this: doc_keywords law picks the seed's top-5 terms,
     # then the standard BM25 law scores them with the seed excluded
     out["more_like_this"] = _TOK + f"""

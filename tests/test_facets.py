@@ -1,0 +1,131 @@
+"""Facet sidecar: build -> partition-pruned load -> filtered serving
+equality with the declarative path, plus a physical proof that a
+clicked facet reads ONLY its own (facet, value) directory."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tse_spark.operators import facets as fx
+from tse_spark.plans import pipeline as pl
+
+TERMS = ["spark", "join", "data"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # 120 docs over a tiny vocab; lang cycles 3 values, source cycles 2
+    rows = []
+    vocab = ["spark", "join", "data", "fast", "query", "scan"]
+    for i in range(120):
+        words = [vocab[(i + j) % len(vocab)] for j in range(3 + i % 5)]
+        rows.append(
+            (i, " ".join(words), ["en", "de", "es"][i % 3], f"s{i % 2}")
+        )
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+@pytest.fixture(scope="module")
+def handle(tmp_path_factory, spark, docs):
+    out = str(tmp_path_factory.mktemp("facet_idx"))
+    pipe = pl.IndexPipeline(
+        spark, out, tokenizer="ws", num_shards=5, block_size=16
+    )
+    h = pipe.run_from_docs(
+        docs.select("doc_id", "text"), input_key="facets", resume=False
+    )
+    with open(os.path.join(out, "meta.json")) as f:
+        meta = json.load(f)
+    fx.write_facet_index(
+        fx.build_facet_shards(docs, ["lang", "source"],
+                              meta["shard_range"]),
+        out,
+    )
+    return h
+
+
+def _declarative(spark, docs, lang, k=10):
+    from tse_spark.operators import index_build as ib2
+
+    tf = ib2.build_tf_ws(docs)
+    doclen = ib2.build_doclen(tf)
+    dfreq = ib2.build_df_stats(tf.filter(F.col("term").isin(TERMS)))
+    n, avgdl = ib2.corpus_stats(doclen)
+    allowed = docs.filter(F.col("lang") == lang)
+    return ib2.bm25_filtered_topk(
+        spark, tf, doclen, dfreq, n, avgdl, TERMS, allowed, k
+    )
+
+
+def test_filtered_serving_equals_declarative(spark, docs, handle):
+    rows = fx.load_facet_rows(spark, handle.out_dir, "lang", "de")
+    got = [
+        (r.doc_id, round(r.score, 6))
+        for r in handle.engine.search_filtered(" ".join(TERMS), rows, 10)
+        .collect()
+    ]
+    want = [
+        (r.doc_id, round(r.score, 6))
+        for r in _declarative(spark, docs, "de").collect()
+    ]
+    assert got == want and len(got) == 10
+    # every served doc really is lang=de (doc_id % 3 == 1)
+    assert all(d % 3 == 1 for d, _ in got)
+
+
+def test_missing_facet_value_serves_empty(spark, handle):
+    rows = fx.load_facet_rows(spark, handle.out_dir, "lang", "fr")
+    out = handle.engine.search_filtered(" ".join(TERMS), rows, 10)
+    assert out.count() == 0
+
+
+def test_facet_shards_follow_posting_shard_law(spark, docs, handle):
+    with open(os.path.join(handle.out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    rows = fx.load_facet_rows(spark, handle.out_dir, "lang", "en")
+    from tse_spark.operators import codec
+
+    for r in rows.collect():
+        d, tf, dl = codec.decode_all(bytes(r.blocks))
+        assert (d // meta["shard_range"] == r.shard).all()
+        assert (tf == 1).all() and (dl == 1).all()
+        assert r.df == len(d)
+
+
+# NOTE: keep this test LAST in the module — it corrupts the shared
+# module-scoped sidecar's non-probed directories on purpose.
+def test_facet_read_partition_prunes(spark, handle):
+    rows = fx.load_facet_rows(spark, handle.out_dir, "lang", "de")
+    plan = rows._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "facet" in plan
+    # physical proof: poison every OTHER (facet, value) directory; a
+    # pruned read never opens them
+    base = os.path.join(handle.out_dir, "facets")
+    poisoned = 0
+    for fdir in os.listdir(base):
+        full = os.path.join(base, fdir)
+        if not os.path.isdir(full) or fdir == "facet=lang":
+            continue
+        for vdir in os.listdir(full):
+            for name in os.listdir(os.path.join(full, vdir)):
+                if name.endswith(".parquet"):
+                    with open(os.path.join(full, vdir, name), "wb") as f:
+                        f.write(b"not parquet")
+                    poisoned += 1
+    for vdir in os.listdir(os.path.join(base, "facet=lang")):
+        if vdir == "value=de":
+            continue
+        for name in os.listdir(os.path.join(base, "facet=lang", vdir)):
+            if name.endswith(".parquet"):
+                with open(
+                    os.path.join(base, "facet=lang", vdir, name), "wb"
+                ) as f:
+                    f.write(b"not parquet")
+                poisoned += 1
+    assert poisoned > 0
+    again = fx.load_facet_rows(spark, handle.out_dir, "lang", "de")
+    assert again.count() > 0  # still readable: pruned scan

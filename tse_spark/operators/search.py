@@ -253,6 +253,79 @@ class SearchEngine:
         )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_filtered(
+        self, query: str, facet_rows: DataFrame, k: int = 10
+    ) -> DataFrame:
+        """Facet-restricted serving (the click on a facet sidebar row):
+        BM25 over the query terms with results limited to the doc-id
+        sets in ``facet_rows`` — one (shard, df, blocks) row per
+        doc-range shard from :func:`tse_spark.operators.facets
+        .load_facet_rows`, i.e. a partition-pruned scan of the facet
+        sidecar.  The ranking law is identical to :meth:`search`
+        (corpus-wide idf/avgdl): filtering narrows the RESULT SET, not
+        the statistics, so this path shares ``bm25_filtered``'s oracle.
+
+        The allowed set rides into each shard task as a pseudo-term row
+        (:data:`facets.ALLOW_TERM` — '#' can't tokenize), unioned into
+        the same pruned posting fetch: facet shards follow the posting
+        shards' doc-range law, so the mask and the postings meet in the
+        same task with no extra shuffle and no doc-id list ever visits
+        the driver.  A shard with no allowed docs simply has no mask
+        row and contributes nothing; per-shard top-k still composes
+        exactly because shards stay disjoint."""
+        from tse_spark.operators.facets import ALLOW_TERM
+
+        terms = self.query_terms(query)
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        idf = self._idf_map(terms)
+        if not idf:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        avgdl = self.avgdl
+        b_idf = self.spark.sparkContext.broadcast(idf)
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            allow, runs = [], []
+            for t, blob in zip(pdf["term"], pdf["blocks"]):
+                if t == ALLOW_TERM:
+                    allow.append(codec.decode_all(bytes(blob))[0])
+                    continue
+                i = b_idf.value.get(t)
+                if i is None:
+                    continue
+                d, tf, dl = codec.decode_all(bytes(blob))
+                runs.append(
+                    (d, wand_mod._score_arrays(i, tf, dl, avgdl))
+                )
+            if not allow or not runs:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            al = np.unique(np.concatenate(allow))
+            masked = []
+            for d, s in runs:
+                m = wand_mod._in_sorted(d, al)
+                if m.any():
+                    masked.append((d[m], s[m]))
+            res = wand_mod.topk_from_scored(masked, k)
+            return pd.DataFrame(
+                {
+                    "doc_id": [d for d, _ in res],
+                    "score": [s for _, s in res],
+                }
+            )
+
+        rows = self._shard_rows(sorted(idf)).unionByName(
+            facet_rows.select(
+                "shard",
+                F.lit(ALLOW_TERM).alias("term"),
+                "df",
+                "blocks",
+            )
+        )
+        local = rows.groupBy("shard").applyInPandas(
+            per_shard, schema=RESULT_SCHEMA
+        )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def _boolean_buckets(
         self, query: str
     ) -> tuple[list[str], list[str], list[str], bool]:
