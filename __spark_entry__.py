@@ -1677,12 +1677,9 @@ def _q_more_like_this(spark, sf):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
-def _q_wand_filtered(spark, sf):
-    """bm25_filtered served from the compressed index: the lang=en
-    doc sets come from the facet sidecar (partition-pruned read of one
-    (facet, value) directory) and mask the scored posting runs inside
-    the same doc-range shard tasks (SearchEngine.search_filtered).
-    Must equal the declarative path row-for-row (shared oracle)."""
+def _facet_sidecar(spark, sf):
+    """Ensure the (lang, source) facet sidecar exists beside the ws
+    index; returns the index handle (sidecar at handle.out_dir)."""
     import json
     import os
 
@@ -1702,9 +1699,33 @@ def _q_wand_filtered(spark, sf):
             ),
             h.out_dir,
         )
+    return h
+
+
+def _q_wand_filtered(spark, sf):
+    """bm25_filtered served from the compressed index: the lang=en
+    doc sets come from the facet sidecar (partition-pruned read of one
+    (facet, value) directory) and mask the scored posting runs inside
+    the same doc-range shard tasks (SearchEngine.search_filtered).
+    Must equal the declarative path row-for-row (shared oracle)."""
+    from tse_spark.operators import facets as fx
+
+    h = _facet_sidecar(spark, sf)
     rows = fx.load_facet_rows(spark, h.out_dir, "lang", FACET_LANG)
     out = h.engine.search_filtered(" ".join(BM25_QUERY), rows, K)
     return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_wand_facets(spark, sf):
+    """facet_counts served index-only: posting doc sets ∩ facet doc
+    sets per shard, partial counts summed across disjoint shards —
+    the documents table is never scanned (SearchEngine.facet_counts).
+    Shares facet_counts' oracle."""
+    from tse_spark.operators import facets as fx
+
+    h = _facet_sidecar(spark, sf)
+    rows = fx.load_facet_index(spark, h.out_dir)
+    return h.engine.facet_counts(" ".join(BM25_QUERY), rows)
 
 
 def _q_facet_counts(spark, sf):
@@ -1818,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "bm25_filtered": _q_bm25_filtered,
         "wand_filtered": _q_wand_filtered,
+        "wand_facets": _q_wand_facets,
         # rows-only engine path (no DuckDB equivalent; pytest-verified)
         "pages_bm25": _q_pages_bm25,
     }
@@ -3264,6 +3286,8 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL
     SELECT 'source' AS facet, source AS value, count(*)::BIGINT AS n_docs
     FROM hit GROUP BY 2"""
+    # index-only sidebar twin shares the declarative oracle
+    out["wand_facets"] = out["facet_counts"]
     # facet-filtered BM25: corpus-wide stats, result set gated on lang
     out["bm25_filtered"] = _TOK + bm25_3 + f"""
     SELECT doc_id, round(sum(s), 4) AS score

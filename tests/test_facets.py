@@ -83,6 +83,28 @@ def test_missing_facet_value_serves_empty(spark, handle):
     assert out.count() == 0
 
 
+def test_engine_facet_counts_equal_declarative(spark, docs, handle):
+    from tse_spark.operators import index_build as ib2
+    from tse_spark.operators import textops
+
+    rows = fx.load_facet_index(spark, handle.out_dir)
+    got = {
+        (r.facet, r.value): r.n_docs
+        for r in handle.engine.facet_counts(
+            " ".join(TERMS), rows
+        ).collect()
+    }
+    tf = ib2.build_tf_ws(docs)
+    matches = tf.filter(F.col("term").isin(TERMS)).select("doc_id")
+    want = {
+        (r.facet, r.value): r.n_docs
+        for r in textops.facet_counts(
+            matches, docs, ["lang", "source"]
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_facet_shards_follow_posting_shard_law(spark, docs, handle):
     with open(os.path.join(handle.out_dir, "meta.json")) as f:
         meta = json.load(f)

@@ -96,6 +96,13 @@ def write_facet_index(facet_shards: DataFrame, out_dir: str) -> str:
     return path
 
 
+def load_facet_index(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The whole sidecar (facet, value, shard, df, blocks) — for the
+    sidebar count across every facet; a single clicked refinement
+    should use :func:`load_facet_rows` (partition-pruned)."""
+    return spark.read.parquet(os.path.join(out_dir, "facets"))
+
+
 def load_facet_rows(
     spark: SparkSession, out_dir: str, facet: str, value: str
 ) -> DataFrame:

@@ -326,6 +326,79 @@ class SearchEngine:
         )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def facet_counts(
+        self, query: str, facet_rows: DataFrame
+    ) -> DataFrame:
+        """Index-only facet sidebar: per-(facet, value) counts of the
+        docs matching ANY query term, computed entirely from index
+        structures — the union of the query terms' posting doc sets
+        intersected with each facet value's doc set inside each
+        doc-range shard, partial counts summed across shards (disjoint
+        ranges make the sum exact).  The documents table is never
+        scanned at serving time; this is how engines keep the sidebar
+        as cheap as the ranking.  Shares the declarative
+        :func:`tse_spark.operators.textops.facet_counts` oracle.
+
+        ``facet_rows`` is a (facet, value, shard, blocks) relation —
+        pass the whole sidecar read (or one facet's directory) from
+        :mod:`tse_spark.operators.facets`."""
+        from tse_spark.operators.facets import ALLOW_TERM
+
+        out_schema = "facet string, value string, n_docs long"
+        terms = self.query_terms(query)
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            match_parts, frows = [], []
+            for t, fc, v, blob in zip(
+                pdf["term"], pdf["facet"], pdf["value"], pdf["blocks"]
+            ):
+                if t == ALLOW_TERM:
+                    frows.append((fc, v, bytes(blob)))
+                else:
+                    match_parts.append(
+                        codec.decode_all(bytes(blob))[0]
+                    )
+            if not match_parts or not frows:
+                return pd.DataFrame(
+                    {"facet": [], "value": [], "n_docs": []}
+                )
+            match = np.unique(np.concatenate(match_parts))
+            fs, vs, ns = [], [], []
+            for fc, v, blob in frows:
+                d = codec.decode_all(blob)[0]
+                n = int(wand_mod._in_sorted(d, match).sum())
+                if n > 0:
+                    fs.append(fc)
+                    vs.append(v)
+                    ns.append(n)
+            return pd.DataFrame(
+                {"facet": fs, "value": vs, "n_docs": ns}
+            )
+
+        rows = self._shard_rows(sorted(set(terms))).select(
+            "shard",
+            "term",
+            F.lit(None).cast("string").alias("facet"),
+            F.lit(None).cast("string").alias("value"),
+            "blocks",
+        ).unionByName(
+            facet_rows.select(
+                "shard",
+                F.lit(ALLOW_TERM).alias("term"),
+                F.col("facet").cast("string"),
+                F.col("value").cast("string"),
+                "blocks",
+            )
+        )
+        partial = rows.groupBy("shard").applyInPandas(
+            per_shard, schema=out_schema
+        )
+        return partial.groupBy("facet", "value").agg(
+            F.sum("n_docs").alias("n_docs")
+        )
+
     def _boolean_buckets(
         self, query: str
     ) -> tuple[list[str], list[str], list[str], bool]:
