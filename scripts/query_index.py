@@ -60,6 +60,18 @@ def main(argv: list[str] | None = None) -> int:
         "running queries",
     )
     ap.add_argument(
+        "--filter", metavar="FACET=VALUE", default=None,
+        help="restrict results to one facet value's doc set from the "
+        "facet sidecar (facets/ beside the index, see "
+        "operators.facets.build_facet_shards) — e.g. --filter lang=en; "
+        "scored with the per-shard distributed path",
+    )
+    ap.add_argument(
+        "--facets", action="store_true",
+        help="append index-only facet counts for each query's match "
+        "set (the whole sidecar) to the output line",
+    )
+    ap.add_argument(
         "--queries-file", default=None,
         help="UTF-8 file, one query per line (use for non-ASCII queries: "
         "spark-submit under a C locale mangles non-ASCII argv)",
@@ -116,7 +128,17 @@ def main(argv: list[str] | None = None) -> int:
             q = unquote_plus(q)
         t0 = time.time()
         fetch = args.k * (args.page + 1)
-        if args.boolean:
+        if args.filter:
+            from tse_spark.operators import facets as fx
+
+            fc, eq, fv = args.filter.partition("=")
+            if not eq or not fc or not fv:
+                ap.error("--filter expects FACET=VALUE, e.g. lang=en")
+            rows = handle.engine.search_filtered(
+                q, fx.load_facet_rows(spark, args.index, fc, fv), fetch
+            ).collect()
+            res = [[r["doc_id"], round(r["score"], 4)] for r in rows]
+        elif args.boolean:
             if args.distributed:
                 rows = handle.engine.search_boolean(q, fetch).collect()
                 res = [[r["doc_id"], round(r["score"], 4)] for r in rows]
@@ -145,6 +167,15 @@ def main(argv: list[str] | None = None) -> int:
             "ms": round((time.time() - t0) * 1000, 2),
             "results": res,
         }
+        if args.facets:
+            from tse_spark.operators import facets as fx
+
+            out["facets"] = {
+                f"{r['facet']}={r['value']}": r["n_docs"]
+                for r in handle.engine.facet_counts(
+                    q, fx.load_facet_index(spark, args.index)
+                ).collect()
+            }
         if args.suggest and len(res) < args.k:
             from tse_spark.operators import textops
 
