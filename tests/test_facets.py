@@ -118,6 +118,60 @@ def test_facet_shards_follow_posting_shard_law(spark, docs, handle):
         assert r.df == len(d)
 
 
+def test_append_facet_shards_equals_rebuild(
+    tmp_path, spark, docs, handle
+):
+    """base(docs<80) + O(delta) append(docs>=80) serves identically to
+    a full rebuild over all 120 docs — filtered results AND sidebar."""
+    import shutil
+
+    out = str(tmp_path / "sidecar_append")
+    os.makedirs(out)
+    shutil.copy(
+        os.path.join(handle.out_dir, "meta.json"),
+        os.path.join(out, "meta.json"),
+    )
+    with open(os.path.join(out, "meta.json")) as f:
+        shard_range = json.load(f)["shard_range"]
+    fx.write_facet_index(
+        fx.build_facet_shards(
+            docs.filter(F.col("doc_id") < 80), ["lang", "source"],
+            shard_range,
+        ),
+        out,
+    )
+    fx.append_facet_shards(
+        spark, out, docs.filter(F.col("doc_id") >= 80),
+        ["lang", "source"],
+    )
+    q = " ".join(TERMS)
+    base_rows = fx.load_facet_rows(spark, handle.out_dir, "lang", "de")
+    app_rows = fx.load_facet_rows(spark, out, "lang", "de")
+    want = [
+        (r.doc_id, round(r.score, 6))
+        for r in handle.engine.search_filtered(q, base_rows, 10)
+        .collect()
+    ]
+    got = [
+        (r.doc_id, round(r.score, 6))
+        for r in handle.engine.search_filtered(q, app_rows, 10).collect()
+    ]
+    assert got == want
+    counts_full = {
+        (r.facet, r.value): r.n_docs
+        for r in handle.engine.facet_counts(
+            q, fx.load_facet_index(spark, handle.out_dir)
+        ).collect()
+    }
+    counts_app = {
+        (r.facet, r.value): r.n_docs
+        for r in handle.engine.facet_counts(
+            q, fx.load_facet_index(spark, out)
+        ).collect()
+    }
+    assert counts_app == counts_full
+
+
 # NOTE: keep this test LAST in the module — it corrupts the shared
 # module-scoped sidecar's non-probed directories on purpose.
 def test_facet_read_partition_prunes(spark, handle):

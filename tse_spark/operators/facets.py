@@ -22,10 +22,10 @@ bounded by ``shard_range`` docs, so a facet value covering the whole
 corpus still encodes in per-shard pieces, never one giant row.
 
 Staleness: the facet index is derived from the same docs relation as a
-build; after ``append_pages`` it must be rebuilt (or extended with the
-delta docs' shards — same O(delta) argument as the posting append).
-``write_facet_index`` stamps the index fingerprint so a stale sidecar
-is detectable.
+build; after ``append_pages`` extend it with
+:func:`append_facet_shards` — O(delta) files in the same layout, sound
+because appended corpora always get fresh doc ids (disjoint sets), the
+same argument as the posting append.
 """
 
 from __future__ import annotations
@@ -93,6 +93,35 @@ def write_facet_index(facet_shards: DataFrame, out_dir: str) -> str:
     facet_shards.write.mode("overwrite").partitionBy(
         "facet", "value"
     ).parquet(path)
+    return path
+
+
+def append_facet_shards(
+    spark: SparkSession,
+    out_dir: str,
+    delta_docs: DataFrame,
+    facets: list[str],
+    shard_range: int | None = None,
+) -> str:
+    """O(delta) sidecar append: encode ONLY the delta docs' (facet,
+    value, shard) sets and add them as new files in the same
+    partitioned layout (parquet mode 'append') — existing doc sets are
+    never rewritten.  Sound because appended corpora get FRESH doc ids
+    above the old max (plans/append.py id law), so delta sets are
+    disjoint from every existing row: filtered serving already unions
+    multiple allow rows per shard (``search_filtered`` concatenates
+    them before the mask) and the sidebar sums disjoint partial counts
+    (``facet_counts`` groups over rows) — both multi-row-safe by
+    construction.  ``shard_range`` defaults to the index meta's value
+    so delta shards follow the base's doc-range law."""
+    if shard_range is None:
+        import json
+
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            shard_range = int(json.load(f)["shard_range"])
+    fdf = build_facet_shards(delta_docs, facets, int(shard_range))
+    path = os.path.join(out_dir, "facets")
+    fdf.write.mode("append").partitionBy("facet", "value").parquet(path)
     return path
 
 
