@@ -1728,6 +1728,64 @@ def _q_wand_facets(spark, sf):
     return h.engine.facet_counts(" ".join(BM25_QUERY), rows)
 
 
+def _q_bm25_fresh(spark, sf):
+    """Recency-fused ranking: top-50 BM25 candidates reranked by a
+    rational freshness decay (halflife 30 days over the deterministic
+    age law doc_id % 365) — the rerank-window fusion a news vertical
+    applies (textops.recency_boost); exp-free so DuckDB reproduces the
+    boosted doubles exactly."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import textops
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(
+        tf.filter(F.col("term").isin(sorted(set(BM25_QUERY))))
+    )
+    n, avgdl = ib.corpus_stats(doclen)
+    top = ib.bm25_topk(spark, tf, doclen, dfreq, n, avgdl, BM25_QUERY, 50)
+    cand = top.withColumn(
+        "age_days", (F.col("doc_id") % 365).cast("double")
+    )
+    return textops.recency_boost(cand, K, 30.0)
+
+
+def _q_search_dedup(spark, sf):
+    """Duplicate-collapsed serving: top-50 BM25 candidates → best
+    result per content fingerprint (md5 of the first 16 chars — a
+    deliberately coarse near-mirror law so the collapse bites on the
+    fixtures; production plugs SimHash) → global top-10
+    (textops.collapse_duplicates).  The fingerprint join broadcasts
+    the candidate list into the docs scan."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import textops
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(
+        tf.filter(F.col("term").isin(sorted(set(BM25_QUERY))))
+    )
+    n, avgdl = ib.corpus_stats(doclen)
+    top = ib.bm25_topk(spark, tf, doclen, dfreq, n, avgdl, BM25_QUERY, 50)
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.md5(F.substring("text", 1, 16)).alias("fp")
+    )
+    cand = docs.join(F.broadcast(top), "doc_id")
+    out = textops.collapse_duplicates(cand, K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_related_terms(spark, sf):
+    """'Searches related to spark join data': top-10 co-occurring
+    terms in the match set by within-match df, query terms excluded
+    (textops.related_terms — one semi-join + one hash agg)."""
+    from tse_spark.operators import textops
+
+    return textops.related_terms(
+        _tf_ws_cached(spark, sf), BM25_QUERY, K
+    )
+
+
 def _q_facet_counts(spark, sf):
     """Facet sidebar for the flagship query: every doc matching ANY of
     the BM25 terms, counted per lang and per source value — one
@@ -1840,6 +1898,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": _q_bm25_filtered,
         "wand_filtered": _q_wand_filtered,
         "wand_facets": _q_wand_facets,
+        "related_terms": _q_related_terms,
+        "bm25_fresh": _q_bm25_fresh,
+        "search_dedup": _q_search_dedup,
         # rows-only engine path (no DuckDB equivalent; pytest-verified)
         "pages_bm25": _q_pages_bm25,
     }
@@ -3288,6 +3349,42 @@ def oracle_sql() -> dict[str, str]:
     FROM hit GROUP BY 2"""
     # index-only sidebar twin shares the declarative oracle
     out["wand_facets"] = out["facet_counts"]
+    # recency fusion: top-50 candidates, rational decay, round-then-order
+    out["bm25_fresh"] = _TOK + bm25_3 + """
+    , cand AS (
+      SELECT doc_id, sum(s) AS score
+      FROM perterm GROUP BY doc_id
+      ORDER BY sum(s) DESC, doc_id LIMIT 50)
+    SELECT doc_id,
+           round(score * 30.0 / (30.0 + (doc_id % 365)), 4) AS score
+    FROM cand
+    ORDER BY round(score * 30.0 / (30.0 + (doc_id % 365)), 4) DESC,
+             doc_id
+    LIMIT 10"""
+    # duplicate-collapsed serving: best per fingerprint over top-50
+    out["search_dedup"] = _TOK + bm25_3 + """
+    , cand AS (
+      SELECT doc_id, sum(s) AS score
+      FROM perterm GROUP BY doc_id
+      ORDER BY sum(s) DESC, doc_id LIMIT 50),
+    fp AS (
+      SELECT c.doc_id, c.score, md5(substr(d.text, 1, 16)) AS f,
+             row_number() OVER (
+               PARTITION BY md5(substr(d.text, 1, 16))
+               ORDER BY c.score DESC, c.doc_id) AS rn
+      FROM cand c JOIN documents d USING (doc_id))
+    SELECT doc_id, round(score, 4) AS score FROM (
+      SELECT doc_id, score FROM fp WHERE rn = 1
+      ORDER BY score DESC, doc_id LIMIT 10)"""
+    # related searches: within-match df over the same match set
+    out["related_terms"] = _TOK + """
+    , m AS (SELECT DISTINCT doc_id FROM tf
+            WHERE term IN ('data', 'join', 'spark'))
+    SELECT term, count(*)::BIGINT AS n_docs
+    FROM tf JOIN m USING (doc_id)
+    WHERE term NOT IN ('data', 'join', 'spark')
+    GROUP BY term
+    ORDER BY n_docs DESC, term LIMIT 10"""
     # facet-filtered BM25: corpus-wide stats, result set gated on lang
     out["bm25_filtered"] = _TOK + bm25_3 + f"""
     SELECT doc_id, round(sum(s), 4) AS score

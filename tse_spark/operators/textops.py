@@ -375,6 +375,35 @@ def collapse_by_host(
     )
 
 
+def collapse_duplicates(
+    ranked: DataFrame,
+    k: int = 10,
+    fp_col: str = "fp",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-collapsed ranking: keep only the best result (score
+    desc, id asc) per content fingerprint, then the global top-k — the
+    rule that stops mirror copies of one page from filling the results.
+    Same rerank-window design as :func:`collapse_by_host`: the input is
+    a small ranked candidate list joined with its fingerprints, so the
+    window costs nothing; the corpus-level dedup lives in the build
+    (exact md5 / MinHash), this is the serving-time guard for
+    duplicates the build intentionally kept (e.g. site mirrors)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fp_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        ranked.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def render_results(
     topk: DataFrame,
     docs: DataFrame,
@@ -610,6 +639,62 @@ def domain_stats(docs: DataFrame) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("mean_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+def recency_boost(
+    ranked: DataFrame, k: int = 10, halflife_days: float = 30.0
+) -> DataFrame:
+    """Freshness-fused rerank of a candidate ranking (doc_id, score,
+    age_days): boosted = score · halflife/(halflife + age) — rational
+    decay, deliberately exp-free so every engine reproduces the doubles
+    bit-for-bit; rounded (4 dp) BEFORE ordering for a reproducible cut,
+    ties doc_id-asc.
+
+    Standard rerank-window design: fuse freshness over the top-N
+    candidates of the base ranking (N ≈ 5·k), never over the corpus —
+    at scale the candidate set is k·pages, so this is driver-cheap and
+    the base ranking's TakeOrderedAndProject stays the only heavy op."""
+    b = F.round(
+        F.col("score")
+        * F.lit(float(halflife_days))
+        / (F.lit(float(halflife_days)) + F.col("age_days")),
+        4,
+    )
+    return (
+        ranked.select("doc_id", b.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def related_terms(
+    tf: DataFrame, terms: list[str], k: int = 10
+) -> DataFrame:
+    """Query-refinement suggestions ("searches related to …"): the
+    terms co-occurring in the most documents of the query's match set,
+    query terms themselves excluded — ranked by within-match document
+    frequency (ties term-asc so the list is deterministic).
+
+    Returns (term, n_docs) — top-k by n_docs desc, term asc.
+
+    Scale shape: the match set is a pruned-IN scan of tf (pushed to the
+    parquet scan) + distinct; co-occurrence is ONE semi-join of tf
+    against it and ONE hash aggregate over the vocabulary of matching
+    docs — map-side partials absorb hot terms, and the final order is
+    TakeOrderedAndProject, never a global sort.  No self-join of tf and
+    no pair explosion: df-within-matches ranks refinements just as well
+    as PMI at serving time and costs one agg."""
+    terms = sorted(set(terms))
+    matches = (
+        tf.filter(F.col("term").isin(terms)).select("doc_id").distinct()
+    )
+    co = (
+        tf.join(matches, "doc_id", "left_semi")
+        .filter(~F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return co.orderBy(F.desc("n_docs"), F.asc("term")).limit(k)
 
 
 def facet_counts(
