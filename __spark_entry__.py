@@ -1728,6 +1728,16 @@ def _q_wand_facets(spark, sf):
     return h.engine.facet_counts(" ".join(BM25_QUERY), rows)
 
 
+def _q_wand_mlt(spark, sf):
+    """more_like_this served from index artifacts only: tf-checkpoint
+    point read + term_stats df pick the seed's keywords, WAND runs
+    them with the seed excluded (IndexHandle.more_like_this) — shares
+    the declarative path's oracle."""
+    h = _ws_index(spark, sf)
+    out = h.more_like_this(MLT_DOC, 5, K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_bm25_fresh(spark, sf):
     """Recency-fused ranking: top-50 BM25 candidates reranked by a
     rational freshness decay (halflife 30 days over the deterministic
@@ -1901,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_terms": _q_related_terms,
         "bm25_fresh": _q_bm25_fresh,
         "search_dedup": _q_search_dedup,
+        "wand_mlt": _q_wand_mlt,
         # rows-only engine path (no DuckDB equivalent; pytest-verified)
         "pages_bm25": _q_pages_bm25,
     }
@@ -3419,6 +3430,8 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, round(sum(s), 4) AS score
     FROM perterm GROUP BY doc_id
     ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+    # the index-served MLT twin shares the declarative oracle
+    out["wand_mlt"] = out["more_like_this"]
     pages_sql = _pages_bm25_oracle_sql()
     if pages_sql:
         out["pages_bm25"] = pages_sql

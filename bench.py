@@ -144,6 +144,17 @@ HEADLINE = [
     "events_hourly",
     "tpch_q1",
     "tpch_q3",
+    # round-3b serving additions (appended LAST on purpose: the battery
+    # stops on budget in list order, so these degrade first and the
+    # cross-round comparable members above keep their readings)
+    "facet_counts",
+    "wand_filtered",
+    "wand_facets",
+    "more_like_this",
+    "bm25_filtered",
+    "bm25_fresh",
+    "search_dedup",
+    "related_terms",
 ]
 
 RESULT: dict = {
@@ -497,6 +508,14 @@ def run_headline(spark) -> None:
         RESULT["pruned_index_build_s"] = round(time.time() - t0, 1)
     except Exception as e:
         RESULT["pruned_index_build_s"] = f"error: {e}"[:200]
+    # facet sidecar: a build-time artifact like the ANN indexes — the
+    # wand_filtered/wand_facets members time the pruned serve path
+    t0 = time.time()
+    try:
+        entrymod._facet_sidecar(spark, SF_DIR)
+        RESULT["facet_index_build_s"] = round(time.time() - t0, 1)
+    except Exception as e:
+        RESULT["facet_index_build_s"] = f"error: {e}"[:200]
     times: dict[str, float] = {}
     RESULT["queries"] = times
     for name in HEADLINE:

@@ -72,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
         "set (the whole sidecar) to the output line",
     )
     ap.add_argument(
+        "--mlt", type=int, default=None, metavar="DOC_ID",
+        help="more-like-this mode: print the top-k documents related "
+        "to DOC_ID, served from index artifacts only (tf checkpoint + "
+        "term_stats keywords -> WAND), instead of running queries",
+    )
+    ap.add_argument(
         "--queries-file", default=None,
         help="UTF-8 file, one query per line (use for non-ASCII queries: "
         "spark-submit under a C locale mangles non-ASCII argv)",
@@ -81,9 +87,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.queries_file:
         with open(args.queries_file, encoding="utf-8") as f:
             args.queries += [q.strip() for q in f if q.strip()]
-    if not args.queries and not args.complete:
+    if not args.queries and not args.complete and args.mlt is None:
         ap.error(
-            "no queries given (positional, --queries-file, or --complete)"
+            "no queries given (positional, --queries-file, --complete, "
+            "or --mlt)"
         )
 
     from tse_spark.plans import pipeline as pl
@@ -117,6 +124,22 @@ def main(argv: list[str] | None = None) -> int:
                 {
                     "prefix": args.complete,
                     "completions": [[r["term"], r["df"]] for r in rows],
+                },
+                ensure_ascii=False,
+            )
+        )
+    if args.mlt is not None:
+        t0 = time.time()
+        rows = handle.more_like_this(args.mlt, k=args.k).collect()
+        print(
+            json.dumps(
+                {
+                    "mlt": args.mlt,
+                    "k": args.k,
+                    "ms": round((time.time() - t0) * 1000, 2),
+                    "results": [
+                        [r["doc_id"], round(r["score"], 4)] for r in rows
+                    ],
                 },
                 ensure_ascii=False,
             )

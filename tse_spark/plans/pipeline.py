@@ -287,6 +287,53 @@ class IndexHandle:
             bound_scale=scale,
         )
 
+    def more_like_this(
+        self, doc_id: int, n_terms: int = 5, k: int = 10
+    ):
+        """Serving-side related docs ("more like this" next to a
+        result): the seed's top tf-idf keywords come from the index's
+        OWN artifacts — a pushed-down point read of the tf checkpoint
+        plus term_stats df — then the standard per-shard WAND search
+        runs them with the seed excluded.  Document text is never
+        touched.  The keyword law is identical to
+        :func:`tse_spark.operators.index_build.more_like_this`
+        (rounded tf·ln(n/df), term-asc ties), so the declarative and
+        served paths share one oracle.
+
+        The keyword list (``n_terms`` rows) is the only thing that
+        visits the driver — the same driver traffic as any typed
+        query.  Uses the base build's tf checkpoint; after appends,
+        seed docs from a delta batch are not yet visible here."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        sid = int(doc_id)
+        tf = (
+            self.spark.read.parquet(os.path.join(self.out_dir, "tf"))
+            .filter(F.col("doc_id") == sid)
+            .join(self.term_stats.select("term", "df"), "term")
+            .select("term", "tf", "df")
+        )
+        n = float(self.n_docs)
+        kw = sorted(
+            (
+                (-round(r["tf"] * math.log(n / r["df"]), 4), r["term"])
+                for r in tf.collect()
+            )
+        )[: int(n_terms)]
+        terms = [t for _, t in kw]
+        if not terms:
+            return self.spark.createDataFrame([], se.RESULT_SCHEMA)
+        out = self.engine.search(" ".join(terms), k + 1)
+        # re-order after the seed filter: limit() alone on a filtered
+        # result gives no order guarantee (tiny k+1-row input)
+        return (
+            out.filter(F.col("doc_id") != sid)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
 
 def load_index(
     spark: SparkSession, out_dir: str, dictionary: frozenset[bytes] = frozenset()
