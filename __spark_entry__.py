@@ -1698,6 +1698,8 @@ def _facet_sidecar(spark, sf):
                 docs, ["lang", "source"], meta["shard_range"]
             ),
             h.out_dir,
+            facets=["lang", "source"],
+            max_doc_id=meta["max_doc_id"],
         )
     return h
 

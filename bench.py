@@ -518,11 +518,19 @@ def run_headline(spark) -> None:
         RESULT["facet_index_build_s"] = f"error: {e}"[:200]
     times: dict[str, float] = {}
     RESULT["queries"] = times
+    # stop with enough budget left for the serving_pruned phase (its
+    # gate is left() > 100): the battery's tail members — the newest,
+    # by list order — degrade before a whole serving-evidence block
+    # does.  Below 30 battery members recorded, keep going down to the
+    # 15 s hard floor instead: a noisy run that ate the budget early
+    # should still record the cross-round-comparable members.
     for name in HEADLINE:
-        if left() < 15:
+        floor = 105.0 if len(times) >= 30 else 15.0
+        if left() < floor:
             RESULT["headline_note"] = (
                 f"budget: stopped before {name} "
-                f"({len(HEADLINE) - len(times)} queries skipped)"
+                f"({len(HEADLINE) - len(times)} queries skipped, "
+                f"floor {floor:.0f}s)"
             )
             break
         fn = qs[name]

@@ -170,6 +170,72 @@ def test_append_facet_shards_equals_rebuild(
         ).collect()
     }
     assert counts_app == counts_full
+    # replay safety: re-appending the same docs is a no-op (all ids are
+    # at or under the published high-water mark)
+    meta_before = json.load(open(os.path.join(out, fx.META_NAME)))
+    fx.append_facet_shards(
+        spark, out, docs.filter(F.col("doc_id") >= 80)
+    )
+    assert json.load(open(os.path.join(out, fx.META_NAME))) == meta_before
+    counts_replay = {
+        (r.facet, r.value): r.n_docs
+        for r in handle.engine.facet_counts(
+            q, fx.load_facet_index(spark, out)
+        ).collect()
+    }
+    assert counts_replay == counts_full
+
+
+def test_facet_delta_invisible_until_meta_publish(
+    tmp_path, spark, docs, handle
+):
+    """Crash-atomicity: a delta dir that landed on disk WITHOUT the
+    facets_meta.json republish (crash between the two steps) must stay
+    invisible to every loader."""
+    import shutil
+
+    out = str(tmp_path / "sidecar_crash")
+    os.makedirs(out)
+    shutil.copy(
+        os.path.join(handle.out_dir, "meta.json"),
+        os.path.join(out, "meta.json"),
+    )
+    with open(os.path.join(out, "meta.json")) as f:
+        shard_range = json.load(f)["shard_range"]
+    base = docs.filter(F.col("doc_id") < 80)
+    fx.write_facet_index(
+        fx.build_facet_shards(base, ["lang"], shard_range), out,
+        facets=["lang"], max_doc_id=79,
+    )
+    before = {
+        r.shard: r.df
+        for r in fx.load_facet_rows(spark, out, "lang", "de").collect()
+    }
+    # simulate the crash: delta files exist, meta was never replaced
+    fx.build_facet_shards(
+        docs.filter(F.col("doc_id") >= 80), ["lang"], shard_range
+    ).write.mode("overwrite").partitionBy("facet", "value").parquet(
+        os.path.join(out, "facets_delta_80")
+    )
+    after = {
+        r.shard: r.df
+        for r in fx.load_facet_rows(spark, out, "lang", "de").collect()
+    }
+    assert after == before  # torn append: previous sidecar fully intact
+    # recovery: the real append overwrites the torn dir and publishes
+    fx.append_facet_shards(
+        spark, out, docs.filter(F.col("doc_id") >= 80)
+    )
+    rebuilt = {}
+    for r in fx.load_facet_rows(spark, out, "lang", "de").collect():
+        rebuilt[r.shard] = rebuilt.get(r.shard, 0) + r.df
+    full = {
+        r.shard: r.df
+        for r in fx.build_facet_shards(docs, ["lang"], shard_range)
+        .filter((F.col("facet") == "lang") & (F.col("value") == "de"))
+        .collect()
+    }
+    assert rebuilt == full
 
 
 # NOTE: keep this test LAST in the module — it corrupts the shared

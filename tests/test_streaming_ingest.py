@@ -58,6 +58,19 @@ def ingested(dirs, spark):
         num_shards=7, block_size=32, num_partitions=4,
     )
     pipe.run_from_pages(base_dir, resume=False)
+    # facet sidecar over the base build: the ingest sink must keep it
+    # trailing the index O(delta) per batch (sync_facet_index)
+    from tse_spark.operators import facets as fx
+
+    with open(os.path.join(idx, "meta.json")) as f:
+        m = json.load(f)
+    docs0 = spark.read.parquet(os.path.join(idx, "docs"))
+    fx.write_facet_index(
+        fx.build_facet_shards(
+            docs0.select("doc_id", "lang"), ["lang"], m["shard_range"]
+        ),
+        idx, facets=["lang"], max_doc_id=m["max_doc_id"],
+    )
     pages = ingest.read_pages_stream(spark, stream_dir, max_files_per_trigger=1)
     q = ingest.append_stream(
         pages,
@@ -140,3 +153,33 @@ def test_stream_restart_is_noop(dirs, spark, ingested):
         after = json.load(f)
     assert after["n_docs"] == before["n_docs"]
     assert after["docs_dirs"] == before["docs_dirs"]
+
+
+def test_facet_sidecar_trails_ingest(dirs, spark, ingested):
+    """After the stream drains, the sidecar's high-water mark equals
+    the index's and per-language doc-set sizes match the docs table —
+    the per-batch sync kept the sidebar consistent with serving."""
+    from pyspark.sql import functions as F
+
+    from tse_spark.operators import facets as fx
+
+    idx = ingested
+    with open(os.path.join(idx, "meta.json")) as f:
+        m = json.load(f)
+    with open(os.path.join(idx, fx.META_NAME)) as f:
+        fmeta = json.load(f)
+    assert fmeta["max_doc_id"] == m["max_doc_id"]
+    assert len(fmeta["dirs"]) >= 2  # base + at least one delta
+    docs = spark.read.parquet(
+        *[os.path.join(idx, d) for d in m.get("docs_dirs", ["docs"])]
+    )
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got: dict = {}
+    for r in fx.load_facet_index(spark, idx).collect():
+        got[r["value"]] = got.get(r["value"], 0) + r["df"]
+    assert got == per_lang

@@ -15,21 +15,28 @@ column in a single scan of the docs relation; one shuffle on
 the posting build (``postings.shard_of`` law), so a filtered query's
 allowed set joins posting rows shard-for-shard with no re-shuffle at
 serving time.  Each group encodes with the same varint block codec as
-postings (tf = dl = 1 filler), and the parquet layout partitions by
-(facet, value) so a clicked facet reads exactly one directory —
-partition pruning, never a scan of other facets.  Group sizes are
-bounded by ``shard_range`` docs, so a facet value covering the whole
-corpus still encodes in per-shard pieces, never one giant row.
+postings (tf = dl = 1 filler), and each sidecar dir partitions its
+parquet by (facet, value) so a clicked facet reads exactly one
+directory per dir — partition pruning, never a scan of other facets.
+Group sizes are bounded by ``shard_range`` docs, so a facet value
+covering the whole corpus still encodes in per-shard pieces, never one
+giant row.
 
-Staleness: the facet index is derived from the same docs relation as a
-build; after ``append_pages`` extend it with
-:func:`append_facet_shards` — O(delta) files in the same layout, sound
-because appended corpora always get fresh doc ids (disjoint sets), the
-same argument as the posting append.
+Maintenance follows the index's own Iceberg-style contract
+(plans/append.py): delta doc sets land in deterministic
+``facets_delta_<base>`` dirs (overwrite mode — a retry rewrites the
+same bytes) and become VISIBLE only through the atomically-replaced
+``facets_meta.json``; a crash mid-append leaves the previous sidecar
+fully intact.  Delta soundness: appended corpora always get fresh doc
+ids above the recorded high-water mark, so delta sets are disjoint
+from every existing row — filtered serving unions multiple allow rows
+per shard before the mask and the sidebar sums disjoint partial
+counts, both multi-row-safe by construction.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -47,6 +54,8 @@ FACET_SHARD_SCHEMA = (
 # rows can't collide with a real vocabulary term (same trick as the
 # synonym groups' '#g<i>' labels)
 ALLOW_TERM = "#allow"
+
+META_NAME = "facets_meta.json"
 
 
 def build_facet_shards(
@@ -86,13 +95,65 @@ def build_facet_shards(
     )
 
 
-def write_facet_index(facet_shards: DataFrame, out_dir: str) -> str:
-    """Persist the facet sidecar under ``out_dir/facets``, partitioned
-    by (facet, value) so one clicked refinement reads one directory."""
+def _read_meta(out_dir: str) -> dict | None:
+    path = os.path.join(out_dir, META_NAME)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _publish_meta(out_dir: str, meta: dict) -> None:
+    """Atomic last-step publish (same tmp+replace idiom as append.py):
+    files written before this line are invisible until it lands."""
+    path = os.path.join(out_dir, META_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
+def write_facet_index(
+    facet_shards: DataFrame,
+    out_dir: str,
+    facets: list[str] | None = None,
+    max_doc_id: int | None = None,
+) -> str:
+    """Persist the facet sidecar under ``out_dir/facets`` (partitioned
+    by (facet, value)) and publish ``facets_meta.json`` — the high-water
+    mark ``max_doc_id`` lets :func:`sync_facet_index` extend the
+    sidecar O(delta) after index appends.  ``facets``/``max_doc_id``
+    default to what the shards themselves contain (one extra tiny agg).
+    """
     path = os.path.join(out_dir, "facets")
     facet_shards.write.mode("overwrite").partitionBy(
         "facet", "value"
     ).parquet(path)
+    spark = facet_shards.sparkSession
+    written = spark.read.parquet(path)
+    if facets is None:
+        facets = sorted(
+            r["facet"]
+            for r in written.select("facet").distinct().collect()
+        )
+    if max_doc_id is None:
+        # decode-free upper bound: last doc of the last shard is
+        # (shard+1)*range-1 >= max id; exact value matters only as a
+        # monotone high-water mark, but exactness is cheap here too
+        mx = 0
+        for r in written.select("blocks").collect():
+            d = codec.decode_all(bytes(r["blocks"]))[0]
+            if len(d):
+                mx = max(mx, int(d[-1]))
+        max_doc_id = mx
+    _publish_meta(
+        out_dir,
+        {
+            "dirs": ["facets"],
+            "facets": list(facets),
+            "max_doc_id": int(max_doc_id),
+        },
+    )
     return path
 
 
@@ -100,45 +161,104 @@ def append_facet_shards(
     spark: SparkSession,
     out_dir: str,
     delta_docs: DataFrame,
-    facets: list[str],
+    facets: list[str] | None = None,
     shard_range: int | None = None,
 ) -> str:
-    """O(delta) sidecar append: encode ONLY the delta docs' (facet,
-    value, shard) sets and add them as new files in the same
-    partitioned layout (parquet mode 'append') — existing doc sets are
-    never rewritten.  Sound because appended corpora get FRESH doc ids
-    above the old max (plans/append.py id law), so delta sets are
-    disjoint from every existing row: filtered serving already unions
-    multiple allow rows per shard (``search_filtered`` concatenates
-    them before the mask) and the sidebar sums disjoint partial counts
-    (``facet_counts`` groups over rows) — both multi-row-safe by
-    construction.  ``shard_range`` defaults to the index meta's value
-    so delta shards follow the base's doc-range law."""
+    """O(delta) sidecar append: encode ONLY the delta docs' sets into a
+    deterministic ``facets_delta_<base>`` dir (overwrite — retry-safe)
+    and republish ``facets_meta.json`` atomically.  ``facets`` defaults
+    to the sidecar meta's list (appending a different facet set would
+    silently skew sidebar counts — fail loudly instead);
+    ``shard_range`` defaults to the index meta's value so delta shards
+    follow the base's doc-range law.  An empty delta republishes the
+    same meta (idempotent no-op)."""
+    meta = _read_meta(out_dir)
+    if meta is None:
+        raise ValueError(
+            f"append_facet_shards: no {META_NAME} at {out_dir} — build "
+            "the sidecar with write_facet_index first"
+        )
+    if facets is None:
+        facets = meta["facets"]
+    elif sorted(facets) != sorted(meta["facets"]):
+        raise ValueError(
+            f"append_facet_shards: facet set {sorted(facets)} != sidecar's "
+            f"{sorted(meta['facets'])}; mixed-facet sidecars would skew "
+            "sidebar counts silently"
+        )
     if shard_range is None:
-        import json
-
         with open(os.path.join(out_dir, "meta.json")) as f:
             shard_range = int(json.load(f)["shard_range"])
-    fdf = build_facet_shards(delta_docs, facets, int(shard_range))
-    path = os.path.join(out_dir, "facets")
-    fdf.write.mode("append").partitionBy("facet", "value").parquet(path)
+    hwm = int(meta["max_doc_id"])
+    delta = delta_docs.filter(F.col("doc_id") > hwm)
+    new_max = delta.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    if new_max is None:
+        return os.path.join(out_dir, "facets")  # nothing new: no-op
+    dname = f"facets_delta_{hwm + 1}"
+    path = os.path.join(out_dir, dname)
+    build_facet_shards(delta, facets, int(shard_range)).write.mode(
+        "overwrite"
+    ).partitionBy("facet", "value").parquet(path)
+    dirs = list(meta["dirs"])
+    if dname not in dirs:
+        dirs.append(dname)
+    _publish_meta(
+        out_dir,
+        {"dirs": dirs, "facets": list(facets), "max_doc_id": int(new_max)},
+    )
     return path
+
+
+def sync_facet_index(spark: SparkSession, out_dir: str) -> str | None:
+    """Bring the sidecar up to date with the index's published docs
+    dirs: O(delta) — encodes only docs above the sidecar's high-water
+    mark.  Returns the delta dir (or None when there is no sidecar or
+    nothing new).  Replay-safe: a redelivered ingest batch finds no
+    docs above the mark and no-ops.  Requires an index whose meta lists
+    docs dirs (pages-built indexes; run_from_docs indexes don't persist
+    a docs table — build their sidecar from the source relation)."""
+    meta = _read_meta(out_dir)
+    if meta is None:
+        return None
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        imeta = json.load(f)
+    docs_dirs = imeta.get("docs_dirs", ["docs"])
+    paths = [os.path.join(out_dir, d) for d in docs_dirs]
+    if not all(os.path.exists(p) for p in paths):
+        raise ValueError(
+            "sync_facet_index: index at "
+            f"{out_dir} has no persisted docs dirs {docs_dirs} — "
+            "pass the source docs to append_facet_shards instead"
+        )
+    docs = spark.read.parquet(*paths)
+    return append_facet_shards(spark, out_dir, docs)
 
 
 def load_facet_index(spark: SparkSession, out_dir: str) -> DataFrame:
     """The whole sidecar (facet, value, shard, df, blocks) — for the
     sidebar count across every facet; a single clicked refinement
-    should use :func:`load_facet_rows` (partition-pruned)."""
-    return spark.read.parquet(os.path.join(out_dir, "facets"))
+    should use :func:`load_facet_rows` (partition-pruned).  Reads every
+    dir the meta publishes (base + deltas); pre-meta sidecars fall
+    back to the bare ``facets`` dir."""
+    meta = _read_meta(out_dir)
+    dirs = meta["dirs"] if meta else ["facets"]
+    # each dir is its own partitioned-parquet root; a multi-path read
+    # trips CONFLICTING_DIRECTORY_STRUCTURES, so union per-dir scans —
+    # partition pruning still applies within each scan
+    out = None
+    for d in dirs:
+        df = spark.read.parquet(os.path.join(out_dir, d))
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def load_facet_rows(
     spark: SparkSession, out_dir: str, facet: str, value: str
 ) -> DataFrame:
     """Partition-pruned read of one (facet, value) doc-set: the scan
-    touches only that directory (PartitionFilters in the plan)."""
+    touches only that directory within each published sidecar dir."""
     return (
-        spark.read.parquet(os.path.join(out_dir, "facets"))
+        load_facet_index(spark, out_dir)
         .filter((F.col("facet") == facet) & (F.col("value") == value))
         .select("shard", "df", "blocks")
     )

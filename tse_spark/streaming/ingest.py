@@ -69,6 +69,7 @@ def append_stream(
     parity mode the tests use; pass ``processing_time`` (e.g. "30
     seconds") with ``available_now=False`` for a long-running ingest.
     """
+    from tse_spark.operators import facets as fx
     from tse_spark.plans import append as ap
     from tse_spark.plans import compact as co
 
@@ -78,6 +79,10 @@ def append_stream(
         stage = os.path.join(staging_dir, f"batch_{batch_id:010d}")
         batch_df.write.mode("overwrite").parquet(stage)
         ap.append_pages(spark, out_dir, stage, dictionary=dictionary)
+        # keep the facet sidecar (if one exists) trailing the index by
+        # the same trigger interval: O(delta) above its high-water
+        # mark, replay-safe (a redelivered batch finds nothing new)
+        fx.sync_facet_index(spark, out_dir)
         if compact_every and (batch_id + 1) % compact_every == 0:
             co.compact_index(spark, out_dir, dictionary=dictionary)
 
