@@ -238,6 +238,82 @@ def test_facet_delta_invisible_until_meta_publish(
     assert rebuilt == full
 
 
+def test_compaction_reshard_detected_and_repaired(spark, tmp_path_factory):
+    """compact_index re-shards the corpus (shard_range grows), which
+    invalidates every facet-shard encoding.  The loaders and the append
+    path must fail LOUDLY on the stale sidecar, and sync_facet_index
+    must repair it with a full rebuild whose filtered serving matches
+    the pre-compaction results (compaction never changes rankings or
+    the facet doc-sets)."""
+    from tse_spark import fixtures
+    from tse_spark.operators import codec
+    from tse_spark.plans import append as ap
+    from tse_spark.plans import compact as cm
+
+    d = tmp_path_factory.mktemp("fcmp_data")
+    srcs = []
+    for name, (n, start) in {"a": (120, 0), "b": (90, 120)}.items():
+        p = str(d / name)
+        spark.createDataFrame(
+            fixtures.gen_pages(n, start=start)
+        ).write.mode("overwrite").parquet(p)
+        srcs.append(p)
+    out = str(tmp_path_factory.mktemp("fcmp_idx"))
+    pipe = pl.IndexPipeline(
+        spark, out, tokenizer="tse",
+        dictionary=fixtures.mini_dict_bytes(),
+        num_shards=4, block_size=32, num_partitions=4,
+    )
+    pipe.run_from_pages(srcs[0], resume=False)
+    ap.append_pages(spark, out, srcs[1], fixtures.mini_dict_bytes())
+    with open(os.path.join(out, "meta.json")) as f:
+        imeta = json.load(f)
+    docs_all = spark.read.parquet(
+        *[os.path.join(out, dd) for dd in imeta["docs_dirs"]]
+    )
+    fx.write_facet_index(
+        fx.build_facet_shards(docs_all, ["lang"], imeta["shard_range"]),
+        out,
+    )
+    h0 = pl.load_index(spark, out, fixtures.mini_dict_bytes())
+    rows0 = fx.load_facet_rows(spark, out, "lang", "en")
+    pre = [
+        (r.doc_id, round(r.score, 9))
+        for r in h0.engine.search_filtered("web search", rows0, 10)
+        .collect()
+    ]
+    assert pre
+
+    h1 = cm.compact_index(spark, out, fixtures.mini_dict_bytes())
+    with open(os.path.join(out, "meta.json")) as f:
+        new_range = json.load(f)["shard_range"]
+    assert new_range != imeta["shard_range"]  # really re-sharded
+
+    # stale sidecar: every consumer fails loudly, none serves wrong data
+    with pytest.raises(ValueError, match="shard_range"):
+        fx.load_facet_index(spark, out)
+    with pytest.raises(ValueError, match="shard_range"):
+        fx.append_facet_shards(
+            spark, out, docs_all.filter(F.col("doc_id") < 0)
+        )
+
+    # sync falls through to the rebuild and repairs against the new law
+    rebuilt = fx.sync_facet_index(spark, out)
+    assert rebuilt is not None and "facets_base_v" in rebuilt
+    rows1 = fx.load_facet_rows(spark, out, "lang", "en")
+    for r in rows1.collect():
+        ids, _, _ = codec.decode_all(bytes(r.blocks))
+        assert (ids // new_range == r.shard).all()
+    post = [
+        (r.doc_id, round(r.score, 9))
+        for r in h1.engine.search_filtered("web search", rows1, 10)
+        .collect()
+    ]
+    assert post == pre
+    # a second sync with nothing new is a no-op
+    assert fx.sync_facet_index(spark, out) is None
+
+
 # NOTE: keep this test LAST in the module — it corrupts the shared
 # module-scoped sidecar's non-probed directories on purpose.
 def test_facet_read_partition_prunes(spark, handle):

@@ -169,7 +169,13 @@ def test_facet_sidecar_trails_ingest(dirs, spark, ingested):
     with open(os.path.join(idx, fx.META_NAME)) as f:
         fmeta = json.load(f)
     assert fmeta["max_doc_id"] == m["max_doc_id"]
-    assert len(fmeta["dirs"]) >= 2  # base + at least one delta
+    # compact_every=2 fired on the final batch and re-sharded the
+    # corpus; the same-batch sync must have REBUILT the sidecar against
+    # the new law (single base dir, shard_range matching the index) —
+    # a stale multi-dir sidecar here would mean filtered serving reads
+    # old-shard encodings against re-sharded postings
+    assert fmeta["shard_range"] == m["shard_range"]
+    assert len(fmeta["dirs"]) == 1 and "facets_base_v" in fmeta["dirs"][0]
     docs = spark.read.parquet(
         *[os.path.join(idx, d) for d in m.get("docs_dirs", ["docs"])]
     )

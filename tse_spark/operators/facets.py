@@ -113,19 +113,34 @@ def _publish_meta(out_dir: str, meta: dict) -> None:
     os.replace(tmp, path)
 
 
+def _index_shard_range(out_dir: str) -> int | None:
+    path = os.path.join(out_dir, "meta.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(json.load(f)["shard_range"])
+
+
 def write_facet_index(
     facet_shards: DataFrame,
     out_dir: str,
     facets: list[str] | None = None,
     max_doc_id: int | None = None,
+    shard_range: int | None = None,
+    dirname: str = "facets",
 ) -> str:
-    """Persist the facet sidecar under ``out_dir/facets`` (partitioned
+    """Persist the facet sidecar under ``out_dir/<dirname>`` (partitioned
     by (facet, value)) and publish ``facets_meta.json`` — the high-water
     mark ``max_doc_id`` lets :func:`sync_facet_index` extend the
     sidecar O(delta) after index appends.  ``facets``/``max_doc_id``
-    default to what the shards themselves contain (one extra tiny agg).
+    default to what the shards themselves contain (one extra tiny agg);
+    ``shard_range`` records the doc-range law the shards were built
+    with (defaults to the index meta's — it MUST equal what the caller
+    passed to :func:`build_facet_shards`, or shard-wise posting/facet
+    intersections silently miss; the loaders validate it against the
+    live index so a re-sharding compaction is caught loudly).
     """
-    path = os.path.join(out_dir, "facets")
+    path = os.path.join(out_dir, dirname)
     facet_shards.write.mode("overwrite").partitionBy(
         "facet", "value"
     ).parquet(path)
@@ -146,14 +161,18 @@ def write_facet_index(
             if len(d):
                 mx = max(mx, int(d[-1]))
         max_doc_id = mx
-    _publish_meta(
-        out_dir,
-        {
-            "dirs": ["facets"],
-            "facets": list(facets),
-            "max_doc_id": int(max_doc_id),
-        },
-    )
+    if shard_range is None:
+        shard_range = _index_shard_range(out_dir)
+    prev = _read_meta(out_dir)
+    meta = {
+        "dirs": [dirname],
+        "facets": list(facets),
+        "max_doc_id": int(max_doc_id),
+        "version": int(prev.get("version", 0)) + 1 if prev else 1,
+    }
+    if shard_range is not None:
+        meta["shard_range"] = int(shard_range)
+    _publish_meta(out_dir, meta)
     return path
 
 
@@ -163,20 +182,34 @@ def append_facet_shards(
     delta_docs: DataFrame,
     facets: list[str] | None = None,
     shard_range: int | None = None,
-) -> str:
+) -> str | None:
     """O(delta) sidecar append: encode ONLY the delta docs' sets into a
     deterministic ``facets_delta_<base>`` dir (overwrite — retry-safe)
     and republish ``facets_meta.json`` atomically.  ``facets`` defaults
     to the sidecar meta's list (appending a different facet set would
     silently skew sidebar counts — fail loudly instead);
     ``shard_range`` defaults to the index meta's value so delta shards
-    follow the base's doc-range law.  An empty delta republishes the
-    same meta (idempotent no-op)."""
+    follow the base's doc-range law.  An empty delta returns ``None``
+    and leaves the meta untouched (idempotent no-op).  Raises when the sidecar's recorded
+    shard_range no longer matches the index's (a compaction re-sharded
+    the corpus): delta rows in the new law would intersect against base
+    rows in the old one — rebuild with :func:`rebuild_facet_index`."""
     meta = _read_meta(out_dir)
     if meta is None:
         raise ValueError(
             f"append_facet_shards: no {META_NAME} at {out_dir} — build "
             "the sidecar with write_facet_index first"
+        )
+    live_range = _index_shard_range(out_dir)
+    if (
+        live_range is not None
+        and meta.get("shard_range") is not None
+        and int(meta["shard_range"]) != live_range
+    ):
+        raise ValueError(
+            f"append_facet_shards: sidecar shard_range "
+            f"{meta['shard_range']} != index's {live_range} (the index "
+            "was compacted/re-sharded) — run rebuild_facet_index first"
         )
     if facets is None:
         facets = meta["facets"]
@@ -193,7 +226,7 @@ def append_facet_shards(
     delta = delta_docs.filter(F.col("doc_id") > hwm)
     new_max = delta.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
     if new_max is None:
-        return os.path.join(out_dir, "facets")  # nothing new: no-op
+        return None  # nothing new: no-op (meta already current)
     dname = f"facets_delta_{hwm + 1}"
     path = os.path.join(out_dir, dname)
     build_facet_shards(delta, facets, int(shard_range)).write.mode(
@@ -202,24 +235,107 @@ def append_facet_shards(
     dirs = list(meta["dirs"])
     if dname not in dirs:
         dirs.append(dname)
+    new_meta = dict(meta)
+    new_meta.update(
+        {"dirs": dirs, "facets": list(facets), "max_doc_id": int(new_max)}
+    )
+    if live_range is not None and "shard_range" not in new_meta:
+        new_meta["shard_range"] = live_range  # upgrade pre-range metas
+    _publish_meta(out_dir, new_meta)
+    return path
+
+
+def rebuild_facet_index(
+    spark: SparkSession,
+    out_dir: str,
+    docs: DataFrame | None = None,
+    gc: bool = False,
+) -> str:
+    """Full rebuild of the sidecar against the index's CURRENT
+    shard_range — the repair step after ``compact_index`` re-sharded
+    the corpus (plans/compact.py).  Same contract as compaction:
+    writes a versioned ``facets_base_v{N}`` dir that stays invisible
+    until the atomic ``facets_meta.json`` replace; a crash before the
+    publish leaves the old (loudly-detectable-stale) sidecar files
+    intact, and a retry overwrites the same version dir.  ``docs``
+    defaults to the index's persisted docs dirs; pass the source
+    relation when the sidecar facets aren't docs-table columns.  Old
+    dirs are left for concurrent readers unless ``gc=True``."""
+    meta = _read_meta(out_dir)
+    if meta is None:
+        raise ValueError(
+            f"rebuild_facet_index: no {META_NAME} at {out_dir}"
+        )
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        imeta = json.load(f)
+    facets = list(meta["facets"])
+    if docs is None:
+        docs_dirs = imeta.get("docs_dirs", ["docs"])
+        paths = [os.path.join(out_dir, d) for d in docs_dirs]
+        if not all(os.path.exists(p) for p in paths):
+            raise ValueError(
+                f"rebuild_facet_index: index at {out_dir} has no "
+                f"persisted docs dirs {docs_dirs} — pass the source "
+                "docs relation explicitly"
+            )
+        docs = spark.read.parquet(*paths)
+    missing = [f_ for f_ in facets if f_ not in docs.columns]
+    if missing:
+        raise ValueError(
+            f"rebuild_facet_index: facet columns {missing} are not in "
+            "the docs relation — rebuild from the original source "
+            "relation (the docs table only persists its own columns)"
+        )
+    version = int(meta.get("version", 0)) + 1
+    dname = f"facets_base_v{version}"
+    shard_range = int(imeta["shard_range"])
+    build_facet_shards(docs, facets, shard_range).write.mode(
+        "overwrite"
+    ).partitionBy("facet", "value").parquet(os.path.join(out_dir, dname))
+    old_dirs = list(meta["dirs"])
     _publish_meta(
         out_dir,
-        {"dirs": dirs, "facets": list(facets), "max_doc_id": int(new_max)},
+        {
+            "dirs": [dname],
+            "facets": facets,
+            "max_doc_id": int(imeta["max_doc_id"]),
+            "shard_range": shard_range,
+            "version": version,
+        },
     )
-    return path
+    if gc:
+        import shutil
+
+        for d in old_dirs:
+            if d != dname:
+                shutil.rmtree(
+                    os.path.join(out_dir, d), ignore_errors=True
+                )
+    return os.path.join(out_dir, dname)
 
 
 def sync_facet_index(spark: SparkSession, out_dir: str) -> str | None:
     """Bring the sidecar up to date with the index's published docs
     dirs: O(delta) — encodes only docs above the sidecar's high-water
-    mark.  Returns the delta dir (or None when there is no sidecar or
-    nothing new).  Replay-safe: a redelivered ingest batch finds no
-    docs above the mark and no-ops.  Requires an index whose meta lists
-    docs dirs (pages-built indexes; run_from_docs indexes don't persist
-    a docs table — build their sidecar from the source relation)."""
+    mark — unless a compaction re-sharded the corpus since the last
+    sync, in which case it falls through to a full
+    :func:`rebuild_facet_index` (compaction is itself O(corpus), so
+    the rebuild doesn't change the maintenance cost class).  Returns
+    the written dir (or None when there is no sidecar or nothing new).
+    Replay-safe: a redelivered ingest batch finds no docs above the
+    mark and no-ops.  Requires an index whose meta lists docs dirs
+    (pages-built indexes; run_from_docs indexes don't persist a docs
+    table — build their sidecar from the source relation)."""
     meta = _read_meta(out_dir)
     if meta is None:
         return None
+    live_range = _index_shard_range(out_dir)
+    if (
+        live_range is not None
+        and meta.get("shard_range") is not None
+        and int(meta["shard_range"]) != live_range
+    ):
+        return rebuild_facet_index(spark, out_dir)
     with open(os.path.join(out_dir, "meta.json")) as f:
         imeta = json.load(f)
     docs_dirs = imeta.get("docs_dirs", ["docs"])
@@ -239,8 +355,21 @@ def load_facet_index(spark: SparkSession, out_dir: str) -> DataFrame:
     sidebar count across every facet; a single clicked refinement
     should use :func:`load_facet_rows` (partition-pruned).  Reads every
     dir the meta publishes (base + deltas); pre-meta sidecars fall
-    back to the bare ``facets`` dir."""
+    back to the bare ``facets`` dir.  Raises when the sidecar's
+    recorded shard_range no longer matches the index's (post-compaction
+    stale sidecar): shard-wise intersections against re-sharded
+    postings would be silently wrong — fail loudly instead and point
+    at the repair."""
     meta = _read_meta(out_dir)
+    if meta is not None and meta.get("shard_range") is not None:
+        live_range = _index_shard_range(out_dir)
+        if live_range is not None and int(meta["shard_range"]) != live_range:
+            raise ValueError(
+                f"facet sidecar at {out_dir} was built with shard_range "
+                f"{meta['shard_range']} but the index now uses "
+                f"{live_range} (compacted/re-sharded) — run "
+                "rebuild_facet_index (or sync_facet_index) to repair"
+            )
     dirs = meta["dirs"] if meta else ["facets"]
     # each dir is its own partitioned-parquet root; a multi-path read
     # trips CONFLICTING_DIRECTORY_STRUCTURES, so union per-dir scans —

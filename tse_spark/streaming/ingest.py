@@ -79,12 +79,14 @@ def append_stream(
         stage = os.path.join(staging_dir, f"batch_{batch_id:010d}")
         batch_df.write.mode("overwrite").parquet(stage)
         ap.append_pages(spark, out_dir, stage, dictionary=dictionary)
-        # keep the facet sidecar (if one exists) trailing the index by
-        # the same trigger interval: O(delta) above its high-water
-        # mark, replay-safe (a redelivered batch finds nothing new)
-        fx.sync_facet_index(spark, out_dir)
         if compact_every and (batch_id + 1) % compact_every == 0:
             co.compact_index(spark, out_dir, dictionary=dictionary)
+        # keep the facet sidecar (if one exists) trailing the index by
+        # the same trigger interval — AFTER any compaction, so a
+        # re-shard is repaired in the same batch (sync falls through to
+        # a rebuild); otherwise O(delta) above its high-water mark,
+        # replay-safe (a redelivered batch finds nothing new)
+        fx.sync_facet_index(spark, out_dir)
 
     w = (
         pages.writeStream.foreachBatch(_one_batch)
