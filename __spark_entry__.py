@@ -587,6 +587,85 @@ def _q_wand_pruned_topk(spark, sf):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _tomb_index(spark, sf, compacted: bool):
+    """Deletion-law indexes (plans/delete.py): a _ws_index sibling with
+    every doc_id % 7 == 3 tombstoned.  ``compacted=False`` serves with
+    the live tombstone mask (stale full-corpus stats — the documented
+    delete law); ``compacted=True`` runs compact_index so the deletes
+    are physically folded and stats are exact over the survivors.  Each
+    variant gets its OWN dir: they are different published states of an
+    index lifecycle, and the builders are idempotent across process
+    runs (a finished state short-circuits to load_index)."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    from tse_spark.plans import compact as cmod
+    from tse_spark.plans import delete as dmod
+    from tse_spark.plans import pipeline as pl
+
+    key = ("tombc:" if compacted else "tomb:") + sf
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = "tcidx" if compacted else "tidx"
+    out = f"/tmp/tse_ws_{tag}_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    meta_path = _os.path.join(out, "meta.json")
+    done = False
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            m = _json.load(f)
+        done = (
+            m.get("compact_version", 0) >= 1
+            if compacted
+            else bool(m.get("tombstones_dir"))
+        )
+    if done:
+        handle = pl.load_index(spark, out)
+    else:
+        pipe = pl.IndexPipeline(
+            spark, out, tokenizer="ws", num_shards=8, block_size=128
+        )
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        pipe.run_from_docs(docs, input_key="tomb:" + sf, resume=False)
+        if compacted:
+            # compaction folds deletes physically and needs the docs
+            # relation (dead-doc stat subtraction); run_from_docs
+            # indexes don't persist one, so persist it here
+            docs.write.mode("overwrite").parquet(
+                _os.path.join(out, "docs")
+            )
+        with open(meta_path) as f:
+            max_id = int(_json.load(f)["max_doc_id"])
+        handle = dmod.delete_docs(
+            spark, out, doc_ids=list(range(3, max_id + 1, 7))
+        )
+        if compacted:
+            handle = cmod.compact_index(spark, out)
+    _INDEX_CACHE[key] = handle
+    return handle
+
+
+def _q_wand_tombstoned(spark, sf):
+    """Serving with LIVE tombstones (docs deleted, not yet compacted):
+    every path masks doc_id % 7 == 3 while corpus stats stay the
+    full-corpus values — so the result is exactly the full BM25 ranking
+    with the deleted docs removed, which is what the oracle computes
+    (full-stats perterm scores, candidates filtered)."""
+    h = _tomb_index(spark, sf, compacted=False)
+    out = h.engine.search(" ".join(BM25_QUERY), K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_wand_delete_compacted(spark, sf):
+    """After compact_index folds the tombstones: postings re-encoded
+    without the deleted ids (surviving doc ids preserved) and
+    df/n_docs/avgdl exact over the survivors — the oracle recomputes
+    BM25 from scratch over the surviving documents only."""
+    h = _tomb_index(spark, sf, compacted=True)
+    out = h.engine.search(" ".join(BM25_QUERY), K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 # ----- rows-only (non-SQL-expressible) engine paths -----
 
 def _q_pages_bm25(spark, sf):
@@ -1902,6 +1981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_complete": _q_prefix_complete,
         "static_prune_topk": _q_static_prune_topk,
         "wand_pruned_topk": _q_wand_pruned_topk,
+        "wand_tombstoned": _q_wand_tombstoned,
+        "wand_delete_compacted": _q_wand_delete_compacted,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
         "domain_stats": _q_domain_stats,
@@ -3318,6 +3399,26 @@ def oracle_sql() -> dict[str, str]:
       WHERE kept.term IN ({_prune_terms}))
     SELECT doc_id, round(sum(s), 4) AS score
     FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT {K}"""
+    # LIVE tombstones (plans/delete.py): full-corpus stats, deleted
+    # candidates (doc_id % 7 == 3) masked before top-k — the documented
+    # stale-stats delete law
+    out["wand_tombstoned"] = _TOK + bm25_3 + f"""
+    SELECT doc_id, round(sum(s), 4) AS score
+    FROM perterm WHERE doc_id % 7 <> 3
+    GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT {K}"""
+    # after compact_index folds the deletes: stats recomputed from
+    # scratch over the SURVIVING documents only (ids preserved)
+    out["wand_delete_compacted"] = (
+        _TOK.replace(
+            "FROM documents",
+            "FROM documents WHERE doc_id % 7 <> 3",
+        )
+        + bm25_3
+        + f"""
+    SELECT doc_id, round(sum(s), 4) AS score
+    FROM perterm GROUP BY doc_id
+    ORDER BY sum(s) DESC, doc_id LIMIT {K}"""
+    )
     # overlap@10 pruned vs exhaustive — composed from the two oracles
     out["prune_recall"] = f"""
     WITH p AS ({out['static_prune_topk']}),

@@ -354,6 +354,7 @@ def reencode_shards(
     shard_range: int,
     block_size: int = codec.BLOCK_SIZE,
     merge_parallelism: int | None = None,
+    excluded: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Re-shard + re-encode an existing postings table (the compaction
     kernel, plans/compact.py): decode every (term, shard) row's blocks,
@@ -371,11 +372,22 @@ def reencode_shards(
     base + delta dirs) can fold into one new shard — then the shared
     (term, shard) sorted-merge re-encodes each group.  All vectorized:
     one batched decode and one batched encode per Arrow chunk.
+
+    ``excluded`` (sorted unique tombstoned doc ids, plans/delete.py) is
+    dropped during the decode pass, so deleted docs leave the postings
+    PHYSICALLY here — the compaction half of document deletion.  Terms
+    whose postings all belonged to deleted docs simply emit no runs
+    (they vanish from the re-encoded table and its term_stats).
     """
     partial_schema = (
         "term string, shard long, df long, cf long, "
         "max_score double, first_doc long, blocks binary"
     )
+    b_ex = None
+    if excluded is not None and len(excluded):
+        b_ex = postings.sparkSession.sparkContext.broadcast(
+            np.unique(np.asarray(excluded, dtype=np.int64))
+        )
 
     def split_map(it):
         for pdf in it:
@@ -389,6 +401,15 @@ def reencode_shards(
             if len(docs) == 0:
                 continue
             ridx = np.repeat(np.arange(len(pdf)), dfs)
+            if b_ex is not None:
+                ex = b_ex.value
+                pos = np.searchsorted(ex, docs)
+                pos[pos == len(ex)] = len(ex) - 1
+                keep = ex[pos] != docs
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                ridx = ridx[keep]
+                if len(docs) == 0:
+                    continue
             shards = docs // shard_range
             # docs ascend within each input row, so (row, new-shard)
             # runs are contiguous after this change-point split

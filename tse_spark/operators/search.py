@@ -89,6 +89,7 @@ class SearchEngine:
         avgdl: float,
         dictionary: frozenset[bytes] = frozenset(),
         bound_scale: float = 1.0,
+        tombstones: "np.ndarray | None" = None,
     ):
         self.spark = spark
         self.postings = postings
@@ -96,6 +97,20 @@ class SearchEngine:
         self.n_docs = n_docs
         self.avgdl = avgdl
         self.dictionary = dictionary
+        # deleted doc ids (plans/delete.py): SORTED unique int64, masked
+        # out of every serving path before top-k selection.  Corpus
+        # stats stay the full-corpus values until compact_index folds
+        # the deletes physically (the documented stale-stats law — the
+        # same "filtering narrows the result set, not the statistics"
+        # contract as search_filtered).  Held driver-side + broadcast:
+        # the live tombstone set is assumed small relative to the
+        # corpus; large delete backlogs should be compacted away.
+        self._tomb: "np.ndarray | None" = None
+        if tombstones is not None and len(tombstones):
+            self._tomb = np.unique(
+                np.asarray(tombstones, dtype=np.int64)
+            )
+        self._tomb_bc = None
         # >= 1 after appends raise avgdl above the value the block
         # max-scores were encoded with (see wand.Cursor docstring)
         self.bound_scale = bound_scale
@@ -121,6 +136,15 @@ class SearchEngine:
         # Q13 (reference Query.cpp:233-261 appends a timestamped query
         # line): JSONL query log, enabled by setting a path
         self.query_log_path: str | None = None
+
+    def _tomb_broadcast(self):
+        """Lazy one-time broadcast of the tombstone array for the
+        per-shard UDF paths (None when the index has no deletes)."""
+        if self._tomb is None:
+            return None
+        if self._tomb_bc is None:
+            self._tomb_bc = self.spark.sparkContext.broadcast(self._tomb)
+        return self._tomb_bc
 
     def _log_query(self, query: str, k: int, n: int, ms: float) -> None:
         if not self.query_log_path:
@@ -225,9 +249,11 @@ class SearchEngine:
         avgdl = self.avgdl
         bscale = self.bound_scale
         b_idf = self.spark.sparkContext.broadcast(idf)
+        b_tomb = self._tomb_broadcast()
         n_terms = len(idf)
 
         def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            ex = b_tomb.value if b_tomb is not None else None
             runs = [
                 (b_idf.value[t], bytes(b))
                 for t, b in zip(pdf["term"], pdf["blocks"])
@@ -236,10 +262,10 @@ class SearchEngine:
             if conjunctive:
                 if len(runs) < n_terms:
                     return pd.DataFrame({"doc_id": [], "score": []})
-                res = wand_mod.intersect_topk_vec(runs, avgdl, k)
+                res = wand_mod.intersect_topk_vec(runs, avgdl, k, ex)
             else:
                 res = wand_mod.blockmax_topk_local(
-                    runs, avgdl, k, bound_scale=bscale
+                    runs, avgdl, k, bound_scale=bscale, excluded=ex
                 )
             return pd.DataFrame(
                 {
@@ -283,6 +309,7 @@ class SearchEngine:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         avgdl = self.avgdl
         b_idf = self.spark.sparkContext.broadcast(idf)
+        b_tomb = self._tomb_broadcast()
 
         def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             allow, runs = [], []
@@ -300,6 +327,8 @@ class SearchEngine:
             if not allow or not runs:
                 return pd.DataFrame({"doc_id": [], "score": []})
             al = np.unique(np.concatenate(allow))
+            if b_tomb is not None:
+                al = al[~wand_mod._in_sorted(al, b_tomb.value)]
             masked = []
             for d, s in runs:
                 m = wand_mod._in_sorted(d, al)
@@ -348,6 +377,7 @@ class SearchEngine:
         terms = self.query_terms(query)
         if not terms:
             return self.spark.createDataFrame([], out_schema)
+        b_tomb = self._tomb_broadcast()
 
         def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             match_parts, frows = [], []
@@ -365,6 +395,8 @@ class SearchEngine:
                     {"facet": [], "value": [], "n_docs": []}
                 )
             match = np.unique(np.concatenate(match_parts))
+            if b_tomb is not None:
+                match = match[~wand_mod._in_sorted(match, b_tomb.value)]
             fs, vs, ns = [], [], []
             for fc, v, blob in frows:
                 d = codec.decode_all(blob)[0]
@@ -451,6 +483,7 @@ class SearchEngine:
         b_idf = sc.broadcast({t: idf[t] for t in scoring if t in idf})
         b_req = sc.broadcast(frozenset(req))
         b_exc = sc.broadcast(frozenset(t for t in exc if t in idf))
+        b_tomb = self._tomb_broadcast()
 
         def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             req_runs, opt_runs, exc_docs = [], [], []
@@ -467,6 +500,8 @@ class SearchEngine:
             if len(req_runs) < n_req:
                 # a required term has no postings in this doc range
                 return pd.DataFrame({"doc_id": [], "score": []})
+            if b_tomb is not None:
+                exc_docs.append(b_tomb.value)
             ex = (
                 np.unique(np.concatenate(exc_docs)) if exc_docs else None
             )
@@ -529,6 +564,7 @@ class SearchEngine:
         b_grp = sc.broadcast(
             {t: i for i, g in enumerate(groups) for t in g}
         )
+        b_tomb = self._tomb_broadcast()
 
         def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             plain_runs, grp_runs = [], {}
@@ -546,7 +582,10 @@ class SearchEngine:
             runs = plain_runs + [
                 wand_mod.synmax_run(rs) for rs in grp_runs.values()
             ]
-            res = wand_mod.topk_from_scored(runs, k)
+            res = wand_mod.topk_from_scored(
+                runs, k,
+                excluded=b_tomb.value if b_tomb is not None else None,
+            )
             return pd.DataFrame(
                 {
                     "doc_id": [d for d, _ in res],
@@ -658,7 +697,12 @@ class SearchEngine:
     ) -> dict[str, tuple]:
         """term -> (docs int32, scores float64) via the byte-budgeted
         LRU; a cache miss decodes the term's merged blob and scores it
-        ONCE with this engine's fixed (idf, avgdl)."""
+        ONCE with this engine's fixed (idf, avgdl).  Tombstoned docs are
+        dropped AT CACHE FILL, so every scored-cache consumer
+        (search_local, boolean/expanded local, intersect/synmax) serves
+        only surviving docs with zero per-query masking cost; the
+        engine's tombstone set is fixed for its lifetime (delete_docs
+        returns a fresh handle), so cached entries never go stale."""
         from tse_spark.operators import codec
 
         out: dict[str, tuple] = {}
@@ -666,6 +710,9 @@ class SearchEngine:
             arrs = self._decoded_cache.get(t)
             if arrs is None:
                 docs, tfs, dls = codec.decode_all(entries[t][1])
+                if self._tomb is not None and len(docs):
+                    m = ~wand_mod._in_sorted(docs, self._tomb)
+                    docs, tfs, dls = docs[m], tfs[m], dls[m]
                 if len(docs) == 0 or docs.max() < 2**31:
                     docs = docs.astype(np.int32, copy=False)
                 scores = wand_mod._score_arrays(

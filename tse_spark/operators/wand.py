@@ -228,8 +228,17 @@ def blockmax_topk_local(
     avgdl: float,
     k: int,
     bound_scale: float = 1.0,
+    excluded: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max pruned, numpy-vectorized top-k BM25 over one shard.
+
+    ``excluded`` (sorted unique doc ids — tombstones from
+    plans/delete.py) masks decoded postings BEFORE theta seeding and
+    final selection, so an excluded doc can neither appear in the
+    result nor inflate the pruning threshold past a surviving doc's
+    score.  Block max-scores keep covering deleted postings until
+    compaction re-encodes — still valid upper bounds for the masked
+    set, so pruning stays sound (merely a little conservative).
 
     Same skip metadata as :func:`wand_topk_local`, applied at BLOCK
     granularity with vectorized scoring — on a Python runtime the
@@ -264,6 +273,9 @@ def blockmax_topk_local(
     theta = float("-inf")
     seed_idf, seed_blocks, _, _ = runs[seed]
     s_docs, s_tfs, s_dls = codec.decode_all(seed_blocks)
+    if excluded is not None and len(excluded) and len(s_docs):
+        keep = ~_in_sorted(s_docs, excluded)
+        s_docs, s_tfs, s_dls = s_docs[keep], s_tfs[keep], s_dls[keep]
     if len(s_docs) >= k:
         s_scores = _score_arrays(seed_idf, s_tfs, s_dls, avgdl)
         theta = float(np.partition(s_scores, len(s_scores) - k)[len(s_scores) - k])
@@ -285,6 +297,9 @@ def blockmax_topk_local(
         if not keep:
             continue
         d, t, dl = codec.decode_blocks(blocks, keep)
+        if excluded is not None and len(excluded) and len(d):
+            m = ~_in_sorted(d, excluded)
+            d, t, dl = d[m], t[m], dl[m]
         doc_parts.append(d)
         score_parts.append(_score_arrays(idf, t, dl, avgdl))
     if not doc_parts:
@@ -310,6 +325,7 @@ def topk_from_scored(
     k: int,
     n_docs: int | None = None,
     dense_limit: int = 1 << 26,
+    excluded: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k BM25 from PRE-SCORED posting arrays ``[(docs, scores)]`` —
     the hot interactive path behind the engine's scored-posting cache.
@@ -327,7 +343,9 @@ def topk_from_scored(
     float64 accumulator; beyond that a single serving node shouldn't
     hold the corpus driver-local anyway — use the per-shard distributed
     path).  BM25 addends are strictly positive, so zero cells are
-    exactly the non-matching docs and are filtered before top-k."""
+    exactly the non-matching docs and are filtered before top-k.
+    ``excluded`` (sorted unique tombstoned ids) is masked out before
+    selection so a deleted doc can never displace a surviving one."""
     doc_parts = [d for d, s in runs if len(d)]
     score_parts = [s for d, s in runs if len(d)]
     if not doc_parts:
@@ -340,12 +358,17 @@ def topk_from_scored(
         and (len(docs) == 0 or int(docs.max()) < n_docs)
     ):
         agg = np.bincount(docs, weights=scores, minlength=n_docs)
+        if excluded is not None and len(excluded):
+            agg[excluded[excluded < n_docs]] = 0.0
         pos = np.flatnonzero(agg > 0.0)
         vals = agg[pos]
     else:
         uniq, inv = np.unique(docs, return_inverse=True)
         vals = np.bincount(inv, weights=scores)
         pos = uniq
+        if excluded is not None and len(excluded) and len(pos):
+            m = ~_in_sorted(pos, excluded)
+            pos, vals = pos[m], vals[m]
     if len(pos) > k:
         kth = np.partition(vals, len(vals) - k)[len(vals) - k]
         sel = vals >= kth  # keep ties at the k-th score
@@ -485,9 +508,12 @@ def intersect_topk_vec(
     term_runs: list[tuple[float, bytes]],
     avgdl: float,
     k: int,
+    excluded: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized conjunctive AND: intersect doc arrays term-by-term
-    (smallest first), then score only the surviving docs."""
+    (smallest first), then score only the surviving docs.  ``excluded``
+    (sorted unique tombstoned doc ids) is masked out of the
+    intersection before scoring."""
     if not term_runs:
         return []
     decoded = []
@@ -500,6 +526,10 @@ def intersect_topk_vec(
     common = decoded[0][1]
     for _, d, _, _ in decoded[1:]:
         common = common[np.isin(common, d, assume_unique=True)]
+        if len(common) == 0:
+            return []
+    if excluded is not None and len(excluded) and len(common):
+        common = common[~_in_sorted(common, excluded)]
         if len(common) == 0:
             return []
     total = np.zeros(len(common), dtype=np.float64)

@@ -175,6 +175,11 @@ def append_pages(
     n1 = n0 + n_delta
     meta["avgdl"] = (avgdl0 * n0 + float(row["sdl"] or 0.0)) / max(1, n1)
     meta["n_docs"] = n1
+    # exact token total (delete-compaction's avgdl law); legacy metas
+    # without it start from the float reconstruction
+    meta["total_dl"] = int(
+        meta.get("total_dl", round(avgdl0 * n0))
+    ) + int(row["sdl"] or 0)
     meta["max_doc_id"] = base + n_delta_docs - 1
     meta["enc_avgdl"] = enc_avgdl
     meta["shard_range"] = shard_range

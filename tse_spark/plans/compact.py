@@ -32,6 +32,15 @@ Rankings are invariant: compaction moves postings between shards but
 changes no tf/dl/df/n_docs/avgdl, and per-shard WAND composes exactly
 over any disjoint doc-range decomposition (pytest: scores identical
 before/after, and equal to a from-scratch rebuild).
+
+With live tombstones (plans/delete.py) compaction additionally folds
+the deletes physically — postings re-encode without the deleted ids,
+the docs table drops them, df/n_docs/avgdl recompute exactly — and the
+published index equals a from-scratch rebuild over the SURVIVORS
+(rank-identical by url; surviving doc ids are preserved, a rebuild
+would renumber).  Masked pre-compact serving uses full-corpus stats
+(the documented stale-stats law), so scores move slightly at the fold:
+delete -> compact is the moment the statistics catch up.
 """
 
 from __future__ import annotations
@@ -41,7 +50,7 @@ import math
 import os
 import shutil
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from tse_spark.operators import postings as po
 from tse_spark.plans import pipeline as pl
@@ -63,12 +72,39 @@ def compact_index(
     postings_dirs = meta.get("postings_dirs", ["postings"])
     avgdl = float(meta["avgdl"])
     enc_avgdl = float(meta.get("enc_avgdl", avgdl))
+    tomb_dir = meta.get("tombstones_dir")
     if (
         len(docs_dirs) == 1
         and len(postings_dirs) == 1
         and enc_avgdl == avgdl
+        and not tomb_dir
     ):
         return pl.load_index(spark, out_dir, dictionary)
+
+    # fold tombstones physically (plans/delete.py step 3): postings
+    # re-encode without the deleted ids, docs drop them, and the corpus
+    # stats become exact again.  Tokenizing ONLY the dead docs recovers
+    # their exact (doc count, token total) contribution — O(deleted)
+    # extra work on top of the O(corpus) re-encode compaction already
+    # does — so the published (n_docs, avgdl) equal a from-scratch
+    # rebuild over the survivors (exact integer arithmetic throughout:
+    # meta.total_dl minus the dead sum, divided as a rebuild would).
+    tomb_df = None
+    tomb_arr = None
+    if tomb_dir:
+        import numpy as np
+
+        tomb_df = spark.read.parquet(
+            os.path.join(out_dir, tomb_dir)
+        ).select("doc_id")
+        tomb_arr = np.unique(
+            np.array(
+                [r["doc_id"] for r in tomb_df.collect()], dtype=np.int64
+            )
+        )
+        if len(tomb_arr) == 0:
+            tomb_df = None
+            tomb_arr = None
 
     version = int(meta.get("compact_version", 0)) + 1
     num_shards = int(meta.get("num_shards", 32))
@@ -80,15 +116,48 @@ def compact_index(
     postings_out = f"postings_base_v{version}"
     stats_out = f"term_stats_base_v{version}"
 
-    spark.read.parquet(
+    all_docs = spark.read.parquet(
         *[os.path.join(out_dir, d) for d in docs_dirs]
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, docs_out))
+    )
+    live_docs = all_docs
+    if tomb_df is not None:
+        live_docs = all_docs.join(tomb_df, "doc_id", "left_anti")
+        # exact dead-doc stats via the SAME tokenize + doclen law as
+        # the build (pipeline.build_tf_for/dl_per_doc_for): docs with
+        # zero eligible tokens never counted toward n_docs/avgdl, so
+        # only dead docs WITH tokens subtract
+        dead_docs = all_docs.join(tomb_df, "doc_id", "semi")
+        b_dict = spark.sparkContext.broadcast(dictionary)
+        dead_tf, doc_major = pl.build_tf_for(
+            dead_docs, meta.get("tokenizer", "tse"), b_dict
+        )
+        drow = (
+            pl.dl_per_doc_for(dead_tf, doc_major)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dl").alias("sdl"),
+            )
+            .collect()[0]
+        )
+        n_dead = int(drow["n"])
+        dead_dl = int(drow["sdl"] or 0)
+        n0 = int(meta["n_docs"])
+        total0 = int(meta.get("total_dl", round(avgdl * n0)))
+        n_live = max(0, n0 - n_dead)
+        total_live = max(0, total0 - dead_dl)
+        meta["n_docs"] = n_live
+        meta["total_dl"] = total_live
+        avgdl = total_live / n_live if n_live else 0.0
+        meta["avgdl"] = avgdl
+    live_docs.write.mode("overwrite").parquet(
+        os.path.join(out_dir, docs_out)
+    )
 
     old_postings = spark.read.parquet(
         *[os.path.join(out_dir, d) for d in postings_dirs]
     )
     po.reencode_shards(
-        old_postings, avgdl, new_range, block_size
+        old_postings, avgdl, new_range, block_size, excluded=tomb_arr
     ).write.mode("overwrite").parquet(os.path.join(out_dir, postings_out))
 
     new_postings = spark.read.parquet(os.path.join(out_dir, postings_out))
@@ -105,9 +174,15 @@ def compact_index(
     meta["enc_avgdl"] = avgdl  # blocks re-encoded: bounds exact again
     meta["shard_range"] = new_range
     meta["compact_version"] = version
-    meta.setdefault("compactions", []).append(
-        {"version": version, "merged_dirs": old_dirs}
-    )
+    entry = {"version": version, "merged_dirs": old_dirs}
+    if tomb_arr is not None:
+        # tombstones are folded: clear them from the published meta and
+        # let the superseded dir join the unreferenced garbage
+        old_dirs.append(tomb_dir)
+        entry["folded_tombstones"] = int(len(tomb_arr))
+        meta.pop("tombstones_dir", None)
+        meta.pop("n_tombstones", None)
+    meta.setdefault("compactions", []).append(entry)
     # publish LAST: the atomic replace is the only step that makes the
     # compacted dirs visible (and the old ones unreferenced)
     tmp = meta_path + ".tmp"

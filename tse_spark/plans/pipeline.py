@@ -158,6 +158,7 @@ class IndexPipeline:
                 dl_per_doc.agg(
                     F.count(F.lit(1)).alias("n"),
                     F.avg("dl").alias("avgdl"),
+                    F.sum("dl").alias("sdl"),
                     F.max("doc_id").alias("mx"),
                 ).collect()[0]
             )
@@ -183,6 +184,11 @@ class IndexPipeline:
             meta = {
                 "n_docs": _n,
                 "avgdl": float(row["avgdl"] or 0.0),
+                # exact integer token total: lets delete-compaction
+                # recompute avgdl EXACTLY as a rebuild would
+                # ((total_dl - dead_dl) / n_live, both exact ints) —
+                # maintained by append_pages, consumed by compact_index
+                "total_dl": int(row["sdl"] or 0),
                 # frozen at first build; appends must reuse both (see
                 # plans/append.py): enc_avgdl is what the block
                 # max-scores were encoded with, shard_range is the
@@ -268,6 +274,7 @@ class IndexHandle:
     def __init__(
         self, spark, out_dir, postings, term_stats, n_docs, avgdl,
         dictionary, manifest, enc_avgdl: float | None = None,
+        tombstones=None,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -284,7 +291,7 @@ class IndexHandle:
             scale = avgdl / enc_avgdl
         self.engine = se.SearchEngine(
             spark, postings, term_stats, n_docs, avgdl, dictionary,
-            bound_scale=scale,
+            bound_scale=scale, tombstones=tombstones,
         )
 
     def more_like_this(
@@ -351,10 +358,26 @@ def load_index(
     stats = spark.read.parquet(
         os.path.join(out_dir, meta.get("term_stats_dir", "term_stats"))
     )
+    # live tombstones (plans/delete.py): small by contract — a large
+    # backlog should be folded away by compact_index.  Collected once
+    # per open; every serving path of the handle's engine masks them.
+    tomb = None
+    if meta.get("tombstones_dir"):
+        import numpy as _np
+
+        tomb = _np.array(
+            [
+                r["doc_id"]
+                for r in spark.read.parquet(
+                    os.path.join(out_dir, meta["tombstones_dir"])
+                ).collect()
+            ],
+            dtype=_np.int64,
+        )
     return IndexHandle(
         spark, out_dir, postings, stats,
         meta["n_docs"], meta["avgdl"], dictionary, cp.Manifest(out_dir),
-        enc_avgdl=meta.get("enc_avgdl"),
+        enc_avgdl=meta.get("enc_avgdl"), tombstones=tomb,
     )
 
 
