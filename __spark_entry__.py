@@ -618,6 +618,11 @@ def _tomb_index(spark, sf, compacted: bool):
             m.get("compact_version", 0) >= 1
             if compacted
             else bool(m.get("tombstones_dir"))
+            # wand_snapshot time-travels to v1 of this lifecycle, so a
+            # dir from before the snapshot log existed must rebuild
+            and _os.path.exists(
+                _os.path.join(out, "snapshots", "v1.json")
+            )
         )
     if done:
         handle = pl.load_index(spark, out)
@@ -653,6 +658,20 @@ def _q_wand_tombstoned(spark, sf):
     (full-stats perterm scores, candidates filtered)."""
     h = _tomb_index(spark, sf, compacted=False)
     out = h.engine.search(" ".join(BM25_QUERY), K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_wand_snapshot(spark, sf):
+    """Time-travel serving (plans/snapshots.py): the tombstoned index's
+    commit log holds v1 = the pre-delete build, and load_index_at
+    serves it exactly as it was published — so this query must equal
+    the FULL-corpus ranking (wand_topk's oracle) even though the
+    index's current state masks the deleted docs."""
+    from tse_spark.plans import snapshots as snmod
+
+    h = _tomb_index(spark, sf, compacted=False)
+    h1 = snmod.load_index_at(spark, h.out_dir, 1)
+    out = h1.engine.search(" ".join(BM25_QUERY), K)
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -1983,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_pruned_topk": _q_wand_pruned_topk,
         "wand_tombstoned": _q_wand_tombstoned,
         "wand_delete_compacted": _q_wand_delete_compacted,
+        "wand_snapshot": _q_wand_snapshot,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
         "domain_stats": _q_domain_stats,
@@ -3419,6 +3439,12 @@ def oracle_sql() -> dict[str, str]:
     FROM perterm GROUP BY doc_id
     ORDER BY sum(s) DESC, doc_id LIMIT {K}"""
     )
+    # time-travel read of the tombstoned index's v1 (pre-delete) state:
+    # must equal the full-corpus ranking exactly
+    out["wand_snapshot"] = _TOK + bm25_3 + f"""
+    SELECT doc_id, round(sum(s), 4) AS score
+    FROM perterm GROUP BY doc_id
+    ORDER BY sum(s) DESC, doc_id LIMIT {K}"""
     # overlap@10 pruned vs exhaustive — composed from the two oracles
     out["prune_recall"] = f"""
     WITH p AS ({out['static_prune_topk']}),

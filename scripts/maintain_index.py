@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Cluster entry point: index lifecycle maintenance — the operations a
+long-lived 10^12-doc index needs between builds.
+
+    python -m zipfile -c /tmp/tse_spark.zip tse_spark
+    spark-submit --py-files /tmp/tse_spark.zip scripts/maintain_index.py \
+        --index /data/tse_index snapshots
+    ... delete --urls-file takedown.txt
+    ... delete --doc-ids 17,23,99
+    ... compact
+    ... vacuum --keep 2 [--dry-run]
+
+Subcommands:
+  snapshots  print the commit log (snapshot id, op, n_docs, dirs)
+  delete     tombstone urls (newline file) and/or doc ids; O(delta)
+  compact    fold append deltas + tombstones into fresh base dirs
+  vacuum     expire old snapshots, remove dirs only they referenced
+
+Every mutating subcommand commits through the snapshot-stamped atomic
+meta publish (tse_spark/plans/snapshots.py), so each run appends one
+auditable entry to the index's commit log and `snapshots` shows it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _dictionary(path: str | None) -> frozenset[bytes]:
+    if not path:
+        return frozenset()
+    with open(path, "rb") as f:
+        return frozenset(
+            w.strip() for w in f.read().splitlines() if w.strip()
+        )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--index", required=True, help="existing index dir")
+    ap.add_argument(
+        "--dict", default=None,
+        help="dictionary file (needed by compact on FMM-tokenized indexes)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("snapshots")
+    d = sub.add_parser("delete")
+    d.add_argument(
+        "--urls-file", default=None,
+        help="newline-separated urls to tombstone",
+    )
+    d.add_argument(
+        "--doc-ids", default=None, help="comma-separated doc ids"
+    )
+    sub.add_parser("compact")
+    v = sub.add_parser("vacuum")
+    v.add_argument("--keep", type=int, default=2)
+    v.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args(argv)
+
+    from tse_spark.plans import snapshots as sn
+
+    if args.cmd == "snapshots":
+        for s in sn.list_snapshots(args.index):
+            print(
+                json.dumps(
+                    {
+                        "snapshot_id": s["snapshot_id"],
+                        "op": s.get("snapshot_op"),
+                        "n_docs": s.get("n_docs"),
+                        "n_tombstones": s.get("n_tombstones", 0),
+                        "postings_dirs": s.get(
+                            "postings_dirs", ["postings"]
+                        ),
+                    }
+                )
+            )
+        return 0
+    if args.cmd == "vacuum":
+        report = sn.vacuum_index(
+            args.index, keep=args.keep, dry_run=args.dry_run
+        )
+        print(json.dumps({"dry_run": args.dry_run, **report}))
+        return 0
+
+    from pyspark.sql import SparkSession
+
+    from tse_spark.session import tune_runtime
+
+    spark = tune_runtime(
+        SparkSession.builder.appName(
+            f"tse-index-{args.cmd}"
+        ).getOrCreate()
+    )
+    dictionary = _dictionary(args.dict)
+    if args.cmd == "delete":
+        from tse_spark.plans import delete as dmod
+
+        urls = None
+        if args.urls_file:
+            with open(args.urls_file) as f:
+                urls = [u.strip() for u in f if u.strip()]
+        ids = (
+            [int(x) for x in args.doc_ids.split(",") if x.strip()]
+            if args.doc_ids
+            else None
+        )
+        dmod.delete_docs(
+            spark, args.index, urls=urls, doc_ids=ids,
+            dictionary=dictionary,
+        )
+    elif args.cmd == "compact":
+        from tse_spark.plans import compact as cmod
+
+        cmod.compact_index(spark, args.index, dictionary)
+    with open(f"{args.index}/meta.json") as f:
+        meta = json.load(f)
+    print(
+        json.dumps(
+            {
+                "snapshot_id": meta.get("snapshot_id"),
+                "op": meta.get("snapshot_op"),
+                "n_docs": meta.get("n_docs"),
+                "n_tombstones": meta.get("n_tombstones", 0),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

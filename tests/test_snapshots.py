@@ -1,0 +1,129 @@
+"""Snapshots / time travel / vacuum (plans/snapshots.py): every
+maintenance op archives a numbered snapshot, load_index_at serves any
+retained state exactly as it was published, and vacuum_index expires
+old snapshots plus the artifact dirs only they referenced — without
+ever touching a retained state's files."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tse_spark import fixtures
+from tse_spark.plans import append as ap
+from tse_spark.plans import compact as cm
+from tse_spark.plans import delete as dl
+from tse_spark.plans import pipeline as pl
+from tse_spark.plans import snapshots as sn
+
+Q = "web search"
+
+
+@pytest.fixture(scope="module")
+def lifecycle(tmp_path_factory, spark):
+    """build (v1) -> append (v2) -> delete (v3) -> compact (v4), with
+    the serving truth recorded at each state as it was current."""
+    d = tmp_path_factory.mktemp("snap_data")
+    srcs = {}
+    for name, (n, start) in {"a": (150, 0), "b": (80, 150)}.items():
+        p = str(d / name)
+        spark.createDataFrame(
+            fixtures.gen_pages(n, start=start)
+        ).write.mode("overwrite").parquet(p)
+        srcs[name] = p
+    out = str(tmp_path_factory.mktemp("snap_idx"))
+    pipe = pl.IndexPipeline(
+        spark, out, tokenizer="tse",
+        dictionary=fixtures.mini_dict_bytes(),
+        num_shards=4, block_size=32, num_partitions=4,
+    )
+    truths = {}
+
+    def top(h, k=10):
+        h.engine.warm()
+        return [(doc, round(s, 9)) for doc, s in h.engine.search_local(Q, k)]
+
+    h = pipe.run_from_pages(srcs["a"], resume=False)
+    truths[1] = top(h)
+    h = ap.append_pages(spark, out, srcs["b"], fixtures.mini_dict_bytes())
+    truths[2] = top(h)
+    dead = [doc for doc, _ in truths[2][:2]]
+    h = dl.delete_docs(
+        spark, out, doc_ids=dead, dictionary=fixtures.mini_dict_bytes()
+    )
+    truths[3] = top(h)
+    h = cm.compact_index(spark, out, fixtures.mini_dict_bytes())
+    truths[4] = top(h)
+    return out, truths, dead
+
+
+def test_commit_log_records_every_op(lifecycle):
+    out, truths, _ = lifecycle
+    snaps = sn.list_snapshots(out)
+    assert [s["snapshot_id"] for s in snaps] == [1, 2, 3, 4]
+    assert [s["snapshot_op"] for s in snaps] == [
+        "build", "append", "delete", "compact",
+    ]
+    with open(os.path.join(out, "meta.json")) as f:
+        assert json.load(f)["snapshot_id"] == 4
+
+
+def test_time_travel_serves_each_state_exactly(spark, lifecycle):
+    out, truths, dead = lifecycle
+    for sid, want in truths.items():
+        h = sn.load_index_at(
+            spark, out, sid, fixtures.mini_dict_bytes()
+        )
+        h.engine.warm()
+        got = [
+            (doc, round(s, 9)) for doc, s in h.engine.search_local(Q, 10)
+        ]
+        assert got == want, f"snapshot v{sid} drifted"
+    # the deleted docs are visible at v2, masked at v3
+    assert set(dead) & {d for d, _ in truths[2]}
+    assert not set(dead) & {d for d, _ in truths[3]}
+
+
+def test_unknown_snapshot_raises(spark, lifecycle):
+    out, _, _ = lifecycle
+    with pytest.raises(ValueError, match="no snapshot v99"):
+        sn.load_index_at(spark, out, 99)
+
+
+def test_vacuum_dry_run_touches_nothing(spark, lifecycle):
+    out, truths, _ = lifecycle
+    report = sn.vacuum_index(out, keep=0, dry_run=True)
+    assert report["removed_dirs"] and report["expired_snapshots"]
+    # everything still loads
+    for sid in truths:
+        sn.load_index_at(spark, out, sid, fixtures.mini_dict_bytes())
+
+
+# NOTE: keep last in the module — vacuums the shared lifecycle index.
+def test_vacuum_expires_old_states_keeps_retained(spark, lifecycle):
+    out, truths, _ = lifecycle
+    report = sn.vacuum_index(out, keep=1)
+    assert report["expired_snapshots"] == [1, 2]
+    assert report["removed_dirs"]  # pre-compact artifact dirs gone
+    # current + the one retained snapshot still serve exactly
+    for sid in (3, 4):
+        h = sn.load_index_at(
+            spark, out, sid, fixtures.mini_dict_bytes()
+        )
+        h.engine.warm()
+        got = [
+            (doc, round(s, 9)) for doc, s in h.engine.search_local(Q, 10)
+        ]
+        assert got == truths[sid]
+    h = pl.load_index(spark, out, fixtures.mini_dict_bytes())
+    h.engine.warm()
+    assert [
+        (doc, round(s, 9)) for doc, s in h.engine.search_local(Q, 10)
+    ] == truths[4]
+    # expired snapshots now fail loudly (archive removed)
+    with pytest.raises(ValueError, match="no snapshot v1"):
+        sn.load_index_at(spark, out, 1)
+    # idempotent: a second vacuum finds nothing more to do
+    again = sn.vacuum_index(out, keep=1)
+    assert again == {"removed_dirs": [], "expired_snapshots": []}

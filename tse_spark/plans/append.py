@@ -207,10 +207,10 @@ def append_pages(
             st["fingerprint"] = f"appended:{sfp}"
     man.save()
 
-    # publish: the atomic meta replace is the ONLY step that makes any
-    # delta file visible to readers
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, meta_path)
+    # publish: the snapshot-stamped atomic meta replace
+    # (plans/snapshots.py) is the ONLY step that makes any delta file
+    # visible to readers — and it archives this append in the commit log
+    from tse_spark.plans import snapshots as sn
+
+    sn.publish_meta(out_dir, meta, op="append")
     return pl.load_index(spark, out_dir, dictionary)

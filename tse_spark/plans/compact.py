@@ -183,12 +183,13 @@ def compact_index(
         meta.pop("tombstones_dir", None)
         meta.pop("n_tombstones", None)
     meta.setdefault("compactions", []).append(entry)
-    # publish LAST: the atomic replace is the only step that makes the
-    # compacted dirs visible (and the old ones unreferenced)
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, meta_path)
+    # publish LAST: the snapshot-stamped atomic replace
+    # (plans/snapshots.py) is the only step that makes the compacted
+    # dirs visible (the old ones stay readable via their snapshots
+    # until vacuum_index expires them)
+    from tse_spark.plans import snapshots as sn
+
+    sn.publish_meta(out_dir, meta, op="compact")
 
     if gc:
         for d in old_dirs:

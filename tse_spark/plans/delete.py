@@ -59,11 +59,11 @@ def _load_meta(out_dir: str) -> dict:
 
 
 def _publish_meta(out_dir: str, meta: dict) -> None:
-    path = os.path.join(out_dir, "meta.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, path)
+    """Snapshot-stamped atomic commit (plans/snapshots.py) — kept as a
+    module-level indirection so tests can simulate a crash here."""
+    from tse_spark.plans import snapshots as sn
+
+    sn.publish_meta(out_dir, meta, op="delete")
 
 
 def load_tombstones(spark: SparkSession, out_dir: str) -> DataFrame:

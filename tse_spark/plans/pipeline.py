@@ -208,13 +208,12 @@ class IndexPipeline:
                 "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
             os.makedirs(self.out_dir, exist_ok=True)
-            # tmp + atomic replace (same contract as append.py): a crash
-            # mid-write must not leave a truncated meta.json that
-            # load_index / append_pages then fail to parse
-            tmp = meta_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(meta, f, indent=1)
-            os.replace(tmp, meta_path)
+            # snapshot-stamped atomic publish (plans/snapshots.py): a
+            # crash mid-write must not leave a truncated meta.json, and
+            # the build becomes snapshot v1 of the index's commit log
+            from tse_spark.plans import snapshots as sn
+
+            meta = sn.publish_meta(self.out_dir, meta, op="build")
         if fused_tf:
             # the stats action above materialized (and cached) tf
             man.stages["tf"]["seconds"] = round(time.time() - t0_tf, 3)
@@ -348,6 +347,18 @@ def load_index(
     """Open a previously built index without re-running any stage."""
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
+    return handle_from_meta(spark, out_dir, meta, dictionary)
+
+
+def handle_from_meta(
+    spark: SparkSession,
+    out_dir: str,
+    meta: dict,
+    dictionary: frozenset[bytes] = frozenset(),
+) -> IndexHandle:
+    """Open the index state one meta describes — the current meta.json
+    (load_index) or an archived one (plans/snapshots.load_index_at,
+    the time-travel read)."""
     # appended indexes list extra delta dirs in meta (Iceberg-style:
     # files become visible only through the atomically-replaced
     # meta.json, never by merely existing in a directory)

@@ -1,0 +1,189 @@
+"""Iceberg-style snapshots, time travel, and vacuum for the index.
+
+Every maintenance operation (build, append, delete, compact) publishes
+its state by atomically replacing ``meta.json`` — and because each of
+them writes its outputs into NEW versioned directories and never
+rewrites a referenced file, every superseded meta still describes a
+complete, readable index.  This module makes that history first-class:
+
+- :func:`publish_meta` is the ONE meta commit point all plans share.
+  It stamps a monotonically increasing ``snapshot_id`` + operation tag,
+  archives the full meta under ``snapshots/v{id}.json``, then performs
+  the atomic ``meta.json`` replace.  meta.json remains the commit: a
+  crash after the archive write but before the replace leaves an
+  unreferenced snapshot file that the retried operation overwrites.
+- :func:`load_index_at` opens the index AS OF a snapshot — the
+  time-travel read.  It serves from the directories that snapshot
+  referenced, which exist until vacuumed.
+- :func:`vacuum_index` is expire-snapshots + garbage collection: keep
+  the current meta plus the newest ``keep`` archived snapshots, delete
+  every index artifact directory referenced by nothing retained.
+  Only directories matching the index's own artifact naming law
+  (docs*/postings*/term_stats*/tombstones*) are candidates — stage
+  checkpoints (tf), manifests, and sidecars (facets*) are never
+  touched by this GC (facets has its own meta and rebuild path).
+
+At web scale this is the contract object stores need: writers never
+mutate referenced files, readers pin a snapshot, and GC is an explicit,
+auditable operation — exactly Iceberg's snapshot/expire model, modeled
+here with one JSON per snapshot instead of Avro manifest lists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+SNAP_DIR = "snapshots"
+
+# artifact dirs owned by the index meta (vacuum candidates); anything
+# else in out_dir (tf checkpoint, _manifest.json, facets sidecar dirs,
+# ANN tables) belongs to other metas/manifests and is out of scope
+_ARTIFACT_RE = re.compile(
+    r"^(docs|postings|term_stats|tombstones)(_.*)?$"
+)
+
+
+def _serving_dirs(meta: dict) -> set[str]:
+    """Dirs the ENGINE reads — what a time-travel load must find.  The
+    docs dirs are deliberately absent: run_from_docs indexes never
+    persist one, and serving doesn't touch it."""
+    out = set(meta.get("postings_dirs", ["postings"]))
+    out.add(meta.get("term_stats_dir", "term_stats"))
+    if meta.get("tombstones_dir"):
+        out.add(meta["tombstones_dir"])
+    return out
+
+
+def _referenced_dirs(meta: dict) -> set[str]:
+    """Everything a meta references (vacuum retention set) — serving
+    dirs plus the docs dirs maintenance ops (append's url anti-join,
+    compact's tombstone fold, facet rebuilds) read."""
+    return _serving_dirs(meta) | set(meta.get("docs_dirs", ["docs"]))
+
+
+def publish_meta(out_dir: str, meta: dict, op: str) -> dict:
+    """Commit ``meta`` as the index's current state: stamp the next
+    ``snapshot_id`` (+ ``snapshot_op``), archive a full copy under
+    ``snapshots/v{id}.json``, then atomically replace ``meta.json``.
+    Returns the stamped meta.  Retry-safe: a crashed publish re-runs
+    with the same id and overwrites the same archive file."""
+    prev_id = 0
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev_id = int(json.load(f).get("snapshot_id", 0))
+    meta = dict(meta)
+    meta["snapshot_id"] = prev_id + 1
+    meta["snapshot_op"] = op
+    snap_root = os.path.join(out_dir, SNAP_DIR)
+    os.makedirs(snap_root, exist_ok=True)
+    spath = os.path.join(snap_root, f"v{meta['snapshot_id']}.json")
+    tmp = spath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, spath)
+    # the COMMIT: readers switch states here and only here
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def list_snapshots(out_dir: str) -> list[dict]:
+    """All archived snapshots, oldest first: (snapshot_id, op, n_docs,
+    built/dir info) — the index's commit log."""
+    snap_root = os.path.join(out_dir, SNAP_DIR)
+    if not os.path.isdir(snap_root):
+        return []
+    out = []
+    for name in os.listdir(snap_root):
+        m = re.fullmatch(r"v(\d+)\.json", name)
+        if not m:
+            continue
+        with open(os.path.join(snap_root, name)) as f:
+            out.append(json.load(f))
+    return sorted(out, key=lambda s: s["snapshot_id"])
+
+
+def load_index_at(
+    spark,
+    out_dir: str,
+    snapshot_id: int,
+    dictionary: frozenset[bytes] = frozenset(),
+):
+    """Time travel: open the index AS OF ``snapshot_id``.  Raises with
+    a clear message when the snapshot was never archived (pre-snapshot
+    index) or its directories were vacuumed away."""
+    from tse_spark.plans import pipeline as pl
+
+    spath = os.path.join(out_dir, SNAP_DIR, f"v{int(snapshot_id)}.json")
+    if not os.path.exists(spath):
+        raise ValueError(
+            f"no snapshot v{snapshot_id} at {out_dir} — see "
+            "list_snapshots for the retained commit log"
+        )
+    with open(spath) as f:
+        meta = json.load(f)
+    missing = [
+        d
+        for d in _serving_dirs(meta)
+        if not os.path.exists(os.path.join(out_dir, d))
+    ]
+    if missing:
+        raise ValueError(
+            f"snapshot v{snapshot_id} references vacuumed dirs "
+            f"{sorted(missing)} — expired snapshots are not readable"
+        )
+    return pl.handle_from_meta(spark, out_dir, meta, dictionary)
+
+
+def vacuum_index(
+    out_dir: str, keep: int = 2, dry_run: bool = False
+) -> dict:
+    """Expire old snapshots and delete the artifact directories only
+    they referenced.  ``keep`` retains the newest N archived snapshots
+    IN ADDITION to the current meta (keep=0 keeps only the live state).
+    Returns {"removed_dirs": [...], "expired_snapshots": [...]} —
+    with ``dry_run=True`` it only reports.
+
+    Safe by construction: the retained set is computed from metas, the
+    candidate set is restricted to the index's own artifact naming law,
+    and the current meta's dirs are always retained — a concurrent
+    reader of a RETAINED snapshot never loses a file."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        current = json.load(f)
+    snaps = list_snapshots(out_dir)
+    cur_id = int(current.get("snapshot_id", 0))
+    retained = [s for s in snaps if s["snapshot_id"] > cur_id - 1 - keep]
+    expired = [
+        s
+        for s in snaps
+        if s["snapshot_id"] <= cur_id - 1 - keep
+        and s["snapshot_id"] != cur_id
+    ]
+    keep_dirs = _referenced_dirs(current)
+    for s in retained:
+        keep_dirs |= _referenced_dirs(s)
+    removed = []
+    for name in sorted(os.listdir(out_dir)):
+        full = os.path.join(out_dir, name)
+        if not os.path.isdir(full) or name == SNAP_DIR:
+            continue
+        if _ARTIFACT_RE.fullmatch(name) and name not in keep_dirs:
+            removed.append(name)
+            if not dry_run:
+                shutil.rmtree(full, ignore_errors=True)
+    expired_ids = [s["snapshot_id"] for s in expired]
+    if not dry_run:
+        for sid in expired_ids:
+            try:
+                os.remove(
+                    os.path.join(out_dir, SNAP_DIR, f"v{sid}.json")
+                )
+            except FileNotFoundError:
+                pass
+    return {"removed_dirs": removed, "expired_snapshots": expired_ids}
