@@ -36,6 +36,16 @@ BOOL_EXC = ["slow"]
 # synonym expansion: groups score by their best-matching member
 SYN_QUERY = "spark merge fast"
 SYN_GROUPS = [["merge", "sort"], ["fast", "quick"]]
+
+# batch retrieval: one index pass serving a whole query table
+BATCH_QUERIES = [
+    (0, "spark join"),
+    (1, "data query"),
+    (2, "spark fast scan"),
+    (3, "join data slow"),
+    (4, "merge sort"),
+]
+BATCH_K = 5
 SCAN_NEEDLE = "merge sort"
 SNIPPET_TERM = "spark"
 PAGES_QUERY = "搜索引擎"
@@ -659,6 +669,55 @@ def _q_wand_tombstoned(spark, sf):
     h = _tomb_index(spark, sf, compacted=False)
     out = h.engine.search(" ".join(BM25_QUERY), K)
     return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _batch_queries_df(spark):
+    return spark.createDataFrame(
+        BATCH_QUERIES, "query_id long, text string"
+    )
+
+
+def _q_batch_search(spark, sf):
+    """Batch retrieval (operators/batchsearch.py): the whole query
+    table served by ONE pruned pass over the compressed shards —
+    per-query scores identical to the interactive engine's (same
+    idf/avgdl law), so the exhaustive SQL BM25 is the shared oracle."""
+    from tse_spark.operators import batchsearch as bs
+
+    h = _ws_index(spark, sf)
+    return bs.batch_search_topk(
+        h.postings, h.term_stats, h.n_docs, h.avgdl,
+        _batch_queries_df(spark), BATCH_K,
+    )
+
+
+def _q_batch_metrics(spark, sf):
+    """Offline eval over the batch results: recall/MRR/NDCG@k per query
+    against conjunctive-match relevance sets (docs containing EVERY
+    query term — deterministic and SQL-expressible, so the metric math
+    itself is value-verified end to end)."""
+    from tse_spark.operators import batchsearch as bs
+    from tse_spark.operators import index_build as ib2
+
+    h = _ws_index(spark, sf)
+    queries = _batch_queries_df(spark)
+    results = bs.batch_search_topk(
+        h.postings, h.term_stats, h.n_docs, h.avgdl, queries, BATCH_K
+    )
+    qt = bs.tokenize_queries(queries)
+    n_terms = qt.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_terms")
+    )
+    tf = ib2.build_tf_ws(_t(spark, sf, "documents"))
+    qrels = (
+        tf.join(qt, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(n_terms, "query_id")
+        .filter(F.col("n_hit") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    return bs.retrieval_metrics(results, qrels, BATCH_K)
 
 
 def _q_wand_snapshot(spark, sf):
@@ -2003,6 +2062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_tombstoned": _q_wand_tombstoned,
         "wand_delete_compacted": _q_wand_delete_compacted,
         "wand_snapshot": _q_wand_snapshot,
+        "batch_search": _q_batch_search,
+        "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
         "domain_stats": _q_domain_stats,
@@ -3439,6 +3500,75 @@ def oracle_sql() -> dict[str, str]:
     FROM perterm GROUP BY doc_id
     ORDER BY sum(s) DESC, doc_id LIMIT {K}"""
     )
+    # batch retrieval: per-query exhaustive BM25 over a literal query
+    # table, window-ranked — one oracle covers the single-pass batch
+    # plan because its scores share the engine's idf/avgdl law
+    _bq_values = ", ".join(
+        f"({qid}, '{text}')" for qid, text in BATCH_QUERIES
+    )
+    _batch_core = _TOK + f"""
+    , q AS (SELECT * FROM (VALUES {_bq_values}) t(query_id, text)),
+    qt AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT query_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM q)
+      WHERE strlen(term) BETWEEN 2 AND 8),
+    perqd AS (
+      SELECT qt.query_id, tf.doc_id,
+             sum(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+               AS score
+      FROM tf
+      JOIN qt USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM perqd)
+    """
+    out["batch_search"] = _batch_core + f"""
+    SELECT query_id, doc_id, round(score, 4) AS score, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= {BATCH_K}
+    ORDER BY query_id, rank"""
+    # offline eval of the batch results against conjunctive-match qrels
+    out["batch_metrics"] = _batch_core + f"""
+    , results AS (
+      SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {BATCH_K}),
+    nq AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM qt GROUP BY 1),
+    qrels AS (
+      SELECT qt.query_id, tf.doc_id
+      FROM tf JOIN qt USING (term)
+      GROUP BY qt.query_id, tf.doc_id
+      HAVING count(*) = (SELECT n_terms FROM nq
+                         WHERE nq.query_id = qt.query_id)),
+    reln AS (SELECT query_id, count(*)::BIGINT AS n_rel
+             FROM qrels GROUP BY 1),
+    hits AS (
+      SELECT r.query_id, count(*)::BIGINT AS n_hit,
+             min(r.rank) AS first_rank,
+             sum(1.0 / (ln(r.rank + 1.0) / ln(2.0))) AS dcg
+      FROM results r JOIN qrels USING (query_id, doc_id)
+      GROUP BY 1),
+    ideal AS (
+      SELECT query_id, n_rel,
+             (SELECT sum(1.0 / (ln(i + 1.0) / ln(2.0)))
+              FROM unnest(range(1, least(n_rel, {BATCH_K})::BIGINT + 1))
+                   t(i)) AS idcg
+      FROM reln)
+    SELECT ideal.query_id, ideal.n_rel,
+           coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
+           round(coalesce(hits.n_hit, 0) / ideal.n_rel::DOUBLE, 6)
+             AS recall_at_k,
+           round(coalesce(1.0 / hits.first_rank, 0.0), 6) AS mrr,
+           round(coalesce(hits.dcg / ideal.idcg, 0.0), 6) AS ndcg_at_k
+    FROM ideal LEFT JOIN hits USING (query_id)
+    ORDER BY query_id"""
     # time-travel read of the tombstoned index's v1 (pre-delete) state:
     # must equal the full-corpus ranking exactly
     out["wand_snapshot"] = _TOK + bm25_3 + f"""

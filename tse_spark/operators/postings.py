@@ -451,6 +451,42 @@ def term_stats(postings: DataFrame) -> DataFrame:
     )
 
 
+def decode_postings(postings: DataFrame) -> DataFrame:
+    """Explode compressed posting shards back to the row-major
+    ``(term, doc_id, tf, dl)`` relation — the bulk-consumption path
+    (batch retrieval, exports, audits).  One vectorized varint decode
+    per Arrow chunk; downstream scoring stays in JVM expressions.
+
+    Deliberately a FULL decode of whatever relation it is given: callers
+    prune first (semi-join the term vocabulary of interest) so the
+    decode cost tracks the consumer's vocabulary, not the corpus."""
+    schema = "term string, doc_id long, tf long, dl long"
+
+    def explode(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            terms = pdf["term"].to_numpy(dtype=object)
+            dfs = pdf["df"].to_numpy(dtype=np.int64)
+            mega = b"".join(bytes(b) for b in pdf["blocks"])
+            docs, tfs, dls = codec.decode_all(mega)
+            if len(docs) == 0:
+                continue
+            ridx = np.repeat(np.arange(len(pdf)), dfs)
+            yield pd.DataFrame(
+                {
+                    "term": terms[ridx],
+                    "doc_id": docs,
+                    "tf": tfs.astype(np.int64),
+                    "dl": dls.astype(np.int64),
+                }
+            )
+
+    return postings.select("term", "df", "blocks").mapInPandas(
+        explode, schema=schema
+    )
+
+
 def compact_postings(postings: DataFrame) -> DataFrame:
     """Optional single-row-per-term compaction: concatenate shard blobs
     in shard order (valid because shards are disjoint ascending doc
