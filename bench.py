@@ -144,9 +144,14 @@ HEADLINE = [
     "events_hourly",
     "tpch_q1",
     "tpch_q3",
-    # round-3b serving additions (appended LAST on purpose: the battery
-    # stops on budget in list order, so these degrade first and the
-    # cross-round comparable members above keep their readings)
+    # round-3 additions below (tail by design: the battery stops on
+    # budget in list order, so these degrade before the cross-round
+    # comparable members above lose their readings).  Lifecycle + batch
+    # operators first — each is a distinct operator class — then the
+    # serving variants.
+    "batch_search",
+    "wand_tombstoned",
+    "wand_delete_compacted",
     "facet_counts",
     "wand_filtered",
     "wand_facets",
@@ -241,11 +246,40 @@ def _cpu_stat() -> tuple[float, float]:
         return 0.0, 0.0
 
 
+def _host_mref_floor() -> float:
+    """Best single-thread spin rate this HOST has ever shown us (cached
+    in /tmp across bench runs) maxed with one fresh sample: the
+    early-stop quiet test compares each leg against this floor, so a
+    bench window where EVERY leg is contended (steal 0, mref uniformly
+    ~25% low — an observed 0.86 -> 0.78 efficiency swing) cannot grade
+    itself quiet and stop sampling early."""
+    from tse_spark.bench_build import _spin_mref
+
+    path = "/tmp/tse_bench_mref_host.json"
+    cached = 0.0
+    try:
+        with open(path) as f:
+            cached = float(json.load(f)["mref"])
+    except Exception:
+        pass
+    now = _spin_mref(0.3)
+    best = max(cached, now)
+    try:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"mref": best}, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+    return best
+
+
 def one_build_pair(
     levels: list[int],
     pages_dir: str,
     idx_out: str,
     deadline: float | None = None,
+    mref_floor: float = 0.0,
 ) -> list[dict]:
     """Run all parallelism levels in ONE bench_build subprocess (one
     JVM: the warmup pass JIT/codegen-warms every level — see
@@ -276,6 +310,8 @@ def one_build_pair(
                 "0.05",
                 "--min-quiet",
                 "2",
+                "--mref-floor",
+                str(mref_floor),
             ],
             capture_output=True,
             text=True,
@@ -407,23 +443,28 @@ def run_scaling() -> None:
     # headline + serving phases that follow.
     # measured round-3 tail: headline ~45 s quiet (incl. the positional
     # index + keyword additions) + serving ~10 s + ANN index build ~7 s
-    # + session start ~25 s; 150 s adds margin for steal-inflated
-    # queries (each is additionally capped by the watchdog in
-    # run_headline, so a noisy battery degrades query-by-query instead
-    # of eating the tail).  serving_large stays adaptive (it sizes
-    # itself to whatever budget remains, 0 = skip).
-    reserve = 150.0
+    # + session start ~25 s; the margin covers steal-inflated queries
+    # (each additionally capped by the watchdog in run_headline, so a
+    # noisy battery degrades query-by-query instead of eating the
+    # tail).  serving_large stays adaptive (it sizes itself to whatever
+    # budget remains, 0 = skip).  Measured round-3c: battery 61 members
+    # ~75 s + serving ~15 s, so 130 s fits the fixed tail and gives
+    # scaling one extra sampling window vs the old 150 s reserve.
+    reserve = 130.0
     # minimum useful budget: ~100 s fixed (JVM + warmup + worker pools)
     # plus measured ~0.7 ms/doc for one big+small pair
     est = 100.0 + BENCH_DOCS * 7e-4
     if left() - est < reserve:
         out["note"] = "skipped (budget)"
     else:
+        mref_floor = _host_mref_floor()
+        out["mref_floor"] = mref_floor
         rs = one_build_pair(
             [big_n, small_n] * reps,
             pages_dir,
             f"{SCRATCH}/tse_bench_idx_{BENCH_DOCS}",
             deadline=left() - reserve,
+            mref_floor=mref_floor,
         )
         for r in rs:
             if "error" in r:
@@ -518,19 +559,14 @@ def run_headline(spark) -> None:
         RESULT["facet_index_build_s"] = f"error: {e}"[:200]
     times: dict[str, float] = {}
     RESULT["queries"] = times
-    # stop with enough budget left for the serving_pruned phase (its
-    # gate is left() > 100): the battery's tail members — the newest,
-    # by list order — degrade before a whole serving-evidence block
-    # does.  Below 30 battery members recorded, keep going down to the
-    # 15 s hard floor instead: a noisy run that ate the budget early
-    # should still record the cross-round-comparable members.
+    # the battery runs LAST of the fixed phases (serving_pruned records
+    # before it) and is the adaptive budget consumer: members degrade
+    # tail-first in list order down to a flat 15 s floor
     for name in HEADLINE:
-        floor = 105.0 if len(times) >= 30 else 15.0
-        if left() < floor:
+        if left() < 15.0:
             RESULT["headline_note"] = (
                 f"budget: stopped before {name} "
-                f"({len(HEADLINE) - len(times)} queries skipped, "
-                f"floor {floor:.0f}s)"
+                f"({len(HEADLINE) - len(times)} queries skipped)"
             )
             break
         fn = qs[name]
@@ -714,15 +750,18 @@ def main() -> None:
                 RESULT["serving"] = {"error": str(e)[:500]}
                 flush()
 
-        try:
-            run_headline(spark)
-        except Exception as e:  # keep the JSON line coming no matter what
-            RESULT["headline_error"] = str(e)[:500]
-            flush()
-
-        # pruned-index serving (cheap: one extra build over the bench
-        # corpus), then larger-corpus serving with whatever remains
-        if left() > 100:
+        # pruned-index serving BEFORE the battery (~60 s cold on fresh
+        # scratch: one pruned build over the bench corpus + a hot-query
+        # loop; ~15 s when the scratch index survives from an earlier
+        # run) so it always records when affordable — when it ran
+        # after, the battery had to RESERVE budget for it and the two
+        # gates could both just miss, stranding ~100 s unused (observed
+        # in a 411/480 s run).  The battery is the adaptive consumer:
+        # it degrades tail-first by design.
+        _pruned_warm = os.path.isdir(
+            f"{SCRATCH}/tse_bench_idx_pruned_{BENCH_DOCS}"
+        )
+        if left() > (70 if _pruned_warm else 120):
             try:
                 run_serving_pruned(spark)
             except Exception as e:
@@ -730,6 +769,12 @@ def main() -> None:
                     "error"
                 ] = str(e)[:500]
                 flush()
+
+        try:
+            run_headline(spark)
+        except Exception as e:  # keep the JSON line coming no matter what
+            RESULT["headline_error"] = str(e)[:500]
+            flush()
 
         # optional larger-corpus serving evidence, sized to the budget
         if os.environ.get("SPARK_GRAFT_SKIP_SERVING_LARGE") != "1":

@@ -199,6 +199,16 @@ def main() -> None:
         "steal_frac is <= this",
     )
     ap.add_argument(
+        "--mref-floor",
+        type=float,
+        default=0.0,
+        help="host-historical best spin reference (M iters/s): a leg "
+        "only counts as quiet when its own reference is within 7% of "
+        "max(best seen this run, this floor) — a run where EVERY window "
+        "is contended (steal 0, uniformly low mref) must not grade "
+        "itself quiet and early-stop",
+    )
+    ap.add_argument(
         "--min-quiet",
         type=int,
         default=0,
@@ -276,7 +286,7 @@ def main() -> None:
             # the spin reference, never in steal
             if (
                 rec["steal_frac"] <= args.quiet_steal
-                and mref >= 0.93 * best_mref
+                and mref >= 0.93 * max(best_mref, args.mref_floor)
             ):
                 quiet_legs[cpus] += 1
         print(json.dumps(rec), flush=True)
