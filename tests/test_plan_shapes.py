@@ -86,3 +86,34 @@ def test_facet_counts_rejects_injection(spark):
 
     with pytest.raises(ValueError):
         textops.facet_counts(d.select("doc_id"), d, ["lang, text"])
+
+
+def test_batch_search_never_shuffles_the_index_side(spark, tmp_path):
+    """batch_search_topk's scale claim: the posting scan and the
+    decoded relation are filtered/joined via BROADCAST builds of the
+    query-side relations — no SortMergeJoin anywhere, so the only
+    full-relation exchanges are the per-(query_id, doc_id) aggregation
+    and the per-query window (plus tiny query-side dedup aggs)."""
+    from tse_spark.operators import batchsearch as bs
+    from tse_spark.plans import pipeline as pl
+
+    out = str(tmp_path / "bidx")
+    pipe = pl.IndexPipeline(
+        spark, out, tokenizer="ws", num_shards=2, block_size=32
+    )
+    h = pipe.run_from_docs(_docs(spark), input_key="plan", resume=False)
+    q = spark.createDataFrame(
+        [(0, "tok1 tok2"), (1, "tok3")], "query_id long, text string"
+    )
+    df = bs.batch_search_topk(
+        h.postings, h.term_stats, h.n_docs, h.avgdl, q, 5
+    )
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the decoded index relation feeds the partial aggregate directly:
+    # no exchange may sit between the decode and the first HashAggregate
+    decode_at = plan.index("MapInPandas")
+    first_agg_above = plan.rindex("HashAggregate", 0, decode_at)
+    seg = plan[first_agg_above:decode_at]
+    assert "Exchange" not in seg.split("BroadcastHashJoin")[0]

@@ -63,14 +63,26 @@ def batch_search_topk(
     queries: DataFrame,
     k: int = 10,
     require_all: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-k BM25 per query over the compressed shards, one index pass
     for the whole batch; see module docstring for the plan.  ``queries``
     is a (query_id long, text string) relation.  ``require_all=True``
     keeps only docs matching EVERY term of their query (the conjunctive
-    batch).  Returns (query_id, doc_id, score, rank), rank 1..k."""
+    batch).  Returns (query_id, doc_id, score, rank), rank 1..k.
+
+    ``broadcast_queries`` (default) pins the query-side relations as
+    broadcast builds: the posting scan's semi-join filters map-side and
+    the decoded relation joins its queries WITHOUT being exchanged by
+    term — the only full shuffle left is the per-(query_id, doc_id)
+    aggregation, which no plan can avoid.  Turn it off only when the
+    batch's term table itself outgrows broadcast (hundreds of millions
+    of distinct (query, term) rows), accepting shuffle joins."""
     qt = tokenize_queries(queries)
-    vocab = qt.select("term").distinct()
+    if broadcast_queries:
+        qt = F.broadcast(qt)
+    vocab = F.broadcast(qt.select("term").distinct()) \
+        if broadcast_queries else qt.select("term").distinct()
     idf = term_stats.join(vocab, "term", "semi").select(
         "term",
         F.log(
@@ -106,6 +118,8 @@ def batch_search_topk(
         n_terms = qt.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n_terms")
         )
+        if broadcast_queries:
+            n_terms = F.broadcast(n_terms)
         scored = scored.join(n_terms, "query_id").filter(
             F.col("n_hit") == F.col("n_terms")
         )
