@@ -218,3 +218,35 @@ def test_phrase_first_hit_and_snippet(spark, pos_docs, pos_index):
     assert len(snips) == 2
     assert snips[1] == "big data big data"
     assert snips[2] == "big data rocks big"
+
+
+def test_phrase_serving_masks_deleted_docs(spark, pos_docs, pos_index):
+    """Deletion masking at the positional serving edge: a tombstoned
+    doc disappears from phrase matches, proximity counts, and the
+    snippet top-k — and the top-k REFILLS with the next survivor
+    rather than just shrinking."""
+    excluded = spark.createDataFrame([(1,)], "doc_id long")
+    got = {
+        r["doc_id"]
+        for r in P.phrase_match_positional(
+            pos_index, "big data", excluded=excluded
+        ).collect()
+    }
+    assert got == {2}  # doc 1 masked, doc 2 survives
+    prox = {
+        r["doc_id"]
+        for r in P.proximity_count(
+            pos_index, "big", "data", 2, excluded=excluded
+        ).collect()
+    }
+    assert 1 not in prox and 2 in prox
+    snips = {
+        r["doc_id"]: r["snippet"]
+        for r in P.phrase_snippet_topk(
+            pos_index, pos_docs, "big data", k=2,
+            context=2, excluded=excluded,
+        ).collect()
+    }
+    # k=2 requested; doc 1 (the best hit) is deleted, so the page is
+    # doc 2 alone — and doc 1 never appears
+    assert 1 not in snips and 2 in snips

@@ -461,8 +461,24 @@ def load_position_table(spark, out_dir: str) -> DataFrame:
 # serving
 # ---------------------------------------------------------------------------
 
+def _minus_excluded(df: DataFrame, excluded: "DataFrame | None") -> DataFrame:
+    """Drop tombstoned docs (plans/delete.py load_tombstones) from a
+    per-doc result relation: a broadcast anti-join on the small deleted
+    set.  The positional index is a separate table from the posting
+    shards, so deletion masking is applied at its serving edge (and
+    compaction/rebuild of the position table removes them physically);
+    crucially phrase_snippet_topk masks BEFORE its top-k cut so a
+    deleted doc can never displace a surviving result."""
+    if excluded is None:
+        return df
+    return df.join(
+        F.broadcast(excluded.select("doc_id")), "doc_id", "left_anti"
+    )
+
+
 def phrase_match_positional(
-    pos_shards: DataFrame, phrase: str
+    pos_shards: DataFrame, phrase: str,
+    excluded: "DataFrame | None" = None,
 ) -> DataFrame:
     """(doc_id, n_hits) for the exact token-adjacent phrase, answered
     from position lists alone.  Result-identical to
@@ -517,10 +533,15 @@ def phrase_match_positional(
             {"doc_id": doc_ids, "n_hits": n_hits.astype(np.int64)}
         )
 
-    return sub.groupBy("shard").applyInPandas(match, schema)
+    return _minus_excluded(
+        sub.groupBy("shard").applyInPandas(match, schema), excluded
+    )
 
 
-def phrase_first_hit(pos_shards: DataFrame, phrase: str) -> DataFrame:
+def phrase_first_hit(
+    pos_shards: DataFrame, phrase: str,
+    excluded: "DataFrame | None" = None,
+) -> DataFrame:
     """(doc_id, n_hits, first_pos): :func:`phrase_match_positional`
     plus the 0-based token position of the FIRST occurrence — the
     anchor a snippet generator needs, still answered from position
@@ -571,7 +592,9 @@ def phrase_first_hit(pos_shards: DataFrame, phrase: str) -> DataFrame:
             }
         )
 
-    return sub.groupBy("shard").applyInPandas(match, schema)
+    return _minus_excluded(
+        sub.groupBy("shard").applyInPandas(match, schema), excluded
+    )
 
 
 def phrase_snippet_topk(
@@ -581,6 +604,7 @@ def phrase_snippet_topk(
     k: int = 10,
     context: int = 2,
     text_col: str = "text",
+    excluded: "DataFrame | None" = None,
 ) -> DataFrame:
     """Quoted-query SERVING end to end: rank matching docs from the
     positional index alone (n_hits desc, doc_id tiebreak), then join
@@ -593,7 +617,7 @@ def phrase_snippet_topk(
 
     n_words = len(_phrase_words(phrase))
     top = (
-        phrase_first_hit(pos_shards, phrase)
+        phrase_first_hit(pos_shards, phrase, excluded=excluded)
         .orderBy(F.desc("n_hits"), F.asc("doc_id"))
         .limit(k)
     )
@@ -611,7 +635,8 @@ def phrase_snippet_topk(
 
 
 def proximity_count(
-    pos_shards: DataFrame, w0: str, w1: str, window: int
+    pos_shards: DataFrame, w0: str, w1: str, window: int,
+    excluded: "DataFrame | None" = None,
 ) -> DataFrame:
     """(doc_id, n_pairs): ordered co-occurrence counts — pairs of
     positions (i, j) with ``w0`` at i, ``w1`` at j and ``0 < j - i <=
@@ -656,4 +681,6 @@ def proximity_count(
         n_pairs = np.bincount(inv, weights=per_k[hit]).astype(np.int64)
         return pd.DataFrame({"doc_id": doc_ids, "n_pairs": n_pairs})
 
-    return sub.groupBy("shard").applyInPandas(count, schema)
+    return _minus_excluded(
+        sub.groupBy("shard").applyInPandas(count, schema), excluded
+    )

@@ -39,8 +39,10 @@ Contract notes:
   keep it small relative to the corpus and compact away large
   backlogs (the same discipline as append deltas).
 - phrase/positional serving (operators/positions.py) reads its own
-  position table and is not masked here; filter its matches against
-  live docs or rebuild the position table after compaction.
+  position table; pass ``excluded=load_tombstones(spark, out_dir)`` to
+  its serving functions (they anti-join before any top-k cut) and
+  rebuild the position table after compaction to remove docs
+  physically.
 """
 
 from __future__ import annotations
