@@ -12,6 +12,7 @@ long-lived 10^12-doc index needs between builds.
 
 Subcommands:
   snapshots  print the commit log (snapshot id, op, n_docs, dirs)
+  diff       what changed between two snapshots (ops, doc/dir deltas)
   delete     tombstone urls (newline file) and/or doc ids; O(delta)
   compact    fold append deltas + tombstones into fresh base dirs
   vacuum     expire old snapshots, remove dirs only they referenced
@@ -55,6 +56,9 @@ def main(argv: list[str] | None = None) -> int:
         "--doc-ids", default=None, help="comma-separated doc ids"
     )
     sub.add_parser("compact")
+    df = sub.add_parser("diff")
+    df.add_argument("--from", dest="from_id", type=int, required=True)
+    df.add_argument("--to", dest="to_id", type=int, required=True)
     v = sub.add_parser("vacuum")
     v.add_argument("--keep", type=int, default=2)
     v.add_argument("--dry-run", action="store_true")
@@ -77,6 +81,9 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        return 0
+    if args.cmd == "diff":
+        print(json.dumps(sn.snapshot_diff(args.index, args.from_id, args.to_id)))
         return 0
     if args.cmd == "vacuum":
         report = sn.vacuum_index(

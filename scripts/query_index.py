@@ -43,6 +43,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--dict", default=None)
     ap.add_argument(
+        "--snapshot", type=int, default=None,
+        help="serve AS OF this snapshot id (time travel; see "
+        "maintain_index.py snapshots for the commit log)",
+    )
+    ap.add_argument(
         "--distributed", action="store_true",
         help="score with the per-shard WAND job instead of the "
         "low-latency driver path",
@@ -110,7 +115,14 @@ def main(argv: list[str] | None = None) -> int:
 
         dictionary = fixtures.mini_dict_bytes()
 
-    handle = pl.load_index(spark, args.index, dictionary)
+    if args.snapshot is not None:
+        from tse_spark.plans import snapshots as sn
+
+        handle = sn.load_index_at(
+            spark, args.index, args.snapshot, dictionary
+        )
+    else:
+        handle = pl.load_index(spark, args.index, dictionary)
     handle.engine.warm()
     handle.engine.query_log_path = args.index.rstrip("/") + "/query_log.jsonl"
     if args.complete:

@@ -100,10 +100,45 @@ def test_vacuum_dry_run_touches_nothing(spark, lifecycle):
         sn.load_index_at(spark, out, sid, fixtures.mini_dict_bytes())
 
 
+def test_snapshot_diff_reports_the_op_chain(lifecycle):
+    out, _, dead = lifecycle
+    d = sn.snapshot_diff(out, 1, 4)
+    assert d["ops"] == ["append", "delete", "compact"]
+    assert d["n_tombstones"] == {"from": 0, "to": 0}  # folded by v4
+    assert d["dirs_added"] and d["dirs_removed"]
+    d23 = sn.snapshot_diff(out, 2, 3)
+    assert d23["ops"] == ["delete"]
+    assert d23["n_tombstones"]["to"] == len(dead)
+    assert d23["n_docs_delta"] == 0  # stale-stats law until compact
+    with pytest.raises(ValueError, match="no snapshot v9"):
+        sn.snapshot_diff(out, 1, 9)
+
+
 # NOTE: keep last in the module — vacuums the shared lifecycle index.
 def test_vacuum_expires_old_states_keeps_retained(spark, lifecycle):
     out, truths, _ = lifecycle
+    # plant a facet sidecar and supersede its base dir via a rebuild:
+    # vacuum must GC the orphan against facets_meta.json, not the
+    # index snapshots
+    from tse_spark.operators import facets as fx
+
+    with open(os.path.join(out, "meta.json")) as f:
+        m = json.load(f)
+    docs = spark.read.parquet(
+        *[os.path.join(out, dd) for dd in m["docs_dirs"]]
+    )
+    fx.write_facet_index(
+        fx.build_facet_shards(docs, ["lang"], m["shard_range"]),
+        out, facets=["lang"], max_doc_id=m["max_doc_id"],
+    )
+    fx.rebuild_facet_index(spark, out)  # leaves the old 'facets' dir
+    assert os.path.isdir(os.path.join(out, "facets"))
+
     report = sn.vacuum_index(out, keep=1)
+    assert "facets" in report["removed_dirs"]
+    assert not os.path.isdir(os.path.join(out, "facets"))
+    live = fx.load_facet_index(spark, out)  # rebuilt sidecar still reads
+    assert live.count() > 0
     assert report["expired_snapshots"] == [1, 2]
     assert report["removed_dirs"]  # pre-compact artifact dirs gone
     # current + the one retained snapshot still serve exactly

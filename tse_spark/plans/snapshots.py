@@ -20,8 +20,12 @@ complete, readable index.  This module makes that history first-class:
   every index artifact directory referenced by nothing retained.
   Only directories matching the index's own artifact naming law
   (docs*/postings*/term_stats*/tombstones*) are candidates — stage
-  checkpoints (tf), manifests, and sidecars (facets*) are never
-  touched by this GC (facets has its own meta and rebuild path).
+  checkpoints (tf) and manifests are never touched.  Facet sidecar
+  dirs (facets*) are GC'd against the sidecar's OWN commit point
+  (facets_meta.json): a superseded ``facets_base_v*`` left behind by
+  a rebuild is garbage exactly like an old postings dir.
+- :func:`snapshot_diff` reports what changed between two snapshots
+  (op chain, doc/token/tombstone deltas, dirs added/removed).
 
 At web scale this is the contract object stores need: writers never
 mutate referenced files, readers pin a snapshot, and GC is an explicit,
@@ -141,6 +145,45 @@ def load_index_at(
     return pl.handle_from_meta(spark, out_dir, meta, dictionary)
 
 
+def snapshot_diff(out_dir: str, a: int, b: int) -> dict:
+    """What changed between two snapshots — the commit-log answer to
+    "what did that maintenance window do": the operation chain, doc
+    and token-count deltas, tombstone delta, and the artifact dirs
+    added/removed.  Pure metadata (two JSON reads + the log listing);
+    no Spark job."""
+    snaps = {s["snapshot_id"]: s for s in list_snapshots(out_dir)}
+    for sid in (a, b):
+        if sid not in snaps:
+            raise ValueError(
+                f"no snapshot v{sid} at {out_dir} (retained: "
+                f"{sorted(snaps)})"
+            )
+    sa, sb = snaps[int(a)], snaps[int(b)]
+    da, db = _referenced_dirs(sa), _referenced_dirs(sb)
+    return {
+        "from": int(a),
+        "to": int(b),
+        "ops": [
+            s.get("snapshot_op")
+            for s in sorted(snaps.values(), key=lambda s: s["snapshot_id"])
+            if int(a) < s["snapshot_id"] <= int(b)
+        ],
+        "n_docs_delta": int(sb.get("n_docs", 0)) - int(sa.get("n_docs", 0)),
+        "total_dl_delta": int(sb.get("total_dl", 0))
+        - int(sa.get("total_dl", 0)),
+        "n_tombstones": {
+            "from": int(sa.get("n_tombstones", 0)),
+            "to": int(sb.get("n_tombstones", 0)),
+        },
+        "dirs_added": sorted(db - da),
+        "dirs_removed": sorted(da - db),
+        "shard_range": {
+            "from": sa.get("shard_range"),
+            "to": sb.get("shard_range"),
+        },
+    }
+
+
 def vacuum_index(
     out_dir: str, keep: int = 2, dry_run: bool = False
 ) -> dict:
@@ -177,6 +220,26 @@ def vacuum_index(
             removed.append(name)
             if not dry_run:
                 shutil.rmtree(full, ignore_errors=True)
+    # facet sidecar garbage: its own meta (facets_meta.json, a separate
+    # commit point maintained by operators/facets.py) lists the live
+    # dirs; rebuilds leave superseded facets_base_v* dirs behind unless
+    # gc'd at rebuild time.  Sidecars WITHOUT a meta (legacy bare
+    # 'facets' dir) are skipped entirely — no meta, no safe retention
+    # set, no GC.
+    fmeta_path = os.path.join(out_dir, "facets_meta.json")
+    if os.path.exists(fmeta_path):
+        with open(fmeta_path) as f:
+            live_facets = set(json.load(f)["dirs"])
+        for name in sorted(os.listdir(out_dir)):
+            full = os.path.join(out_dir, name)
+            if (
+                os.path.isdir(full)
+                and re.fullmatch(r"facets(_.*)?", name)
+                and name not in live_facets
+            ):
+                removed.append(name)
+                if not dry_run:
+                    shutil.rmtree(full, ignore_errors=True)
     expired_ids = [s["snapshot_id"] for s in expired]
     if not dry_run:
         for sid in expired_ids:
