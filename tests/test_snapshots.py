@@ -100,6 +100,37 @@ def test_vacuum_dry_run_touches_nothing(spark, lifecycle):
         sn.load_index_at(spark, out, sid, fixtures.mini_dict_bytes())
 
 
+def test_concurrent_commit_detected(tmp_path, spark):
+    """Optimistic concurrency: a maintenance op that loaded snapshot N
+    must fail its commit when another writer moved the index past N —
+    last-writer-wins would silently drop the first writer's dir lists
+    from meta."""
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        fixtures.gen_pages(60)
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "idx")
+    pl.IndexPipeline(
+        spark, out, tokenizer="ws", num_shards=2, block_size=32
+    ).run_from_pages(src, resume=False)
+    with open(os.path.join(out, "meta.json")) as f:
+        stale = json.load(f)  # writer B loads v1
+    dl.delete_docs(spark, out, doc_ids=[0])  # writer A commits v2
+    with pytest.raises(sn.ConcurrentCommit, match="v2"):
+        sn.publish_meta(
+            out, stale, op="compact",
+            expect_snapshot_id=stale.get("snapshot_id", 0),
+        )
+    # writer B reloads and retries: now against v2, succeeds as v3
+    with open(os.path.join(out, "meta.json")) as f:
+        fresh = json.load(f)
+    stamped = sn.publish_meta(
+        out, fresh, op="compact",
+        expect_snapshot_id=fresh["snapshot_id"],
+    )
+    assert stamped["snapshot_id"] == 3
+
+
 def test_snapshot_diff_reports_the_op_chain(lifecycle):
     out, _, dead = lifecycle
     d = sn.snapshot_diff(out, 1, 4)

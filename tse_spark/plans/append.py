@@ -212,5 +212,8 @@ def append_pages(
     # visible to readers — and it archives this append in the commit log
     from tse_spark.plans import snapshots as sn
 
-    sn.publish_meta(out_dir, meta, op="append")
+    sn.publish_meta(
+        out_dir, meta, op="append",
+        expect_snapshot_id=meta.get("snapshot_id", 0),
+    )
     return pl.load_index(spark, out_dir, dictionary)

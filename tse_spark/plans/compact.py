@@ -189,7 +189,10 @@ def compact_index(
     # until vacuum_index expires them)
     from tse_spark.plans import snapshots as sn
 
-    sn.publish_meta(out_dir, meta, op="compact")
+    sn.publish_meta(
+        out_dir, meta, op="compact",
+        expect_snapshot_id=meta.get("snapshot_id", 0),
+    )
 
     if gc:
         for d in old_dirs:

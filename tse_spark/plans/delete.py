@@ -62,10 +62,15 @@ def _load_meta(out_dir: str) -> dict:
 
 def _publish_meta(out_dir: str, meta: dict) -> None:
     """Snapshot-stamped atomic commit (plans/snapshots.py) — kept as a
-    module-level indirection so tests can simulate a crash here."""
+    module-level indirection so tests can simulate a crash here.
+    Optimistically guarded: commits only if the snapshot this delete
+    loaded is still current (ConcurrentCommit otherwise)."""
     from tse_spark.plans import snapshots as sn
 
-    sn.publish_meta(out_dir, meta, op="delete")
+    sn.publish_meta(
+        out_dir, meta, op="delete",
+        expect_snapshot_id=meta.get("snapshot_id", 0),
+    )
 
 
 def load_tombstones(spark: SparkSession, out_dir: str) -> DataFrame:

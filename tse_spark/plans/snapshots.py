@@ -68,32 +68,80 @@ def _referenced_dirs(meta: dict) -> set[str]:
     return _serving_dirs(meta) | set(meta.get("docs_dirs", ["docs"]))
 
 
-def publish_meta(out_dir: str, meta: dict, op: str) -> dict:
+class ConcurrentCommit(RuntimeError):
+    """Another writer committed since this operation loaded the index.
+    The operation's outputs live in its own versioned dirs, so nothing
+    is corrupted — reload the index and re-run the operation against
+    the new current state (Iceberg's optimistic-retry contract)."""
+
+
+def publish_meta(
+    out_dir: str,
+    meta: dict,
+    op: str,
+    expect_snapshot_id: int | None = None,
+) -> dict:
     """Commit ``meta`` as the index's current state: stamp the next
     ``snapshot_id`` (+ ``snapshot_op``), archive a full copy under
     ``snapshots/v{id}.json``, then atomically replace ``meta.json``.
     Returns the stamped meta.  Retry-safe: a crashed publish re-runs
-    with the same id and overwrites the same archive file."""
-    prev_id = 0
+    with the same id and overwrites the same archive file.
+
+    ``expect_snapshot_id`` is the optimistic-concurrency guard
+    (Iceberg's commit protocol): the caller passes the snapshot_id it
+    LOADED, and the commit succeeds only if that is still current —
+    otherwise :class:`ConcurrentCommit` is raised and the caller must
+    reload + re-run.  The check-and-swap runs under an advisory file
+    lock so two same-host writers serialize; on an object store the
+    same compare-and-swap belongs in the catalog."""
+    import contextlib
+
     meta_path = os.path.join(out_dir, "meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            prev_id = int(json.load(f).get("snapshot_id", 0))
-    meta = dict(meta)
-    meta["snapshot_id"] = prev_id + 1
-    meta["snapshot_op"] = op
-    snap_root = os.path.join(out_dir, SNAP_DIR)
-    os.makedirs(snap_root, exist_ok=True)
-    spath = os.path.join(snap_root, f"v{meta['snapshot_id']}.json")
-    tmp = spath + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, spath)
-    # the COMMIT: readers switch states here and only here
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, meta_path)
+
+    @contextlib.contextmanager
+    def _commit_lock():
+        lock_path = os.path.join(out_dir, ".commit.lock")
+        f = open(lock_path, "w")
+        try:
+            try:
+                import fcntl
+
+                fcntl.flock(f, fcntl.LOCK_EX)
+            except ImportError:  # pragma: no cover - non-posix
+                pass
+            yield
+        finally:
+            f.close()
+
+    with _commit_lock():
+        prev_id = 0
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                prev_id = int(json.load(f).get("snapshot_id", 0))
+        if (
+            expect_snapshot_id is not None
+            and prev_id != int(expect_snapshot_id)
+        ):
+            raise ConcurrentCommit(
+                f"index at {out_dir} moved to snapshot v{prev_id} while "
+                f"this '{op}' was running against v{expect_snapshot_id} "
+                "— reload and re-run against the current state"
+            )
+        meta = dict(meta)
+        meta["snapshot_id"] = prev_id + 1
+        meta["snapshot_op"] = op
+        snap_root = os.path.join(out_dir, SNAP_DIR)
+        os.makedirs(snap_root, exist_ok=True)
+        spath = os.path.join(snap_root, f"v{meta['snapshot_id']}.json")
+        tmp = spath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, spath)
+        # the COMMIT: readers switch states here and only here
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, meta_path)
     return meta
 
 
