@@ -357,3 +357,56 @@ def test_int8_append_and_compact_equal_full_build(
         ).collect()
     ]
     assert compacted == full
+
+
+def test_delete_vectors_masks_then_compacts(spark, emb, qv, tmp_path):
+    """Vector deletion (the ANN twin of plans/delete.py): tombstoned
+    vectors vanish from indexed serving immediately, the top-k refills
+    with the next survivor, redeletes are no-ops, and compaction folds
+    the deletes physically and clears the mask."""
+    out = str(tmp_path / "lsh_del")
+    similarity.build_lsh_signature_table(
+        emb, out, dim=len(qv), n_planes=2, n_bands=8, seed=7
+    )
+    full = _rows(
+        similarity.lsh_ann_topk_indexed(spark, out, qv, K, exclude_id=0)
+    )
+    dead = [full[0][0], full[1][0]]
+    n = similarity.delete_vectors(spark, out, dead)
+    assert n == 2
+    masked = _rows(
+        similarity.lsh_ann_topk_indexed(spark, out, qv, K, exclude_id=0)
+    )
+    assert not {v for v, _, _ in masked} & set(dead)
+    # stale-free refill: masked == full minus dead, shifted up
+    want = [r for r in full if r[0] not in dead]
+    assert masked[: len(want)] == want
+    # redelete: no new version
+    import json
+
+    with open(os.path.join(out, "meta.json")) as f:
+        v1 = json.load(f)["tombstone_version"]
+    assert similarity.delete_vectors(spark, out, dead) == 2
+    with open(os.path.join(out, "meta.json")) as f:
+        assert json.load(f)["tombstone_version"] == v1
+    # compact folds: mask cleared, rows physically gone, serving equal
+    similarity.compact_ann_index(spark, out)
+    with open(os.path.join(out, "meta.json")) as f:
+        meta = json.load(f)
+    assert "tombstones_dir" not in meta
+    live = similarity._read_pinned(
+        spark, meta, similarity._index_dirs(out, meta)
+    )
+    assert live.filter(live.vec_id.isin([int(d) for d in dead])).count() == 0
+    after = _rows(
+        similarity.lsh_ann_topk_indexed(spark, out, qv, K, exclude_id=0)
+    )
+    assert after == masked
+    # int8 tier: same contract through the shared live-read
+    out2 = str(tmp_path / "int8_del")
+    similarity.build_int8_code_table(emb, out2, dim=len(qv))
+    coarse = similarity.int8_ann_topk_indexed(spark, out2, qv, K).collect()
+    v0 = coarse[0]["vec_id"]
+    similarity.delete_vectors(spark, out2, [int(v0)])
+    coarse2 = similarity.int8_ann_topk_indexed(spark, out2, qv, K).collect()
+    assert all(r["vec_id"] != v0 for r in coarse2) and len(coarse2) == K

@@ -320,7 +320,7 @@ def lsh_ann_topk_indexed(
         query_vec, int(meta["n_planes"]), int(meta["n_bands"]),
         int(meta["seed"]), hamming_probe,
     )
-    t = _read_pinned(spark, meta, _index_dirs(index_dir, meta))
+    t = _live_pinned(spark, index_dir, meta)
     pred = None
     for b, s in probes:
         clause = (F.col("band") == b) & (F.col("sig") == s)
@@ -468,7 +468,7 @@ def ivf_ann_topk_indexed(
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     probe = _ivf_probe_cells(meta["centroids"], query_vec, n_probe)
-    t = _read_pinned(spark, meta, _index_dirs(index_dir, meta))
+    t = _live_pinned(spark, index_dir, meta)
     cand = t.filter(F.col("cell").isin(probe)).drop("cell")
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)
@@ -478,6 +478,69 @@ def ivf_ann_topk_indexed(
 # ---------------------------------------------------------------------------
 # ANN index maintenance: O(delta) append + compaction
 # ---------------------------------------------------------------------------
+
+def _ann_tombstones(spark, index_dir: str, meta: dict):
+    """The live vec_id tombstone relation, or None (see
+    :func:`delete_vectors`)."""
+    d = meta.get("tombstones_dir")
+    if not d:
+        return None
+    return spark.read.parquet(os.path.join(index_dir, d)).select("vec_id")
+
+
+def _live_pinned(spark, index_dir: str, meta: dict) -> DataFrame:
+    """Pinned-schema read of every published data dir MINUS tombstoned
+    vectors — the relation ANN serving must see.  The anti-join
+    broadcasts the (small-by-contract) deleted set; compaction removes
+    the rows physically and drops the mask."""
+    t = _read_pinned(spark, meta, _index_dirs(index_dir, meta))
+    tomb = _ann_tombstones(spark, index_dir, meta)
+    if tomb is None:
+        return t
+    return t.join(F.broadcast(tomb), "vec_id", "left_anti")
+
+
+def delete_vectors(
+    spark: SparkSession, index_dir: str, vec_ids: list[int]
+) -> int:
+    """Tombstone vectors in a materialized ANN index (any kind) —
+    the vector twin of the text index's plans/delete.py, same
+    Iceberg-style contract: a versioned ``tombstones_vNNNN`` parquet
+    (overwrite — retry-safe) made visible only by the atomic meta
+    republish; O(tombstones) work, no data file touched.  Every indexed
+    serving path masks the set before its top-k (so a deleted vector
+    can never displace a survivor), and :func:`compact_ann_index`
+    folds the deletes physically and clears the mask.  Idempotent:
+    re-deleting an already-dead set writes nothing.  Returns the live
+    tombstone count.  A deleted vec_id stays excluded until compaction
+    removes its rows; append's default anti-join sees the (still
+    physical) rows, so the id cannot be re-added before that."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    ids = sorted({int(i) for i in vec_ids})
+    if not ids:
+        return int(meta.get("n_tombstones", 0))
+    new = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    old_dir = meta.get("tombstones_dir")
+    if old_dir:
+        existing = spark.read.parquet(
+            os.path.join(index_dir, old_dir)
+        ).select("vec_id")
+        if new.join(existing, "vec_id", "left_anti").limit(1).count() == 0:
+            return int(meta["n_tombstones"])  # no-op redelete
+        new = new.unionByName(existing).distinct()
+    version = int(meta.get("tombstone_version", 0)) + 1
+    dname = f"tombstones_v{version:04d}"
+    new.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, dname)
+    )
+    n = spark.read.parquet(os.path.join(index_dir, dname)).count()
+    meta["tombstones_dir"] = dname
+    meta["n_tombstones"] = int(n)
+    meta["tombstone_version"] = version
+    _publish_meta(index_dir, meta)  # atomic commit, crash-safe
+    return int(n)
+
 
 def append_ann_index(
     spark: SparkSession,
@@ -566,14 +629,21 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> str:
     }[meta["kind"]]
     gen = int(meta.get("compact_gen", 0)) + 1
     new_dir = f"data_v{gen:04d}"
-    rows = _read_pinned(spark, meta, _index_dirs(index_dir, meta))
+    # _live_pinned folds any tombstones physically: the rewrite keeps
+    # only surviving vectors, then the mask is cleared from meta
+    tomb_dir = meta.get("tombstones_dir")
+    rows = _live_pinned(spark, index_dir, meta)
     w = rows.write.mode("overwrite")
     if part_cols:
         w = w.partitionBy(*part_cols)
     w.parquet(os.path.join(index_dir, new_dir))
     meta["data_dirs"] = [new_dir]
     meta["compact_gen"] = gen
+    meta.pop("tombstones_dir", None)
+    meta.pop("n_tombstones", None)
     _publish_meta(index_dir, meta)
+    if tomb_dir:
+        old.append(tomb_dir)
     for d in old:
         shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
     return new_dir
@@ -885,7 +955,7 @@ def int8_ann_topk_indexed(
                 }
             )
 
-    t = _read_pinned(spark, meta, _index_dirs(index_dir, meta))
+    t = _live_pinned(spark, index_dir, meta)
     if exclude_id is not None:
         t = t.filter(F.col("vec_id") != exclude_id)
     # label keeps whatever type the source table had (pinned at build)
