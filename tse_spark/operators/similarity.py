@@ -547,7 +547,7 @@ def append_ann_index(
     index_dir: str,
     emb: DataFrame,
     assume_disjoint: bool = False,
-) -> str:
+) -> str | None:
     """Append new vectors to a materialized ANN index (either kind) at
     O(delta) cost: hash/assign ONLY the new rows with the params/
     centroids pinned in meta.json (so every generation buckets
@@ -581,6 +581,10 @@ def append_ann_index(
         emb = emb.join(
             live.select("vec_id").distinct(), "vec_id", "left_anti"
         )
+        if emb.isEmpty():
+            # nothing genuinely new (e.g. a redelivered ingest batch):
+            # no delta dir, no meta churn — replay-idempotent
+            return None
     if meta["kind"] == "lsh_sign":
         rows = _lsh_rows(
             emb.select(*cols),
