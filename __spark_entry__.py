@@ -720,6 +720,45 @@ def _q_batch_metrics(spark, sf):
     return bs.retrieval_metrics(results, qrels, BATCH_K)
 
 
+def _q_wand_federated(spark, sf):
+    """Multi-index federation (plans/federate.py): the documents table
+    split into two url-disjoint member indexes (doc_id parity; ids
+    preserved by run_from_docs, so they are globally unique), served
+    with GLOBAL (df, n_docs, avgdl) — the ranking must equal the
+    single-index full-corpus BM25 (wand_topk's oracle)."""
+    import hashlib
+
+    from tse_spark.plans import federate as fe
+    from tse_spark.plans import pipeline as pl
+
+    key = "fed:" + sf
+    if key not in _INDEX_CACHE:
+        outs = []
+        for parity in (0, 1):
+            out = (
+                f"/tmp/tse_ws_fed{parity}_"
+                + hashlib.md5(sf.encode()).hexdigest()[:8]
+            )
+            import os as _os
+
+            if not _os.path.exists(_os.path.join(out, "meta.json")):
+                pl.IndexPipeline(
+                    spark, out, tokenizer="ws",
+                    num_shards=4, block_size=128,
+                ).run_from_docs(
+                    _t(spark, sf, "documents")
+                    .filter(F.col("doc_id") % 2 == parity)
+                    .select("doc_id", "text"),
+                    input_key=f"fed{parity}:{sf}",
+                    resume=True,
+                )
+            outs.append(out)
+        _INDEX_CACHE[key] = fe.FederatedIndex(spark, outs)
+    f = _INDEX_CACHE[key]
+    out = f.search(" ".join(BM25_QUERY), K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_wand_snapshot(spark, sf):
     """Time-travel serving (plans/snapshots.py): the tombstoned index's
     commit log holds v1 = the pre-delete build, and load_index_at
@@ -2062,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_tombstoned": _q_wand_tombstoned,
         "wand_delete_compacted": _q_wand_delete_compacted,
         "wand_snapshot": _q_wand_snapshot,
+        "wand_federated": _q_wand_federated,
         "batch_search": _q_batch_search,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
@@ -3569,6 +3609,12 @@ def oracle_sql() -> dict[str, str]:
            round(coalesce(hits.dcg / ideal.idcg, 0.0), 6) AS ndcg_at_k
     FROM ideal LEFT JOIN hits USING (query_id)
     ORDER BY query_id"""
+    # federation over url-disjoint members with global stats must
+    # equal the single-index full-corpus ranking
+    out["wand_federated"] = _TOK + bm25_3 + f"""
+    SELECT doc_id, round(sum(s), 4) AS score
+    FROM perterm GROUP BY doc_id
+    ORDER BY sum(s) DESC, doc_id LIMIT {K}"""
     # time-travel read of the tombstoned index's v1 (pre-delete) state:
     # must equal the full-corpus ranking exactly
     out["wand_snapshot"] = _TOK + bm25_3 + f"""

@@ -237,17 +237,35 @@ class SearchEngine:
         )
 
     def search(
-        self, query: str, k: int = 10, conjunctive: bool = False
+        self, query: str, k: int = 10, conjunctive: bool = False,
+        idf_override: dict | None = None,
+        avgdl_override: float | None = None,
     ) -> DataFrame:
-        """Distributed WAND: per-shard Arrow UDF -> global top-k."""
+        """Distributed WAND: per-shard Arrow UDF -> global top-k.
+
+        ``idf_override``/``avgdl_override`` replace this index's own
+        statistics — the federation hook (plans/federate.py): a member
+        of a multi-index deployment must score with GLOBAL (df, n_docs,
+        avgdl) or per-member rankings aren't comparable.  Block-max
+        pruning stays sound under an avgdl override by rescaling the
+        stored bounds against the member's own encoding avgdl (same
+        law as the append drift correction, wand.Cursor)."""
         terms = self.query_terms(query)
         if not terms:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
-        idf = self._idf_map(terms)
+        if idf_override is not None:
+            idf = {t: idf_override[t] for t in terms if t in idf_override}
+        else:
+            idf = self._idf_map(terms)
         if not idf or (conjunctive and len(idf) < len(terms)):
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         avgdl = self.avgdl
         bscale = self.bound_scale
+        if avgdl_override is not None and avgdl_override > 0:
+            # bounds were encoded with enc_avgdl = self.avgdl / bscale
+            enc_avgdl = self.avgdl / self.bound_scale
+            avgdl = float(avgdl_override)
+            bscale = max(1.0, avgdl / enc_avgdl)
         b_idf = self.spark.sparkContext.broadcast(idf)
         b_tomb = self._tomb_broadcast()
         n_terms = len(idf)
