@@ -720,6 +720,27 @@ def _q_batch_metrics(spark, sf):
     return bs.retrieval_metrics(results, qrels, BATCH_K)
 
 
+RM3_FB = 3       # feedback docs
+RM3_TERMS = 5    # expansion terms
+RM3_LAM = 0.5    # expansion weight
+
+
+def _q_bm25_rm3(spark, sf):
+    """RM3 pseudo-relevance feedback (IndexHandle.rm3_topk): top-RM3_FB
+    docs of the base query feed an aggregate tf-idf expansion (same
+    keyword law as more_like_this, summed over the feedback docs), and
+    the weighted expanded query reranks — original terms weight 1,
+    expansion terms weight RM3_LAM folded into idf.  The oracle
+    reproduces feedback selection, expansion, and weighted rescoring
+    end to end in SQL."""
+    h = _ws_index(spark, sf)
+    out = h.rm3_topk(
+        " ".join(BM25_QUERY), K,
+        n_fb=RM3_FB, n_terms=RM3_TERMS, lam=RM3_LAM,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_wand_federated(spark, sf):
     """Multi-index federation (plans/federate.py): the documents table
     split into two url-disjoint member indexes (doc_id parity; ids
@@ -2102,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_delete_compacted": _q_wand_delete_compacted,
         "wand_snapshot": _q_wand_snapshot,
         "wand_federated": _q_wand_federated,
+        "bm25_rm3": _q_bm25_rm3,
         "batch_search": _q_batch_search,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
@@ -3609,6 +3631,48 @@ def oracle_sql() -> dict[str, str]:
            round(coalesce(hits.dcg / ideal.idcg, 0.0), 6) AS ndcg_at_k
     FROM ideal LEFT JOIN hits USING (query_id)
     ORDER BY query_id"""
+    # RM3 pseudo-relevance feedback: feedback-doc selection (base
+    # BM25 top-n), aggregate tf-idf expansion (more_like_this's rounded
+    # keyword law, tf summed over the feedback docs, query terms
+    # excluded), weighted rescore (1.0 / lam folded into idf)
+    out["bm25_rm3"] = _TOK + bm25_3 + f"""
+    , fb AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+                 ORDER BY sum(s) DESC, doc_id) AS rn
+        FROM perterm GROUP BY doc_id) WHERE rn <= {RM3_FB}),
+    kw AS (
+      SELECT term, df FROM (
+        SELECT t2.term, t2.df,
+               row_number() OVER (
+                 ORDER BY round(t2.stf * ln(t2.n_docs / t2.df), 4)
+                          DESC, t2.term) AS rank
+        FROM (
+          SELECT tf.term, dfreq.df, stats.n_docs,
+                 sum(tf.tf) AS stf
+          FROM tf JOIN fb USING (doc_id)
+          JOIN dfreq USING (term) CROSS JOIN stats
+          WHERE tf.term NOT IN ({terms3})
+          GROUP BY tf.term, dfreq.df, stats.n_docs) t2
+      ) WHERE rank <= {RM3_TERMS}),
+    wts AS (
+      SELECT term, 1.0 AS w FROM dfreq WHERE term IN ({terms3})
+      UNION ALL SELECT term, {RM3_LAM} AS w FROM kw),
+    perterm2 AS (
+      SELECT tf.doc_id,
+             wts.w * ln(1 + (stats.n_docs - dfreq.df + 0.5)
+                            / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+               AS s
+      FROM tf
+      JOIN wts USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats)
+    SELECT doc_id, round(sum(s), 4) AS score
+    FROM perterm2 GROUP BY doc_id
+    ORDER BY sum(s) DESC, doc_id LIMIT {K}"""
     # federation over url-disjoint members with global stats must
     # equal the single-index full-corpus ranking
     out["wand_federated"] = _TOK + bm25_3 + f"""

@@ -154,3 +154,56 @@ def test_member_tombstones_respected(setup, spark):
         (r.member, r.doc_id) for r in f2.search("web search", 5).collect()
     ]
     assert (m0, d0) not in set(dist)
+
+
+def test_rm3_expansion_changes_and_stays_sound(setup, spark):
+    """RM3 (IndexHandle.rm3_topk) on a member index: the expanded
+    ranking differs from the base ranking (expansion really fired) and
+    equals a hand-computed weighted rescore over the same artifacts."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    f, hu, _, _ = setup
+    h = hu
+    q = "web search"
+    base = [(d, round(s, 6)) for d, s in h.engine.search_local(q, 10)]
+    out = [
+        (r.doc_id, round(r.score, 6))
+        for r in h.rm3_topk(q, 10, n_fb=3, n_terms=5, lam=0.5).collect()
+    ]
+    assert out and out != base  # expansion fired
+    # hand recompute: weighted disjunctive BM25 over orig + expansion
+    orig = h.engine.query_terms(q)
+    fb = [d for d, _ in h.engine.search_local(q, 3)]
+    tf = (
+        h._tf_row_major()
+        .filter(F.col("doc_id").isin(fb))
+        .filter(~F.col("term").isin(orig))
+        .groupBy("term").agg(F.sum("tf").alias("tf"))
+        .join(h.term_stats.select("term", "df"), "term")
+        .collect()
+    )
+    n = float(h.n_docs)
+    kw = sorted(
+        ((-round(r["tf"] * math.log(n / r["df"]), 4), r["term"])
+         for r in tf)
+    )[:5]
+    exp = [t for _, t in kw]
+    idf = h.engine._idf_map(sorted(set(orig) | set(exp)))
+    runs = []
+    entries = h.engine._term_entries(sorted(set(orig) | set(exp)))
+    from tse_spark.operators import codec, wand as wand_mod
+
+    for t, (df, blob) in entries.items():
+        if df <= 0:
+            continue
+        w = 1.0 if t in orig else 0.5
+        d, tfv, dlv = codec.decode_all(blob)
+        runs.append(
+            (d, wand_mod._score_arrays(w * idf[t], tfv, dlv, h.avgdl))
+        )
+    want = [
+        (d, round(s, 6)) for d, s in wand_mod.topk_from_scored(runs, 10)
+    ]
+    assert out == want

@@ -293,6 +293,15 @@ class IndexHandle:
             bound_scale=scale, tombstones=tombstones,
         )
 
+    def _tf_row_major(self):
+        """The tf checkpoint as (doc_id, term, tf): tse-tokenized
+        builds persist it document-major (terms/tfs arrays) — explode
+        back for per-term joins; ws builds are row-major already."""
+        tf = self.spark.read.parquet(os.path.join(self.out_dir, "tf"))
+        if "terms" in tf.columns:
+            return ib.doc_terms_to_tf(tf).select("doc_id", "term", "tf")
+        return tf.select("doc_id", "term", "tf")
+
     def more_like_this(
         self, doc_id: int, n_terms: int = 5, k: int = 10
     ):
@@ -316,7 +325,7 @@ class IndexHandle:
 
         sid = int(doc_id)
         tf = (
-            self.spark.read.parquet(os.path.join(self.out_dir, "tf"))
+            self._tf_row_major()
             .filter(F.col("doc_id") == sid)
             .join(self.term_stats.select("term", "df"), "term")
             .select("term", "tf", "df")
@@ -338,6 +347,66 @@ class IndexHandle:
             out.filter(F.col("doc_id") != sid)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
+        )
+
+
+    def rm3_topk(
+        self,
+        query: str,
+        k: int = 10,
+        n_fb: int = 3,
+        n_terms: int = 5,
+        lam: float = 0.5,
+    ):
+        """Pseudo-relevance feedback (RM3-style) serving: run the
+        query, take the top ``n_fb`` documents as implicit relevance
+        feedback, extract their best aggregate tf-idf terms from the
+        index's OWN artifacts (the tf checkpoint + term_stats — same
+        keyword law as :meth:`more_like_this`, with tf SUMMED over the
+        feedback docs; original query terms excluded from expansion),
+        then rescore with the expanded query: original terms at weight
+        1, expansion terms at weight ``lam``, folded into the idf so
+        the per-shard WAND machinery serves the weighted query
+        unchanged (operators/search.py idf_override).
+
+        Driver traffic: the feedback doc ids (n_fb ints) and the
+        keyword rows (bounded by the feedback docs' vocabulary) — the
+        same order as any typed query; no corpus data ever collects."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        eng = self.engine
+        orig = eng.query_terms(query)
+        if not orig:
+            return self.spark.createDataFrame([], se.RESULT_SCHEMA)
+        fb_ids = [int(d) for d, _ in eng.search_local(query, n_fb)]
+        if not fb_ids:
+            return self.spark.createDataFrame([], se.RESULT_SCHEMA)
+        n = float(self.n_docs)
+        agg = (
+            self._tf_row_major()
+            .filter(F.col("doc_id").isin(fb_ids))
+            .filter(~F.col("term").isin(orig))
+            .groupBy("term")
+            .agg(F.sum("tf").alias("tf"))
+            .join(self.term_stats.select("term", "df"), "term")
+            .collect()
+        )
+        kw = sorted(
+            (
+                (-round(r["tf"] * math.log(n / r["df"]), 4), r["term"])
+                for r in agg
+            )
+        )[: int(n_terms)]
+        exp = [t for _, t in kw]
+        idf = eng._idf_map(sorted(set(orig) | set(exp)))
+        override = {t: idf[t] for t in orig if t in idf}
+        override.update(
+            {t: float(lam) * idf[t] for t in exp if t in idf}
+        )
+        return eng.search(
+            " ".join(orig + exp), k, idf_override=override
         )
 
 
