@@ -152,6 +152,8 @@ HEADLINE = [
     "batch_search",
     "wand_tombstoned",
     "wand_delete_compacted",
+    "bm25_rm3",
+    "wand_federated",
     "facet_counts",
     "wand_filtered",
     "wand_facets",
