@@ -22,7 +22,11 @@ from pyspark.sql import SparkSession
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--index", required=True, help="index dir (build_index.py --out)")
+    ap.add_argument(
+        "--index", required=True,
+        help="index dir (build_index.py --out); a comma-separated list "
+        "serves FEDERATED over the members with union-corpus stats",
+    )
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument(
         "--page", type=int, default=0,
@@ -115,6 +119,34 @@ def main(argv: list[str] | None = None) -> int:
 
         dictionary = fixtures.mini_dict_bytes()
 
+    members = [d for d in args.index.split(",") if d]
+    if len(members) > 1:
+        # federated serving over N member indexes (plans/federate.py):
+        # one ranking with union-corpus stats; results carry the member
+        # ordinal alongside the member-local doc id
+        if args.snapshot is not None:
+            ap.error("--snapshot applies to a single index dir")
+        from tse_spark.plans import federate as fe
+
+        f = fe.FederatedIndex(spark, members, dictionary).warm()
+        for q in args.queries:
+            t0 = time.time()
+            res = f.search_local(q, args.k)
+            print(
+                json.dumps(
+                    {
+                        "query": q,
+                        "k": args.k,
+                        "members": len(members),
+                        "ms": round((time.time() - t0) * 1000.0, 2),
+                        "results": [
+                            [m, d, round(s, 4)] for m, d, s in res
+                        ],
+                    },
+                    ensure_ascii=False,
+                )
+            )
+        return 0
     if args.snapshot is not None:
         from tse_spark.plans import snapshots as sn
 
