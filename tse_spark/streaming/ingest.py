@@ -18,6 +18,11 @@ Exactly-once story (the part worth reading twice):
 - Crash mid-append is covered by append's own contract: meta.json is
   republished atomically LAST, so a torn append leaves the previous
   index fully intact and the stream's checkpoint replays the batch.
+- A maintenance op racing the sink (an out-of-band compact/delete)
+  makes the batch's commit fail loudly (snapshots.ConcurrentCommit —
+  the sink holds no lock across the whole batch); the stream's retry
+  re-runs the batch against the new current state and converges, by
+  the same replay-idempotence as a crash.
 
 Each append is O(delta); delta dirs accumulate, so every
 ``compact_every`` batches the sink folds them back into single base
