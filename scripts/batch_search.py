@@ -62,12 +62,24 @@ def main(argv: list[str] | None = None) -> int:
                 w.strip() for w in f.read().splitlines() if w.strip()
             )
     h = pl.load_index(spark, args.index, dictionary)
+    with open(f"{args.index}/meta.json") as f:
+        meta = json.load(f)
+    from tse_spark.plans import delete as dmod
+
+    tomb = (
+        dmod.load_tombstones(spark, args.index)
+        if meta.get("tombstones_dir")
+        else None
+    )
     queries = spark.read.parquet(args.queries)
     t0 = time.time()
     results = bs.batch_search_topk(
         h.postings, h.term_stats, h.n_docs, h.avgdl, queries,
         k=args.k, require_all=args.require_all,
         broadcast_queries=not args.no_broadcast_queries,
+        tombstones=tomb,
+        tokenizer=meta.get("tokenizer", "ws"),
+        dictionary=dictionary,
     )
     results.write.mode("overwrite").parquet(args.out)
     out = {

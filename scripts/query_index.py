@@ -126,12 +126,26 @@ def main(argv: list[str] | None = None) -> int:
         # ordinal alongside the member-local doc id
         if args.snapshot is not None:
             ap.error("--snapshot applies to a single index dir")
+        for flag in ("boolean", "suggest", "complete", "filter", "facets"):
+            if getattr(args, flag):
+                ap.error(
+                    f"--{flag} is not supported in federated "
+                    "(multi-index) mode yet"
+                )
         from tse_spark.plans import federate as fe
 
         f = fe.FederatedIndex(spark, members, dictionary).warm()
         for q in args.queries:
             t0 = time.time()
-            res = f.search_local(q, args.k)
+            if args.distributed or args.conjunctive:
+                res = [
+                    (r.member, r.doc_id, r.score)
+                    for r in f.search(
+                        q, args.k, conjunctive=args.conjunctive
+                    ).collect()
+                ]
+            else:
+                res = f.search_local(q, args.k)
             print(
                 json.dumps(
                     {

@@ -120,3 +120,58 @@ def test_decode_pruned_to_batch_vocabulary(spark, idx, qdf):
     terms_seen = {r.term for r in pruned.select("term").distinct().collect()}
     assert terms_seen <= vocab
     assert "slow" not in terms_seen  # in the index, not in any query
+
+
+def test_batch_masks_tombstones_and_speaks_the_index_tokenizer(
+    spark, tmp_path
+):
+    """The takedown contract holds on the batch path (deleted docs
+    never ranked), and a tse/FMM index's queries tokenize through the
+    same dictionary law instead of silently missing CJK terms."""
+    from tse_spark import fixtures
+    from tse_spark.plans import delete as dl
+    from tse_spark.plans import pipeline as pl
+
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        fixtures.gen_pages(120)
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "idx")
+    h = pl.IndexPipeline(
+        spark, out, tokenizer="tse",
+        dictionary=fixtures.mini_dict_bytes(),
+        num_shards=3, block_size=32,
+    ).run_from_pages(src, resume=False)
+    q = spark.createDataFrame(
+        [(0, "web search"), (1, "搜索引擎")], "query_id long, text string"
+    )
+    kw = dict(tokenizer="tse", dictionary=fixtures.mini_dict_bytes())
+    full = bs.batch_search_topk(
+        h.postings, h.term_stats, h.n_docs, h.avgdl, q, 5, **kw
+    ).collect()
+    cjk = [r for r in full if r.query_id == 1]
+    assert cjk  # the FMM law found the hanzi terms
+    # engine parity per query (same stale-free base state)
+    h.engine.warm()
+    for qid, text in [(0, "web search"), (1, "搜索引擎")]:
+        want = [
+            (i + 1, d, round(s, 4))
+            for i, (d, s) in enumerate(h.engine.search_local(text, 5))
+        ]
+        got = sorted(
+            (r.rank, r.doc_id, r.score) for r in full if r.query_id == qid
+        )
+        assert got == want
+    # tombstones: the batch must never rank a deleted doc
+    dead = [full[0].doc_id]
+    dl.delete_docs(
+        spark, out, doc_ids=[int(dead[0])],
+        dictionary=fixtures.mini_dict_bytes(),
+    )
+    from tse_spark.plans import delete as dmod
+
+    masked = bs.batch_search_topk(
+        h.postings, h.term_stats, h.n_docs, h.avgdl, q, 5,
+        tombstones=dmod.load_tombstones(spark, out), **kw
+    ).collect()
+    assert masked and all(r.doc_id != dead[0] for r in masked)

@@ -265,3 +265,57 @@ def test_delete_compact_equals_rebuild(
             for d, s in h_r.engine.search_local(q, 10)
         ]
         assert a == b  # rank-identical by url, scores equal
+
+
+def test_unresolved_delete_is_noop(spark, base, tmp_path):
+    """A takedown url not in the corpus must publish NOTHING: an empty
+    tombstone set would churn a snapshot and (worse) make every later
+    compact_index a full rewrite."""
+    _, base_out = base
+    out = _clone(base_out, tmp_path)
+    with open(os.path.join(out, "meta.json")) as f:
+        before = json.load(f)
+    dl.delete_docs(
+        spark, out, urls=["http://nowhere.example/x"],
+        dictionary=fixtures.mini_dict_bytes(),
+    )
+    with open(os.path.join(out, "meta.json")) as f:
+        after = json.load(f)
+    assert "tombstones_dir" not in after
+    assert after.get("snapshot_id") == before.get("snapshot_id")
+
+
+def test_tombstone_fold_without_reshard_invalidates_sidecar(
+    spark, base, tmp_path
+):
+    """Deletes never lower max_doc_id, so a tombstone-folding
+    compaction can leave shard_range unchanged — the sidecar must
+    STILL be detected stale (compact_version pin) or sidebar counts
+    silently keep the deleted docs forever."""
+    from tse_spark.operators import facets as fx
+
+    _, base_out = base
+    out = _clone(base_out, tmp_path)
+    with open(os.path.join(out, "meta.json")) as f:
+        m = json.load(f)
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    fx.write_facet_index(
+        fx.build_facet_shards(docs, ["lang"], m["shard_range"]),
+        out, facets=["lang"], max_doc_id=m["max_doc_id"],
+    )
+    dead = [int(r["doc_id"]) for r in docs.limit(4).collect()]
+    dl.delete_docs(
+        spark, out, doc_ids=dead, dictionary=fixtures.mini_dict_bytes()
+    )
+    cm.compact_index(spark, out, fixtures.mini_dict_bytes())
+    with open(os.path.join(out, "meta.json")) as f:
+        m2 = json.load(f)
+    assert m2["shard_range"] == m["shard_range"]  # the dangerous case
+    with pytest.raises(ValueError, match="compact_version"):
+        fx.load_facet_index(spark, out)
+    rebuilt = fx.sync_facet_index(spark, out)
+    assert rebuilt and "facets_base_v" in rebuilt
+    total = sum(
+        r.df for r in fx.load_facet_index(spark, out).collect()
+    )
+    assert total == m2["n_docs"]  # deleted docs gone from the sidebar

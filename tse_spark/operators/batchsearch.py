@@ -40,16 +40,26 @@ from tse_spark.operators import index_build as ib
 from tse_spark.operators import postings as po
 
 
-def tokenize_queries(queries: DataFrame, text_col: str = "text") -> DataFrame:
-    """Distinct (query_id, term) through the index's ws tokenizer law
-    — BM25 scores one addend per matched term, so query-side repeats
-    collapse (the interactive engine's query_terms does the same)."""
-    tf = ib.build_tf_ws(
-        queries.select(
-            F.col("query_id").alias("doc_id"), F.col(text_col)
-        ),
-        text_col,
+def tokenize_queries(
+    queries: DataFrame,
+    text_col: str = "text",
+    tokenizer: str = "ws",
+    dictionary: frozenset[bytes] = frozenset(),
+) -> DataFrame:
+    """Distinct (query_id, term) through the INDEX's tokenizer law —
+    BM25 scores one addend per matched term, so query-side repeats
+    collapse (the interactive engine's query_terms does the same).
+    Pass the index meta's tokenizer (+ dictionary for "tse"): a
+    ws-tokenized query against an FMM index would silently miss every
+    CJK term."""
+    docs = queries.select(
+        F.col("query_id").alias("doc_id"), F.col(text_col).alias("text")
     )
+    if tokenizer == "tse":
+        b_dict = queries.sparkSession.sparkContext.broadcast(dictionary)
+        tf = ib.doc_terms_to_tf(ib.build_doc_terms(docs, b_dict))
+    else:
+        tf = ib.build_tf_ws(docs)
     return tf.select(
         F.col("doc_id").alias("query_id"), "term"
     ).distinct()
@@ -64,6 +74,9 @@ def batch_search_topk(
     k: int = 10,
     require_all: bool = False,
     broadcast_queries: bool = True,
+    tombstones: DataFrame | None = None,
+    tokenizer: str = "ws",
+    dictionary: frozenset[bytes] = frozenset(),
 ) -> DataFrame:
     """Top-k BM25 per query over the compressed shards, one index pass
     for the whole batch; see module docstring for the plan.  ``queries``
@@ -77,8 +90,16 @@ def batch_search_topk(
     term — the only full shuffle left is the per-(query_id, doc_id)
     aggregation, which no plan can avoid.  Turn it off only when the
     batch's term table itself outgrows broadcast (hundreds of millions
-    of distinct (query, term) rows), accepting shuffle joins."""
-    qt = tokenize_queries(queries)
+    of distinct (query, term) rows), accepting shuffle joins.
+
+    ``tombstones`` (a (doc_id) relation — plans/delete.load_tombstones)
+    masks deleted docs BEFORE the per-query top-k, upholding the
+    takedown contract on the batch path too; ``tokenizer``/
+    ``dictionary`` must be the index meta's so queries and index share
+    one term law."""
+    qt = tokenize_queries(
+        queries, tokenizer=tokenizer, dictionary=dictionary
+    )
     if broadcast_queries:
         qt = F.broadcast(qt)
     vocab = F.broadcast(qt.select("term").distinct()) \
@@ -114,6 +135,10 @@ def batch_search_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("s").alias("score"), F.count(F.lit(1)).alias("n_hit"))
     )
+    if tombstones is not None:
+        scored = scored.join(
+            F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"
+        )
     if require_all:
         n_terms = qt.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n_terms")

@@ -113,12 +113,46 @@ def _publish_meta(out_dir: str, meta: dict) -> None:
     os.replace(tmp, path)
 
 
-def _index_shard_range(out_dir: str) -> int | None:
+def _index_probe(out_dir: str) -> tuple[int, int] | None:
+    """(shard_range, compact_version) of the live index, or None when
+    out_dir is a bare sidecar without an index meta.  BOTH numbers pin
+    sidecar validity: a re-sharding compaction breaks the doc-range
+    law, and a tombstone-folding compaction can remove docs WITHOUT
+    changing shard_range (deletes never lower max_doc_id) — either way
+    the encoded facet sets no longer match the postings."""
     path = os.path.join(out_dir, "meta.json")
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return int(json.load(f)["shard_range"])
+        m = json.load(f)
+    return int(m["shard_range"]), int(m.get("compact_version", 0))
+
+
+def _sidecar_stale(meta: dict, probe: tuple[int, int] | None) -> str | None:
+    """Why the sidecar no longer matches the live index (None = fine).
+    Checks only the facts the sidecar meta RECORDED (pre-field sidecars
+    pass, same upgrade posture as before)."""
+    if probe is None or meta is None:
+        return None
+    live_range, live_cv = probe
+    if (
+        meta.get("shard_range") is not None
+        and int(meta["shard_range"]) != live_range
+    ):
+        return (
+            f"shard_range {meta['shard_range']} != index's {live_range} "
+            "(the index was compacted/re-sharded)"
+        )
+    if (
+        meta.get("compact_version") is not None
+        and int(meta["compact_version"]) != live_cv
+    ):
+        return (
+            f"compact_version {meta['compact_version']} != index's "
+            f"{live_cv} (a compaction — possibly folding deletes — ran "
+            "since the sidecar was built)"
+        )
+    return None
 
 
 def write_facet_index(
@@ -161,8 +195,9 @@ def write_facet_index(
             if len(d):
                 mx = max(mx, int(d[-1]))
         max_doc_id = mx
-    if shard_range is None:
-        shard_range = _index_shard_range(out_dir)
+    probe = _index_probe(out_dir)
+    if shard_range is None and probe is not None:
+        shard_range = probe[0]
     prev = _read_meta(out_dir)
     meta = {
         "dirs": [dirname],
@@ -172,6 +207,8 @@ def write_facet_index(
     }
     if shard_range is not None:
         meta["shard_range"] = int(shard_range)
+    if probe is not None:
+        meta["compact_version"] = probe[1]
     _publish_meta(out_dir, meta)
     return path
 
@@ -200,16 +237,12 @@ def append_facet_shards(
             f"append_facet_shards: no {META_NAME} at {out_dir} — build "
             "the sidecar with write_facet_index first"
         )
-    live_range = _index_shard_range(out_dir)
-    if (
-        live_range is not None
-        and meta.get("shard_range") is not None
-        and int(meta["shard_range"]) != live_range
-    ):
+    probe = _index_probe(out_dir)
+    stale = _sidecar_stale(meta, probe)
+    if stale:
         raise ValueError(
-            f"append_facet_shards: sidecar shard_range "
-            f"{meta['shard_range']} != index's {live_range} (the index "
-            "was compacted/re-sharded) — run rebuild_facet_index first"
+            f"append_facet_shards: sidecar is stale — {stale}; run "
+            "rebuild_facet_index first"
         )
     if facets is None:
         facets = meta["facets"]
@@ -239,8 +272,10 @@ def append_facet_shards(
     new_meta.update(
         {"dirs": dirs, "facets": list(facets), "max_doc_id": int(new_max)}
     )
-    if live_range is not None and "shard_range" not in new_meta:
-        new_meta["shard_range"] = live_range  # upgrade pre-range metas
+    if probe is not None:
+        # upgrade pre-field metas in place (values validated above)
+        new_meta.setdefault("shard_range", probe[0])
+        new_meta.setdefault("compact_version", probe[1])
     _publish_meta(out_dir, new_meta)
     return path
 
@@ -289,6 +324,7 @@ def rebuild_facet_index(
     version = int(meta.get("version", 0)) + 1
     dname = f"facets_base_v{version}"
     shard_range = int(imeta["shard_range"])
+    compact_version = int(imeta.get("compact_version", 0))
     build_facet_shards(docs, facets, shard_range).write.mode(
         "overwrite"
     ).partitionBy("facet", "value").parquet(os.path.join(out_dir, dname))
@@ -300,6 +336,7 @@ def rebuild_facet_index(
             "facets": facets,
             "max_doc_id": int(imeta["max_doc_id"]),
             "shard_range": shard_range,
+            "compact_version": compact_version,
             "version": version,
         },
     )
@@ -329,12 +366,7 @@ def sync_facet_index(spark: SparkSession, out_dir: str) -> str | None:
     meta = _read_meta(out_dir)
     if meta is None:
         return None
-    live_range = _index_shard_range(out_dir)
-    if (
-        live_range is not None
-        and meta.get("shard_range") is not None
-        and int(meta["shard_range"]) != live_range
-    ):
+    if _sidecar_stale(meta, _index_probe(out_dir)):
         return rebuild_facet_index(spark, out_dir)
     with open(os.path.join(out_dir, "meta.json")) as f:
         imeta = json.load(f)
@@ -361,13 +393,11 @@ def load_facet_index(spark: SparkSession, out_dir: str) -> DataFrame:
     postings would be silently wrong — fail loudly instead and point
     at the repair."""
     meta = _read_meta(out_dir)
-    if meta is not None and meta.get("shard_range") is not None:
-        live_range = _index_shard_range(out_dir)
-        if live_range is not None and int(meta["shard_range"]) != live_range:
+    if meta is not None:
+        stale = _sidecar_stale(meta, _index_probe(out_dir))
+        if stale:
             raise ValueError(
-                f"facet sidecar at {out_dir} was built with shard_range "
-                f"{meta['shard_range']} but the index now uses "
-                f"{live_range} (compacted/re-sharded) — run "
+                f"facet sidecar at {out_dir} is stale — {stale}; run "
                 "rebuild_facet_index (or sync_facet_index) to repair"
             )
     dirs = meta["dirs"] if meta else ["facets"]

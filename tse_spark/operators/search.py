@@ -194,13 +194,15 @@ class SearchEngine:
             {t.decode("gb2312") for t in toks if oracle.eligible(t)}
         )
 
-    def _idf_map(self, terms: list[str]) -> dict[str, float]:
-        """term -> idf for present terms; consults the blob LRU, then a
-        stats-only df cache, then one pruned term_stats job for the rest
-        — repeat distributed queries for the same terms cost zero jobs
-        (the stats-only cache holds df without blobs; absent terms cache
-        as df=0 negatives)."""
-        out: dict[str, float] = {}
+    def _df_map(self, terms: list[str]) -> dict[str, int]:
+        """term -> document frequency (present terms only); consults
+        the blob LRU, then a stats-only df cache, then one pruned
+        term_stats job for the rest — repeat queries for the same terms
+        cost zero jobs (the stats-only cache holds df without blobs;
+        absent terms cache as df=0 negatives).  This is also the
+        federation hook: aggregating union df across member indexes
+        needs STATS only, never posting blobs."""
+        out: dict[str, int] = {}
         missing: list[str] = []
         for t in terms:
             e = self._term_cache.get(t)
@@ -216,7 +218,7 @@ class SearchEngine:
                 self._term_cache.move_to_end(t)
                 df = e[0]
             if df > 0:
-                out[t] = bm25_idf(self.n_docs, df)
+                out[t] = int(df)
         if missing:
             rows = self.term_stats.filter(
                 F.col("term").isin(missing)
@@ -226,10 +228,17 @@ class SearchEngine:
                 df = found.get(t, 0)
                 self._df_cache[t] = df
                 if df > 0:
-                    out[t] = bm25_idf(self.n_docs, df)
+                    out[t] = df
             while len(self._df_cache) > self.posting_cache_max_terms:
                 self._df_cache.popitem(last=False)
         return out
+
+    def _idf_map(self, terms: list[str]) -> dict[str, float]:
+        """term -> idf for present terms (see :meth:`_df_map`)."""
+        return {
+            t: bm25_idf(self.n_docs, df)
+            for t, df in self._df_map(terms).items()
+        }
 
     def _shard_rows(self, terms: list[str]) -> DataFrame:
         return self.postings.filter(F.col("term").isin(terms)).select(

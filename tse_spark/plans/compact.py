@@ -103,8 +103,27 @@ def compact_index(
             )
         )
         if len(tomb_arr) == 0:
+            # defensively clear an empty set (delete_docs no longer
+            # publishes one): without this, the stale tombstones_dir
+            # key would force a full rewrite on EVERY later compact
             tomb_df = None
             tomb_arr = None
+            meta.pop("tombstones_dir", None)
+            meta.pop("n_tombstones", None)
+            if (
+                len(docs_dirs) == 1
+                and len(postings_dirs) == 1
+                and enc_avgdl == avgdl
+            ):
+                # otherwise steady-state: a meta-only commit clears the
+                # key without rewriting anything
+                from tse_spark.plans import snapshots as sn
+
+                sn.publish_meta(
+                    out_dir, meta, op="compact",
+                    expect_snapshot_id=meta.get("snapshot_id", 0),
+                )
+                return pl.load_index(spark, out_dir, dictionary)
 
     version = int(meta.get("compact_version", 0)) + 1
     num_shards = int(meta.get("num_shards", 32))

@@ -137,6 +137,12 @@ def delete_docs(
     for p in parts[1:]:
         new_ids = new_ids.unionByName(p)
     new_ids = new_ids.distinct()
+    if new_ids.limit(1).count() == 0:
+        # nothing resolved (e.g. a takedown url not in the corpus):
+        # publishing an EMPTY tombstone set would churn a version AND
+        # make every later compact_index a full O(corpus) rewrite for
+        # nothing — no-op instead
+        return pl.load_index(spark, out_dir, dictionary)
 
     old_dir = meta.get("tombstones_dir")
     if old_dir:

@@ -92,12 +92,13 @@ class FederatedIndex:
         return self
 
     def _global_idf(self, terms: list[str]) -> dict[str, float]:
-        """Union df per term via each member's stats cache (one pruned
-        fetch per member for cache-missing terms)."""
+        """Union df per term via each member's STATS-ONLY cache (one
+        pruned term_stats fetch per member for cache-missing terms —
+        never posting blobs; a hot term's blob can be megabytes while
+        its df is one integer)."""
         df_g: dict[str, int] = {}
         for h in self.handles:
-            entries = h.engine._term_entries(terms)
-            for t, (df, _) in entries.items():
+            for t, df in h.engine._df_map(terms).items():
                 df_g[t] = df_g.get(t, 0) + int(df)
         return {
             t: se.bm25_idf(self.n_docs, df)

@@ -371,7 +371,14 @@ class IndexHandle:
 
         Driver traffic: the feedback doc ids (n_fb ints) and the
         keyword rows (bounded by the feedback docs' vocabulary) — the
-        same order as any typed query; no corpus data ever collects."""
+        same order as any typed query; no corpus data ever collects.
+
+        Same freshness caveat as :meth:`more_like_this`: expansion
+        terms come from the BASE build's tf checkpoint, which appends
+        do not extend — feedback docs from appended batches contribute
+        no expansion terms until a compaction/rebuild refreshes the
+        checkpoint (the ranking still degrades gracefully to the
+        surviving terms)."""
         import math
 
         from pyspark.sql import functions as F

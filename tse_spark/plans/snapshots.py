@@ -259,15 +259,23 @@ def vacuum_index(
     keep_dirs = _referenced_dirs(current)
     for s in retained:
         keep_dirs |= _referenced_dirs(s)
+    # PROVENANCE-based candidates: only dirs some EXPIRED snapshot
+    # referenced are garbage.  Dirs referenced by no snapshot at all
+    # are never touched — they are either another writer's IN-FLIGHT
+    # outputs (written before its atomic publish; deleting them would
+    # let that commit succeed pointing at nothing) or crash orphans a
+    # retry will overwrite.
+    candidates = set()
+    for s in expired:
+        candidates |= _referenced_dirs(s)
     removed = []
-    for name in sorted(os.listdir(out_dir)):
+    for name in sorted(candidates - keep_dirs):
         full = os.path.join(out_dir, name)
-        if not os.path.isdir(full) or name == SNAP_DIR:
+        if not os.path.isdir(full) or not _ARTIFACT_RE.fullmatch(name):
             continue
-        if _ARTIFACT_RE.fullmatch(name) and name not in keep_dirs:
-            removed.append(name)
-            if not dry_run:
-                shutil.rmtree(full, ignore_errors=True)
+        removed.append(name)
+        if not dry_run:
+            shutil.rmtree(full, ignore_errors=True)
     # facet sidecar garbage: its own meta (facets_meta.json, a separate
     # commit point maintained by operators/facets.py) lists the live
     # dirs; rebuilds leave superseded facets_base_v* dirs behind unless
@@ -277,17 +285,31 @@ def vacuum_index(
     fmeta_path = os.path.join(out_dir, "facets_meta.json")
     if os.path.exists(fmeta_path):
         with open(fmeta_path) as f:
-            live_facets = set(json.load(f)["dirs"])
+            fmeta = json.load(f)
+        live_facets = set(fmeta["dirs"])
+        fversion = int(fmeta.get("version", 0))
+        fhwm = int(fmeta.get("max_doc_id", -1))
         for name in sorted(os.listdir(out_dir)):
             full = os.path.join(out_dir, name)
             if (
-                os.path.isdir(full)
-                and re.fullmatch(r"facets(_.*)?", name)
-                and name not in live_facets
+                not os.path.isdir(full)
+                or not re.fullmatch(r"facets(_.*)?", name)
+                or name in live_facets
             ):
-                removed.append(name)
-                if not dry_run:
-                    shutil.rmtree(full, ignore_errors=True)
+                continue
+            # protect possibly-IN-FLIGHT sidecar writes (published only
+            # via facets_meta.json later): a rebuild targets version
+            # fversion+1 and an append targets a delta base above the
+            # live high-water mark — neither may be deleted
+            m = re.fullmatch(r"facets_base_v(\d+)", name)
+            if m and int(m.group(1)) > fversion:
+                continue
+            m = re.fullmatch(r"facets_delta_(\d+)", name)
+            if m and int(m.group(1)) > fhwm:
+                continue
+            removed.append(name)
+            if not dry_run:
+                shutil.rmtree(full, ignore_errors=True)
     expired_ids = [s["snapshot_id"] for s in expired]
     if not dry_run:
         for sid in expired_ids:
