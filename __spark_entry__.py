@@ -909,6 +909,48 @@ def _q_phrase_match_pos(spark, sf):
     return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
 
 
+def _q_phrase_pos_compacted(spark, sf):
+    """Positional-table LIFECYCLE serving (operators/positions.py
+    compact_position_table): build over half the corpus, O(delta)
+    append the rest, tombstone doc_id % 7 == 3, compact — deltas and
+    tombstones fold into ONE re-sharded base dir through the same
+    snapshot-stamped commit the main index uses.  The served phrase
+    result must equal a from-scratch phrase_match over the SURVIVORS —
+    which is exactly what the oracle computes.  The lifecycle dir is
+    persistent and idempotent across process runs (a finished state
+    short-circuits to the load)."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    from tse_spark.operators import positions as pos
+
+    out = "/tmp/tse_pos_life_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    meta_path = _os.path.join(out, "meta.json")
+    done = False
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            done = _json.load(f).get("compact_version", 0) >= 1
+    if not done:
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        split = int(max_id) // 2
+        pos.build_position_table(
+            docs.filter(F.col("doc_id") <= split), out,
+            n_docs=split + 1, num_shards=8,
+        )
+        pos.append_position_table(docs.filter(F.col("doc_id") > split), out)
+        dead = list(range(3, int(max_id) + 1, 7))
+        pos.compact_position_table(
+            spark, out, max_doc_id=int(max_id), excluded=dead, gc=True
+        )
+    table = pos.load_position_table(spark, out)
+    out_df = pos.phrase_match_positional(table, PHRASE_QUERY)
+    return out_df.select(
+        "doc_id", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
 def _q_phrase_snippet(spark, sf):
     """Quoted-query serving end to end: rank from the positional index
     (n_hits desc, doc_id tiebreak), join text ONLY for the top-10 via
@@ -2082,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "phrase_match_indexed": _q_phrase_match_indexed,
         "phrase_match_pos": _q_phrase_match_pos,
+        "phrase_pos_compacted": _q_phrase_pos_compacted,
         "proximity_count": _q_proximity_count,
         "doc_keywords": _q_doc_keywords,
         "bm25_proximity": _q_bm25_proximity,
@@ -3354,6 +3397,23 @@ def oracle_sql() -> dict[str, str]:
     # the full-scan phrase matcher — the oracle is shared
     out["phrase_match_indexed"] = out["phrase_match"]
     out["phrase_match_pos"] = out["phrase_match"]
+    # positional-table lifecycle (append + tombstone fold + compact):
+    # the served result equals a from-scratch phrase match over the
+    # surviving documents (doc_id % 7 == 3 deleted)
+    out["phrase_pos_compacted"] = rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> strlen(x) > 0) AS arr
+          FROM documents WHERE doc_id % 7 != 3),
+        pos AS (
+          SELECT doc_id, arr,
+                 unnest(generate_series(1, len(arr) - 1)) AS i
+          FROM t)
+        SELECT doc_id, count(*)::BIGINT AS n_hits FROM pos
+        WHERE arr[i] = '{PHRASE_QUERY.split()[0]}'
+          AND arr[i + 1] = '{PHRASE_QUERY.split()[1]}'
+        GROUP BY 1"""
     # quoted-query serving: rank by hit count from token positions,
     # snippet = phrase + 2 following tokens at the first hit (fi is
     # 1-based in SQL, first_pos 0-based in the engine)

@@ -250,3 +250,134 @@ def test_phrase_serving_masks_deleted_docs(spark, pos_docs, pos_index):
     # k=2 requested; doc 1 (the best hit) is deleted, so the page is
     # doc 2 alone — and doc 1 never appears
     assert 1 not in snips and 2 in snips
+
+
+def test_position_table_compact_folds_deltas_and_tombstones(
+    spark, tmp_path
+):
+    """build + 2 appends + excluded ids -> compact: ONE base dir,
+    re-sharded to the live doc range, phrase/proximity results
+    identical to a from-scratch rebuild over the survivors, and the
+    pre-compact state still time-travelable via its snapshot."""
+    import json
+    import os
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "pos_table")
+    P.build_position_table(
+        docs.filter("doc_id < 200"), out, n_docs=200, num_shards=4
+    )
+    P.append_position_table(
+        docs.filter("doc_id >= 200 and doc_id < 350"), out
+    )
+    P.append_position_table(docs.filter("doc_id >= 350"), out)
+    dead = [d for d in range(500) if d % 7 == 3]
+    pre = _collect(
+        P.phrase_match_positional(
+            P.load_position_table(spark, out), "spark join"
+        )
+    )
+    pre_meta = json.load(open(os.path.join(out, "meta.json")))
+    pre_snap = pre_meta["snapshot_id"]
+    assert len(pre_meta["data_dirs"]) == 3
+
+    P.compact_position_table(
+        spark, out, max_doc_id=499, excluded=dead
+    )
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["data_dirs"] == ["data_base_v1"]
+    assert meta["shard_range"] == 125  # ceil(500/4): re-sharded
+    assert meta["snapshot_id"] == pre_snap + 1
+    assert meta["compactions"][0]["folded_tombstones"] == len(dead)
+
+    survivors = docs.filter("doc_id % 7 != 3")
+    compacted = P.load_position_table(spark, out)
+    for phrase in ["spark join", "the the"]:
+        got = _collect(P.phrase_match_positional(compacted, phrase))
+        want = _collect(textops.phrase_match(survivors, phrase))
+        assert got == want and got
+        assert not any(d % 7 == 3 for d, _ in got)
+
+    # time travel: the pre-compact snapshot still serves the full state
+    old = P.load_position_table(spark, out, snapshot_id=pre_snap)
+    assert _collect(P.phrase_match_positional(old, "spark join")) == pre
+
+    # term IN pushdown survives compaction (file-skip layout kept)
+    plan = (
+        P.phrase_match_positional(compacted, "spark join")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "In(term" in plan
+
+
+def test_position_table_compact_crash_before_publish(
+    spark, tmp_path, monkeypatch
+):
+    """A crash after the versioned dir write but BEFORE the snapshot
+    publish leaves the uncompacted table fully intact; the retry
+    overwrites the same version dir and succeeds."""
+    import json
+    import os
+
+    from tse_spark.plans import snapshots as sn
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "pos_table")
+    P.build_position_table(
+        docs.filter("doc_id < 250"), out, n_docs=500, num_shards=4
+    )
+    P.append_position_table(docs.filter("doc_id >= 250"), out)
+    before = _collect(
+        P.phrase_match_positional(
+            P.load_position_table(spark, out), "spark join"
+        )
+    )
+
+    real = sn.publish_meta
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before publish")
+
+    monkeypatch.setattr(sn, "publish_meta", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        P.compact_position_table(spark, out, max_doc_id=499)
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert len(meta["data_dirs"]) == 2  # old state intact
+    assert (
+        _collect(
+            P.phrase_match_positional(
+                P.load_position_table(spark, out), "spark join"
+            )
+        )
+        == before
+    )
+
+    monkeypatch.setattr(sn, "publish_meta", real)
+    P.compact_position_table(spark, out, max_doc_id=499, gc=True)
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["data_dirs"] == ["data_base_v1"]
+    assert not os.path.exists(os.path.join(out, "data"))  # gc'd
+    assert (
+        _collect(
+            P.phrase_match_positional(
+                P.load_position_table(spark, out), "spark join"
+            )
+        )
+        == before
+    )
+
+
+def test_position_table_compact_noop_on_steady_state(spark, tmp_path):
+    import json
+    import os
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter("doc_id < 100")
+    out = str(tmp_path / "pos_table")
+    P.build_position_table(docs, out, n_docs=100, num_shards=4)
+    before = json.load(open(os.path.join(out, "meta.json")))
+    P.compact_position_table(spark, out)
+    assert json.load(open(os.path.join(out, "meta.json"))) == before

@@ -296,8 +296,14 @@ def build_position_shards(
                 }
             )
 
-    partials = doc_pos.mapInPandas(encode_map, partial_schema)
+    return _sorted_merge(doc_pos.mapInPandas(encode_map, partial_schema))
 
+
+def _sorted_merge(partials: DataFrame) -> DataFrame:
+    """(term, shard, df, first_doc, blocks) partial runs -> one row per
+    (term, shard): the shared reduce side of the build AND of
+    :func:`reencode_position_shards` — repartition by (term, shard),
+    sort runs by first_doc, concatenate the self-delimiting blobs."""
     merged_schema = "term string, shard long, df long, blocks binary"
 
     def merge_stream(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -340,6 +346,103 @@ def build_position_shards(
     )
 
 
+def reencode_position_shards(
+    pos_rows: DataFrame,
+    shard_range: int,
+    block_size: int = codec.BLOCK_SIZE,
+    excluded: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Re-shard + re-encode an existing positional table (the
+    compaction kernel, :func:`compact_position_table`) — the positional
+    twin of :func:`tse_spark.operators.postings.reencode_shards`:
+    decode every (term, shard) row, re-bucket postings by a NEW
+    ``shard_range``, drop ``excluded`` (tombstoned) doc ids
+    PHYSICALLY, and re-encode.  Same two-phase shape as the build: a
+    map-side split pass emits partial runs per (term, new shard) —
+    multiple old shards (base + delta dirs) fold into one new shard —
+    then the shared sorted merge concatenates them.  Terms whose
+    postings all belonged to deleted docs emit no runs (they vanish
+    from the re-encoded table)."""
+    partial_schema = (
+        "term string, shard long, df long, first_doc long, blocks binary"
+    )
+    b_ex = None
+    if excluded is not None and len(excluded):
+        b_ex = pos_rows.sparkSession.sparkContext.broadcast(
+            np.unique(np.asarray(excluded, dtype=np.int64))
+        )
+
+    def split_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            # per-row decode (vectorized inside decode_positions), then
+            # one batched regroup + encode across the whole Arrow chunk
+            d_l, c_l, p_l, r_l = [], [], [], []
+            for i, blob in enumerate(pdf["blocks"]):
+                d, c, p = decode_positions(bytes(blob))
+                if d.size == 0:
+                    continue
+                d_l.append(d)
+                c_l.append(c)
+                p_l.append(p)
+                r_l.append(np.full(d.size, i, dtype=np.int64))
+            if not d_l:
+                continue
+            docs = np.concatenate(d_l)
+            cnts = np.concatenate(c_l)
+            posflat = np.concatenate(p_l)
+            ridx = np.concatenate(r_l)
+            if b_ex is not None:
+                ex = b_ex.value
+                pos_ = np.searchsorted(ex, docs)
+                pos_[pos_ == len(ex)] = len(ex) - 1
+                keep = ex[pos_] != docs
+                if not keep.all():
+                    # ragged drop: remove each dropped posting's
+                    # position slice along with its row
+                    take = np.repeat(keep, cnts)
+                    posflat = posflat[take]
+                    docs, cnts, ridx = docs[keep], cnts[keep], ridx[keep]
+                if docs.size == 0:
+                    continue
+            terms = pdf["term"].to_numpy(dtype=object)[ridx]
+            shards = docs // shard_range
+            codes, _ = pd.factorize(terms, sort=False)
+            order = np.lexsort((docs, shards, codes.astype(np.int64)))
+            starts = np.concatenate(([0], np.cumsum(cnts)))[:-1]
+            o_cnts = cnts[order]
+            o_ends = np.cumsum(o_cnts)
+            take = np.repeat(starts[order], o_cnts) + (
+                np.arange(int(o_ends[-1]), dtype=np.int64)
+                - np.repeat(o_ends - o_cnts, o_cnts)
+            )
+            posflat = posflat[take]
+            codes_o, shards_o, docs_o = (
+                codes[order], shards[order], docs[order],
+            )
+            change = np.flatnonzero(
+                (codes_o[1:] != codes_o[:-1])
+                | (shards_o[1:] != shards_o[:-1])
+            )
+            bounds = np.concatenate(([0], change + 1, [codes_o.size]))
+            blobs = encode_positions_many(
+                docs_o, o_cnts, posflat, bounds, block_size
+            )
+            starts_o = bounds[:-1]
+            yield pd.DataFrame(
+                {
+                    "term": terms[order][starts_o],
+                    "shard": shards_o[starts_o],
+                    "df": np.diff(bounds),
+                    "first_doc": docs_o[starts_o],
+                    "blocks": blobs,
+                }
+            )
+
+    return _sorted_merge(pos_rows.mapInPandas(split_map, partial_schema))
+
+
 def build_position_index(
     docs: DataFrame,
     n_docs: int,
@@ -368,9 +471,9 @@ def build_position_table(
     narrow term interval and a serving-side ``term IN`` filter skips
     whole files on row-group min/max stats (the file-level analogue of
     the pushdown the tests pin).  ``meta.json`` is published LAST via
-    tmp + atomic rename (same visibility-gate contract as the tf index
-    and ANN tables: a crash mid-build leaves no readable index)."""
-    import json
+    the snapshot-stamped atomic commit (same visibility-gate contract
+    as the tf index: a crash mid-build leaves no readable index)."""
+    from tse_spark.plans import snapshots as sn
 
     shards = build_position_shards(
         build_doc_positions(docs, text_col), n_docs, num_shards
@@ -390,11 +493,11 @@ def build_position_table(
         "tokenizer": "whitespace_lower",
         "data_dirs": ["data"],
     }
-    tmp = os.path.join(out_dir, "meta.json.tmp")
     os.makedirs(out_dir, exist_ok=True)
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+    # the same snapshot-stamped atomic commit the main index uses
+    # (plans/snapshots.py): the positional table gets the identical
+    # commit log + optimistic-concurrency contract for free
+    sn.publish_meta(out_dir, meta, op="build")
     return out_dir
 
 
@@ -414,9 +517,12 @@ def append_position_table(
     (idempotent)."""
     import json
 
+    from tse_spark.plans import snapshots as sn
+
     meta_path = os.path.join(out_dir, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
+    loaded_snapshot = int(meta.get("snapshot_id", 0))
     delta_shards = build_position_shards(
         build_doc_positions(docs_delta, text_col),
         n_docs=0,  # unused: shard_range pins the layout
@@ -433,20 +539,109 @@ def append_position_table(
         .parquet(os.path.join(out_dir, delta_dir))
     )
     meta["data_dirs"] = meta["data_dirs"] + [delta_dir]
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, meta_path)
+    sn.publish_meta(
+        out_dir, meta, op="append", expect_snapshot_id=loaded_snapshot
+    )
     return out_dir
 
 
-def load_position_table(spark, out_dir: str) -> DataFrame:
+def compact_position_table(
+    spark,
+    out_dir: str,
+    max_doc_id: int | None = None,
+    excluded: "np.ndarray | list[int] | None" = None,
+    gc: bool = False,
+) -> str:
+    """Merge all positional delta dirs back into ONE base dir — the
+    positional twin of :func:`tse_spark.plans.compact.compact_index`,
+    sharing its contract exactly:
+
+    - all data dirs re-encoded into ``data_base_v{N}``, re-sharded to
+      ``ceil((max_doc_id+1)/num_shards)`` when ``max_doc_id`` is given
+      (after many appends the delta docs sit above the base range and
+      the original shard_range is too narrow), else the existing
+      shard_range is kept;
+    - ``excluded`` doc ids (the main index's tombstones, read before
+      its own compact folds them) leave the position lists PHYSICALLY —
+      this is how the positional sidecar is kept in lockstep with a
+      ``delete_docs`` -> ``compact_index`` lifecycle on the main index;
+    - crash-atomic: the versioned output dir is invisible until the
+      snapshot-stamped meta publish (plans/snapshots.publish_meta,
+      optimistic CAS on the loaded snapshot_id); a crash before it
+      leaves the uncompacted table fully intact and a retry overwrites
+      the same version dir.  Superseded dirs stay readable through
+      their archived snapshots until ``gc=True`` removes them.
+
+    Phrase/proximity serving is invariant (minus excluded docs):
+    compaction moves postings between shards but positions, tfs and
+    adjacency never change — pytest pins result-identity against a
+    from-scratch rebuild over the survivors."""
+    import json
+    import shutil
+
+    from tse_spark.plans import snapshots as sn
+
+    meta_path = os.path.join(out_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    loaded_snapshot = int(meta.get("snapshot_id", 0))
+    ex = None
+    if excluded is not None and len(excluded):
+        ex = np.unique(np.asarray(excluded, dtype=np.int64))
+    if len(meta["data_dirs"]) == 1 and ex is None and max_doc_id is None:
+        return out_dir  # steady state: nothing to fold
+
+    num_shards = int(meta["num_shards"])
+    new_range = (
+        max(1, -(-(int(max_doc_id) + 1) // num_shards))
+        if max_doc_id is not None
+        else int(meta["shard_range"])
+    )
+    version = int(meta.get("compact_version", 0)) + 1
+    data_out = f"data_base_v{version}"
+    old_rows = load_position_table(spark, out_dir)
+    (
+        reencode_position_shards(old_rows, new_range, excluded=ex)
+        .repartitionByRange(num_shards, "term")
+        .sortWithinPartitions("term", "shard")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, data_out))
+    )
+    old_dirs = list(meta["data_dirs"])
+    meta["data_dirs"] = [data_out]
+    meta["shard_range"] = new_range
+    meta["compact_version"] = version
+    entry: dict = {"version": version, "merged_dirs": old_dirs}
+    if ex is not None:
+        entry["folded_tombstones"] = int(len(ex))
+    meta.setdefault("compactions", []).append(entry)
+    sn.publish_meta(
+        out_dir, meta, op="compact", expect_snapshot_id=loaded_snapshot
+    )
+    if gc:
+        for d in old_dirs:
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+    return out_dir
+
+
+def load_position_table(
+    spark, out_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
     """Union-of-dirs read of a persisted positional index; per-dir
-    scans keep file skipping working independently under each root."""
+    scans keep file skipping working independently under each root.
+    ``snapshot_id`` time-travels to an archived state (the table
+    commits through the same snapshot log as the main index —
+    maintenance only ever writes NEW versioned dirs, so superseded
+    states stay complete on disk until gc'd)."""
     import json
     from functools import reduce
 
-    with open(os.path.join(out_dir, "meta.json")) as f:
+    meta_src = (
+        os.path.join(out_dir, "snapshots", f"v{snapshot_id}.json")
+        if snapshot_id is not None
+        else os.path.join(out_dir, "meta.json")
+    )
+    with open(meta_src) as f:
         meta = json.load(f)
     return reduce(
         DataFrame.unionByName,
