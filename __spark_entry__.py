@@ -1149,6 +1149,29 @@ def _q_media_image_features(spark, sf):
     )
 
 
+def _q_media_gif_roundtrip(spark, sf):
+    """REAL image bytes through the driver gate: deterministic gray
+    images are LZW-encoded into actual GIF87a/89a payloads inside the
+    task (multimodal.encode_gif), then decode_image_features with the
+    stdlib backend LZW-decodes those bytes back — the oracle recomputes
+    the expected features from the pixel law, so any bit drift in
+    either LZW direction hash-mismatches.  400 rows at every sf (the
+    codec cost is per-pixel Python; coverage, not throughput — the
+    throughput media path stays the fake/pillow backends)."""
+    from tse_spark.operators import multimodal as mm
+
+    out = mm.decode_image_features(
+        mm.gif_media_df(spark, 400), decode_backend="stdlib"
+    )
+    return out.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round("mean_px", 4).alias("mean_px"),
+        F.round("std_px", 4).alias("std_px"),
+    )
+
+
 def _q_media_audio_features(spark, sf):
     from tse_spark.operators import multimodal as mm
 
@@ -2133,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": _q_cosine_neardup,
         "snapshot_by_url": _q_snapshot_by_url,
         "media_image_features": _q_media_image_features,
+        "media_gif_roundtrip": _q_media_gif_roundtrip,
         "media_audio_features": _q_media_audio_features,
         "media_frame_sample": _q_media_frame_sample,
         "link_extract": _q_link_extract,
@@ -3243,6 +3267,25 @@ def oracle_sql() -> dict[str, str]:
         "search_render": _render_sql(),
         "content_type_gate": _CONTENT_TYPE_GATE_SQL,
         "media_image_features": _MEDIA_IMAGE_SQL,
+        # real-GIF round trip: the oracle recomputes the deterministic
+        # pixel law (multimodal.gif_media_df); Spark's answer passed
+        # through an actual LZW encode + decode of the payload bytes
+        "media_gif_roundtrip": """
+        WITH m AS (
+          SELECT media_id, 4 + (media_id * 7) % 13 AS w,
+                 3 + (media_id * 11) % 9 AS h
+          FROM range(400) t(media_id)),
+        px AS (
+          SELECT media_id, w, h,
+                 list_transform(range(w * h),
+                   p -> CAST((media_id * 131 + p * 7) % 256 AS DOUBLE)) AS l
+          FROM m)
+        SELECT media_id, w AS width, h AS height,
+               round(list_avg(l), 4) AS mean_px,
+               round(sqrt(greatest(
+                 list_avg(list_transform(l, x -> x * x))
+                   - list_avg(l) * list_avg(l), 0)), 4) AS std_px
+        FROM px""",
         "media_audio_features": _MEDIA_AUDIO_SQL,
         "media_frame_sample": _MEDIA_FRAMES_SQL,
         "snapshot_by_url": f"""

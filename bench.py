@@ -162,6 +162,9 @@ HEADLINE = [
     "bm25_fresh",
     "search_dedup",
     "related_terms",
+    # round-3 final-session additions
+    "phrase_pos_compacted",
+    "media_gif_roundtrip",
 ]
 
 RESULT: dict = {

@@ -287,3 +287,85 @@ def test_stdlib_resize_emits_real_png(spark):
     yi = (np.arange(7) * 14 // 7).astype(int)
     xi = (np.arange(5) * 10 // 5).astype(int)
     assert np.array_equal(small, px[np.ix_(yi, xi)])
+
+
+# real stdlib GIF codec (LZW both directions; SURVEY round-4 item 1)
+
+def test_gif_roundtrip_gray_and_rgb():
+    rng = np.random.RandomState(7)
+    for shape in [(5, 9), (1, 1), (16, 11)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        got = mm.decode_gif(mm.encode_gif(px))
+        assert got.shape == px.shape and np.array_equal(got, px)
+    # RGB with a small palette (and a KwKwK-heavy repeating pattern)
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 8, 7]], np.uint8
+    )
+    idx = np.tile(np.array([[0, 0, 1, 1, 2], [3, 0, 0, 1, 2]]), (4, 3))
+    px = pal[idx]
+    got = mm.decode_gif(mm.encode_gif(px))
+    assert got.shape == px.shape and np.array_equal(got, px)
+
+
+def test_gif_roundtrip_fills_12bit_table():
+    # 90k random gray pixels generate > 4096 LZW patterns, forcing the
+    # width ladder to 12 bits, a table-full CLEAR reset, and re-growth
+    rng = np.random.RandomState(13)
+    px = rng.randint(0, 256, size=(300, 300)).astype(np.uint8)
+    data = mm.encode_gif(px)
+    assert np.array_equal(mm.decode_gif(data), px)
+
+
+def test_gif_kwkwk_case():
+    # 'aaaa...' is the classic code-not-yet-in-table sequence
+    px = np.zeros((1, 40), dtype=np.uint8)
+    assert np.array_equal(mm.decode_gif(mm.encode_gif(px)), px)
+
+
+def test_gif_rejects_junk_and_overflow():
+    with pytest.raises(ValueError, match="signature"):
+        mm.decode_gif(b"not a gif")
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(20, 20, 3)).astype(np.uint8)
+    with pytest.raises(ValueError, match="palette overflow"):
+        mm.encode_gif(px)  # ~400 distinct colors
+
+
+def test_stdlib_backend_sniffs_png_and_gif(spark):
+    """decode_image_features with one backend over a MIXED media table
+    (PNG rows and GIF rows): the stdlib decoder dispatches on the byte
+    signature, dims come from the decoded image either way."""
+    import pandas as pd
+
+    rng = np.random.RandomState(21)
+    rows = []
+    for mid in range(6):
+        h, w = int(rng.randint(2, 9)), int(rng.randint(2, 9))
+        px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        blob = mm.encode_png(px) if mid % 2 else mm.encode_gif(px)
+        rows.append(
+            {
+                "media_id": mid,
+                "kind": "image",
+                "payload": blob,
+                "meta": {"width": None, "height": None},
+                "_px": px,
+            }
+        )
+    media = spark.createDataFrame(
+        pd.DataFrame([{k: v for k, v in r.items() if k != "_px"} for r in rows]),
+        "media_id long, kind string, payload binary, "
+        "meta struct<width: int, height: int>",
+    )
+    got = {
+        r["media_id"]: r
+        for r in mm.decode_image_features(
+            media, decode_backend="stdlib"
+        ).collect()
+    }
+    for r in rows:
+        px = r["_px"]
+        g = got[r["media_id"]]
+        assert (g["height"], g["width"]) == px.shape
+        assert abs(g["mean_px"] - px.mean()) < 1e-9
+        assert abs(g["std_px"] - px.std()) < 1e-9

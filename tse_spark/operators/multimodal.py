@@ -269,12 +269,268 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     return sr, a
 
 
+# --- GIF (real LZW both directions, pure stdlib) ---------------------------
+
+_GIF_MAX_CODE = 4096  # 12-bit LZW ceiling (GIF89a spec appendix F)
+
+
+def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width starting at
+    ``min_code_size + 1``, LSB-first bit packing, CLEAR emitted first
+    and again whenever the 12-bit table fills.  Width bumps when the
+    NEXT free slot reaches ``2**width`` — the "early change" convention
+    real GIF writers use, mirrored exactly by :func:`_lzw_decode_gif`
+    so encoder and decoder tables stay in lockstep."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = end + 1
+    emit(clear, width)
+    prev = -1
+    for k in indices.tolist():
+        if prev < 0:
+            prev = k
+            continue
+        got = table.get((prev, k))
+        if got is not None:
+            prev = got
+            continue
+        emit(prev, width)
+        if next_code < _GIF_MAX_CODE:
+            table[(prev, k)] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table.clear()
+            next_code = end + 1
+            width = min_code_size + 1
+        prev = k
+    if prev >= 0:
+        emit(prev, width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> np.ndarray:
+    """Inverse of :func:`_lzw_encode_gif` -> uint8 palette indices."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    acc = nbits = pos = 0
+    out: list[bytes] = []
+    prev: bytes | None = None
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated GIF LZW stream (no END code)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # KwKwK: the code being defined
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.append(entry)
+        if prev is not None and len(table) < _GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+        # early change, one code AHEAD of the table length: the decoder
+        # learns each entry one code later than the encoder defined it,
+        # so it must widen when the NEXT add would hit 2**width — i.e.
+        # at len+1 — to read the encoder's first wider code correctly
+        if len(table) + 1 == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return np.frombuffer(b"".join(out), dtype=np.uint8)
+
+
+def encode_gif(px: np.ndarray) -> bytes:
+    """Minimal real GIF89a encoder (pure stdlib + the LZW above):
+    uint8 (h, w) gray — palette is the 256-gray ramp — or (h, w, 3)
+    RGB with at most 256 distinct colors (more raises: route to the
+    pillow backend).  Single frame, global color table, no interlace;
+    output opens in any viewer."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        pal = np.repeat(
+            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+        )
+        idx = px
+        pal_bits = 8
+    elif px.ndim == 3 and px.shape[2] == 3:
+        flat = px.reshape(-1, 3)
+        pal, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError(
+                f"GIF palette overflow ({len(pal)} distinct colors > "
+                "256) — use decode_backend='pillow'"
+            )
+        pal_bits = max(1, int(len(pal) - 1).bit_length())
+        pal = np.vstack(
+            [pal, np.zeros(((1 << pal_bits) - len(pal), 3), np.uint8)]
+        )
+        idx = inv.astype(np.uint8).reshape(px.shape[:2])
+    else:
+        raise ValueError("need (h, w) gray or (h, w, 3) RGB uint8")
+    h, w = idx.shape
+    mcs = max(2, pal_bits)  # spec: min code size >= 2
+    packed = 0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1)
+    head = b"GIF89a" + struct.pack("<HHBBB", w, h, packed, 0, 0)
+    body = _lzw_encode_gif(idx.ravel(), mcs)
+    subs = b"".join(
+        bytes([len(body[i : i + 255])]) + body[i : i + 255]
+        for i in range(0, len(body), 255)
+    )
+    return (
+        head
+        + pal.astype(np.uint8).tobytes()
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([mcs]) + subs + b"\x00\x3b"
+    )
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Minimal real GIF decoder (87a/89a): global or local color table,
+    extensions skipped, first frame, no interlace (raises — route to
+    pillow).  Returns (h, w) uint8 gray when every referenced palette
+    entry is achromatic (r == g == b), else (h, w, 3) RGB — so
+    :func:`encode_gif` roundtrips shape-exactly, matching
+    :func:`decode_png`'s gray/RGB convention."""
+    if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF (bad signature)")
+    _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"corrupt GIF (block 0x{block:02x})")
+        _l, _t, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(
+                data[pos : pos + 3 * n], np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if ipacked & 0x40:
+            raise ValueError(
+                "interlaced GIF unsupported — use decode_backend='pillow'"
+            )
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        mcs = data[pos]
+        pos += 1
+        parts = []
+        while data[pos]:
+            ln = data[pos]
+            parts.append(data[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx = _lzw_decode_gif(b"".join(parts), mcs)
+        if idx.size != w * h:
+            raise ValueError(
+                f"GIF pixel count mismatch ({idx.size} != {w * h})"
+            )
+        idx = idx.reshape(h, w)
+        used = pal[: int(idx.max()) + 1]
+        if (used[:, 0] == used[:, 1]).all() and (
+            used[:, 1] == used[:, 2]
+        ).all():
+            return pal[idx, 0]
+        return pal[idx]
+    raise ValueError("GIF contains no image block")
+
+
+def gif_media_df(spark, n_rows: int) -> DataFrame:
+    """Media table whose payloads are REAL GIF bytes: per media_id a
+    deterministic gray image (w = 4 + (id*7) % 13, h = 3 + (id*11) % 9,
+    flat pixel p = (id*131 + p*7) % 256) LZW-encoded by
+    :func:`encode_gif` inside the task.  The arithmetic law is
+    re-expressible in SQL, so a DuckDB oracle can verify the full
+    generate -> LZW encode -> store -> LZW decode -> features loop."""
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 4 + (i * 7) % 13, 3 + (i * 11) % 9
+                p = np.arange(w * h, dtype=np.int64)
+                px = ((i * 131 + p * 7) % 256).astype(np.uint8)
+                rows.append(("image", i, encode_gif(px.reshape(h, w))))
+            yield pd.DataFrame(
+                rows, columns=["kind", "media_id", "payload"]
+            )
+
+    return spark.range(n_rows).mapInPandas(
+        gen, "kind string, media_id long, payload binary"
+    )
+
+
+def decode_image_stdlib(data: bytes) -> np.ndarray:
+    """Signature-sniffing stdlib image decode: PNG (8-bit gray/RGB) or
+    GIF (87a/89a, non-interlaced) — the two formats the no-dependency
+    backend handles; anything else routes to pillow."""
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:4] == b"GIF8":
+        return decode_gif(data)
+    raise ValueError(
+        "unsupported image format for decode_backend='stdlib' "
+        "(PNG and GIF supported) — use decode_backend='pillow'"
+    )
+
+
 def _image_decoder(decode_backend: str):
     """Resolve the per-blob image decode function for a backend, or
     raise NotImplementedError EAGERLY (operator build time, not inside
     Spark tasks)."""
     if decode_backend == "stdlib":
-        return decode_png
+        return decode_image_stdlib
     if decode_backend == "pillow":
         try:
             from PIL import Image  # type: ignore[import-not-found]
