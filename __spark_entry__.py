@@ -1840,6 +1840,50 @@ def _q_prefix_complete(spark, sf):
     return textops.prefix_complete(vocab, PREFIX_QUERY, k=5)
 
 
+WILDCARD_TERMS_PAT = "s*"   # prefix wildcard over the synth vocabulary
+WILDCARD_SEARCH_PAT = "*or*"  # floating infix: {order, sort, vector}
+WILDCARD_K = 2  # the synth vocabulary's words are short; k=2 grams
+                # keep the gram path (not the fallback) exercised
+
+
+def _q_wildcard_terms(spark, sf):
+    """Wildcard term lookup via the k-gram index (operators/kgram.py):
+    the pattern's fixed segments become a gram conjunction over the
+    vocabulary-inverted (gram, term) table, candidates regex
+    post-filtered — the IR-textbook scale path for query-box
+    wildcards.  Oracle: plain LIKE over the df aggregate."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import kgram as kg
+
+    vocab = ib.build_df_stats(_tf_ws_cached(spark, sf))
+    return kg.wildcard_terms(vocab, WILDCARD_TERMS_PAT, k=WILDCARD_K)
+
+
+def _q_wildcard_search(spark, sf):
+    """Documents matching any wildcard-matched term (analysis form:
+    one corpus token scan, matched terms broadcast): per doc the
+    distinct matched terms and their total occurrences."""
+    from tse_spark.operators import kgram as kg
+
+    out = kg.wildcard_search(
+        _t(spark, sf, "documents"), WILDCARD_SEARCH_PAT, k=WILDCARD_K
+    )
+    return out.select("doc_id", "n_terms", "tf")
+
+
+def _q_wildcard_search_indexed(spark, sf):
+    """The serving form: answered entirely from the (term, doc_id, tf)
+    index — the documents table is never scanned.  Result-identical to
+    wildcard_search (shared oracle); every matched term here is
+    index-eligible (2..8 bytes)."""
+    from tse_spark.operators import kgram as kg
+
+    out = kg.wildcard_search_indexed(
+        _tf_ws_cached(spark, sf), WILDCARD_SEARCH_PAT, k=WILDCARD_K
+    )
+    return out.select("doc_id", "n_terms", "tf")
+
+
 def _q_static_prune_topk(spark, sf):
     """BM25 top-10 served from an impact-pruned index (top-PRUNE_M
     postings per term by BM25 impact, full-corpus stats) — the static
@@ -2153,6 +2197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_proximity": _q_bm25_proximity,
         "phrase_snippet": _q_phrase_snippet,
         "spell_suggest": _q_spell_suggest,
+        "wildcard_terms": _q_wildcard_terms,
+        "wildcard_search": _q_wildcard_search,
+        "wildcard_search_indexed": _q_wildcard_search_indexed,
         "cosine_neardup": _q_cosine_neardup,
         "snapshot_by_url": _q_snapshot_by_url,
         "media_image_features": _q_media_image_features,
@@ -3238,6 +3285,16 @@ def oracle_sql() -> dict[str, str]:
         WHERE arr[i] = '{PHRASE_QUERY.split()[0]}'
           AND arr[i + 1] = '{PHRASE_QUERY.split()[1]}'
         GROUP BY 1""",
+        # wildcard queries: the engine routes through the k-gram index
+        # + regex post-filter; the oracle is the ground-truth LIKE scan
+        "wildcard_terms": _TOK
+        + """
+        SELECT term, df FROM dfreq WHERE term LIKE 's%'""",
+        "wildcard_search": _TOK
+        + """
+        SELECT doc_id, count(DISTINCT term)::BIGINT AS n_terms,
+               sum(tf)::BIGINT AS tf
+        FROM tf WHERE term LIKE '%or%' GROUP BY 1""",
         "spell_suggest": _TOK
         + f"""
         SELECT term, levenshtein(term, '{SPELL_TERM}')::BIGINT AS dist, df
@@ -3440,6 +3497,9 @@ def oracle_sql() -> dict[str, str]:
     # the full-scan phrase matcher — the oracle is shared
     out["phrase_match_indexed"] = out["phrase_match"]
     out["phrase_match_pos"] = out["phrase_match"]
+    # the index-served wildcard returns IDENTICAL results to the
+    # token-scan form (every matched term is index-eligible)
+    out["wildcard_search_indexed"] = out["wildcard_search"]
     # positional-table lifecycle (append + tombstone fold + compact):
     # the served result equals a from-scratch phrase match over the
     # surviving documents (doc_id % 7 == 3 deleted)

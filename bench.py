@@ -165,6 +165,8 @@ HEADLINE = [
     # round-3 final-session additions
     "phrase_pos_compacted",
     "media_gif_roundtrip",
+    "wildcard_terms",
+    "wildcard_search_indexed",
 ]
 
 RESULT: dict = {
