@@ -804,6 +804,114 @@ def _q_wand_delete_compacted(spark, sf):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+RECRAWL_TS0 = "2024-01-01 00:00:00"   # base crawl
+RECRAWL_TS1 = "2024-03-01 00:00:00"   # the newer re-crawl (wins)
+RECRAWL_TS_OLD = "2023-06-01 00:00:00"  # a stale duplicate (drops)
+
+
+def _recrawl_index(spark, sf):
+    """Recrawl-reconciliation lifecycle (plans/append.py:upsert_pages):
+    a pages-table ws index where doc_id % 9 == 2 urls were re-crawled
+    LATER with ' spark spark' appended (replace: old copy tombstoned,
+    fresh appended), % 9 == 4 urls re-arrived with an OLDER warc_ts and
+    dummy text (must drop), and % 9 == 7 spawned brand-new '?v=new'
+    urls with 'join ' prefixed — then compact_index folds the
+    tombstones so stats are exact over the latest-per-url corpus.
+    Idempotent across process runs (finished state short-circuits)."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    from tse_spark.plans import append as amod
+    from tse_spark.plans import compact as cmod
+    from tse_spark.plans import pipeline as pl
+
+    key = "recrawl:" + sf
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    out = "/tmp/tse_ws_ridx_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    meta_path = _os.path.join(out, "meta.json")
+    done = False
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            m = _json.load(f)
+        done = (
+            any(a.get("op") == "upsert" for a in m.get("appends", []))
+            and m.get("compact_version", 0) >= 1
+        )
+    if done:
+        handle = pl.load_index(spark, out)
+    else:
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        i = F.col("doc_id")
+
+        def pages_of(df, url_col, ts, text_col):
+            return df.select(
+                url_col.alias("url"),
+                F.lit(ts).cast("timestamp").alias("warc_ts"),
+                F.encode(text_col, "utf-8").alias("html"),
+                text_col.alias("text"),
+                F.lit("en").alias("lang"),
+            )
+
+        base_src = out + "_src_base"
+        pages_of(
+            docs, _synth_url_col(), RECRAWL_TS0, F.col("text")
+        ).write.mode("overwrite").parquet(base_src)
+
+        batch_src = out + "_src_batch"
+        newer = pages_of(
+            docs.filter(i % 9 == 2), _synth_url_col(), RECRAWL_TS1,
+            F.concat(F.col("text"), F.lit(" spark spark")),
+        )
+        stale = pages_of(
+            docs.filter(i % 9 == 4), _synth_url_col(), RECRAWL_TS_OLD,
+            F.lit("stale stale"),
+        )
+        new = pages_of(
+            docs.filter(i % 9 == 7),
+            F.concat(_synth_url_col(), F.lit("?v=new")), RECRAWL_TS1,
+            F.concat(F.lit("join "), F.col("text")),
+        )
+        newer.unionByName(stale).unionByName(new).write.mode(
+            "overwrite"
+        ).parquet(batch_src)
+
+        pl.IndexPipeline(
+            spark, out, tokenizer="ws", num_shards=8, block_size=128
+        ).run_from_pages(base_src, resume=False)
+        amod.upsert_pages(spark, out, batch_src)
+        handle = cmod.compact_index(spark, out)
+    _INDEX_CACHE[key] = handle
+    return handle
+
+
+def _q_wand_recrawled(spark, sf):
+    """WAND serving after a recrawl upsert + compact: the ranking must
+    equal exhaustive BM25 over the latest-per-url corpus (replaced docs
+    carry their NEW text, stale re-arrivals never surface, new urls
+    joined).  Appended copies get fresh engine ids, so results compare
+    by url: top-50 exact-score candidates re-cut to top-K by
+    (rounded score, url) — a comparator both engines express
+    identically."""
+    h = _recrawl_index(spark, sf)
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(h.out_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    urls = spark.read.parquet(
+        *[_os.path.join(h.out_dir, d) for d in meta["docs_dirs"]]
+    ).select("doc_id", "url")
+    top = h.engine.search(" ".join(BM25_QUERY), 50)
+    return (
+        top.join(urls, "doc_id")
+        .select("url", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), "url")
+        .limit(K)
+    )
+
+
 # ----- rows-only (non-SQL-expressible) engine paths -----
 
 def _q_pages_bm25(spark, sf):
@@ -2235,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_pruned_topk": _q_wand_pruned_topk,
         "wand_tombstoned": _q_wand_tombstoned,
         "wand_delete_compacted": _q_wand_delete_compacted,
+        "wand_recrawled": _q_wand_recrawled,
         "wand_snapshot": _q_wand_snapshot,
         "wand_federated": _q_wand_federated,
         "bm25_rm3": _q_bm25_rm3,
@@ -3725,6 +3834,45 @@ def oracle_sql() -> dict[str, str]:
     FROM perterm GROUP BY doc_id
     ORDER BY sum(s) DESC, doc_id LIMIT {K}"""
     )
+    # recrawl upsert + compact: exhaustive BM25 over the reconciled
+    # latest-per-url corpus (replaced docs carry their new text, stale
+    # re-arrivals drop, new urls join), keyed by URL because appended
+    # copies legitimately hold fresh engine doc ids; both engines cut
+    # top-K by the identical (rounded score, url) comparator
+    _q_terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY)))
+    out["wand_recrawled"] = f"""
+    WITH corpus AS (
+      SELECT {_SYNTH_URL_EXPR} AS url,
+             CASE WHEN doc_id % 9 = 2 THEN text || ' spark spark'
+                  ELSE text END AS text
+      FROM documents
+      UNION ALL
+      SELECT {_SYNTH_URL_EXPR} || '?v=new' AS url, 'join ' || text
+      FROM documents WHERE doc_id % 9 = 7
+    ),
+    tok0 AS (
+      SELECT url, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+      FROM corpus
+    ),
+    tok AS (SELECT url, term FROM tok0 WHERE strlen(term) BETWEEN 2 AND 8),
+    tf AS (SELECT url, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT url, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+    perterm AS (
+      SELECT tf.url,
+             ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl ON dl.url = tf.url
+      CROSS JOIN stats
+      WHERE tf.term IN ({_q_terms})
+    )
+    SELECT url, round(sum(s), 4) AS score
+    FROM perterm GROUP BY url
+    ORDER BY round(sum(s), 4) DESC, url LIMIT {K}"""
     # batch retrieval: per-query exhaustive BM25 over a literal query
     # table, window-ranked — one oracle covers the single-pass batch
     # plan because its scores share the engine's idf/avgdl law

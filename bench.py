@@ -167,6 +167,7 @@ HEADLINE = [
     "media_gif_roundtrip",
     "wildcard_terms",
     "wildcard_search_indexed",
+    "wand_recrawled",
 ]
 
 RESULT: dict = {

@@ -34,9 +34,10 @@ n_docs and avgdl are all identical; only doc ids differ (appends keep
 old ids stable — itself a feature: downstream references to old doc
 ids survive).  When a delta RE-CRAWLS an existing url with different
 content, append keeps the EXISTING copy regardless of warc_ts (the
-url anti-join drops the delta row), while a full rebuild's dedup keeps
-the earliest-warc_ts copy — recrawled pages never refresh under
-append; run a rebuild (or compact + rebuild) to reconcile re-crawls.
+url anti-join drops the delta row) — use :func:`upsert_pages` to
+reconcile re-crawls: latest warc_ts per url wins, the superseded
+copy is tombstoned and the fresh one appended in ONE snapshot commit,
+so upsert + compact equals a rebuild over the latest-per-url corpus.
 
 Appending requires the SAME dictionary as the base build: meta.json
 records the build dictionary's fingerprint and append_pages fails
@@ -58,6 +59,60 @@ from tse_spark.plans import checkpoint as cp
 from tse_spark.plans import pipeline as pl
 
 
+def _load_validated_meta(
+    out_dir: str, dictionary: frozenset[bytes], caller: str
+) -> dict:
+    """Load meta.json and enforce the append-family preconditions."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    # the delta MUST tokenize exactly like the base build: a different
+    # dictionary segments hanzi differently and silently breaks the
+    # append == rebuild score equivalence — fail loudly instead
+    if "dict_fp" in meta:
+        dict_fp = cp.fingerprint(sorted(dictionary))
+        if meta["dict_fp"] != dict_fp:
+            raise ValueError(
+                f"{caller}: dictionary fingerprint mismatch with the "
+                f"base build ({dict_fp} != {meta['dict_fp']}); appending "
+                "with a different dictionary would tokenize the delta "
+                "differently than the base index"
+            )
+    if meta.get("prune_m") is not None:
+        raise ValueError(
+            f"{caller}: the base index was built with impact pruning "
+            f"(prune_m={meta['prune_m']}); an unpruned delta would break "
+            "the per-term top-m invariant silently — rebuild (or prune "
+            "the merged corpus) instead"
+        )
+    return meta
+
+
+def _next_base(spark, out_dir: str, meta: dict) -> tuple[int, int]:
+    """-> (base, shard_range): first doc id of the delta range (next
+    shard_range multiple above every existing id)."""
+    n0 = int(meta["n_docs"])
+    shard_range = int(
+        meta.get(
+            "shard_range", max(1, math.ceil(n0 / meta.get("num_shards", 32)))
+        )
+    )
+    if "max_doc_id" in meta:
+        max_id = int(meta["max_doc_id"])
+    else:
+        # legacy meta: n_docs - 1 UNDERCOUNTS when the ws tokenizer
+        # dropped termless docs from the tf count while ids stayed
+        # dense over all urls — ask the docs table for the true max
+        docs_dirs = meta.get("docs_dirs", ["docs"])
+        old_docs = spark.read.parquet(
+            *[os.path.join(out_dir, d) for d in docs_dirs]
+        )
+        max_id = int(
+            old_docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        )
+    base = ((max_id + 1 + shard_range - 1) // shard_range) * shard_range
+    return base, shard_range
+
+
 def append_pages(
     spark: SparkSession,
     out_dir: str,
@@ -70,51 +125,11 @@ def append_pages(
     Returns a fresh handle over the merged index.  See the module
     docstring for the crash-atomicity contract.
     """
-    meta_path = os.path.join(out_dir, "meta.json")
-    with open(meta_path) as f:
-        meta = json.load(f)
-    # the delta MUST tokenize exactly like the base build: a different
-    # dictionary segments hanzi differently and silently breaks the
-    # append == rebuild score equivalence — fail loudly instead
-    if "dict_fp" in meta:
-        dict_fp = cp.fingerprint(sorted(dictionary))
-        if meta["dict_fp"] != dict_fp:
-            raise ValueError(
-                "append_pages: dictionary fingerprint mismatch with the "
-                f"base build ({dict_fp} != {meta['dict_fp']}); appending "
-                "with a different dictionary would tokenize the delta "
-                "differently than the base index"
-            )
-    if meta.get("prune_m") is not None:
-        raise ValueError(
-            "append_pages: the base index was built with impact pruning "
-            f"(prune_m={meta['prune_m']}); an unpruned delta would break "
-            "the per-term top-m invariant silently — rebuild (or prune "
-            "the merged corpus) instead"
-        )
-    n0 = int(meta["n_docs"])
-    avgdl0 = float(meta["avgdl"])
-    enc_avgdl = float(meta.get("enc_avgdl", avgdl0))
-    shard_range = int(
-        meta.get(
-            "shard_range", max(1, math.ceil(n0 / meta.get("num_shards", 32)))
-        )
-    )
+    meta = _load_validated_meta(out_dir, dictionary, "append_pages")
     docs_dirs = meta.get("docs_dirs", ["docs"])
-    postings_dirs = meta.get("postings_dirs", ["postings"])
     old_docs = spark.read.parquet(
         *[os.path.join(out_dir, d) for d in docs_dirs]
     )
-    if "max_doc_id" in meta:
-        max_id = int(meta["max_doc_id"])
-    else:
-        # legacy meta: n_docs - 1 UNDERCOUNTS when the ws tokenizer
-        # dropped termless docs from the tf count while ids stayed
-        # dense over all urls — ask the docs table for the true max
-        max_id = int(
-            old_docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-        )
-    base = ((max_id + 1 + shard_range - 1) // shard_range) * shard_range
     pages = spark.read.parquet(pages_path)
 
     # dedup: within the batch (build_docs fuses it into id assignment)
@@ -122,6 +137,34 @@ def append_pages(
     # broadcast side from sizes — at 10^12 docs the DELTA is the small
     # build side)
     fresh = pages.join(old_docs.select("url"), "url", "left_anti")
+    return _append_batch(
+        spark, out_dir, meta, fresh, dictionary, force_extract,
+        op="append", source=pages_path,
+    )
+
+
+def _append_batch(
+    spark: SparkSession,
+    out_dir: str,
+    meta: dict,
+    fresh,
+    dictionary: frozenset[bytes],
+    force_extract: bool,
+    op: str,
+    source: str,
+    n_replaced: int = 0,
+) -> "pl.IndexHandle":
+    """The shared delta machinery behind append_pages / upsert_pages:
+    ``fresh`` is an already-resolved pages relation (url-deduped against
+    the live corpus by the caller).  Mutations the caller staged in
+    ``meta`` (e.g. upsert's tombstone pointer) ride the same single
+    atomic publish — or die with it on a crash."""
+    n0 = int(meta["n_docs"])
+    avgdl0 = float(meta["avgdl"])
+    enc_avgdl = float(meta.get("enc_avgdl", avgdl0))
+    docs_dirs = meta.get("docs_dirs", ["docs"])
+    postings_dirs = meta.get("postings_dirs", ["postings"])
+    base, shard_range = _next_base(spark, out_dir, meta)
     delta_docs = ib.build_docs(fresh, force_extract=force_extract)
     delta_docs = delta_docs.withColumn(
         "doc_id", (F.col("doc_id") + F.lit(base)).cast("long")
@@ -186,9 +229,10 @@ def append_pages(
     meta["docs_dirs"] = docs_dirs + [docs_delta]
     meta["postings_dirs"] = postings_dirs + [postings_delta]
     meta["term_stats_dir"] = stats_dir
-    meta.setdefault("appends", []).append(
-        {"pages": pages_path, "n_docs": n_delta, "base": base}
-    )
+    rec = {"pages": source, "n_docs": n_delta, "base": base, "op": op}
+    if n_replaced:
+        rec["n_replaced"] = int(n_replaced)
+    meta.setdefault("appends", []).append(rec)
     # the base build's stage checkpoints and cached corpus stats no
     # longer describe the full index: poison the manifest fingerprints
     # AND meta's own stats fingerprint so a later resume=True rerun of
@@ -213,7 +257,139 @@ def append_pages(
     from tse_spark.plans import snapshots as sn
 
     sn.publish_meta(
-        out_dir, meta, op="append",
+        out_dir, meta, op=op,
         expect_snapshot_id=meta.get("snapshot_id", 0),
     )
     return pl.load_index(spark, out_dir, dictionary)
+
+
+def upsert_pages(
+    spark: SparkSession,
+    out_dir: str,
+    pages_path: str,
+    dictionary: frozenset[bytes] = frozenset(),
+    force_extract: bool = False,
+) -> "pl.IndexHandle":
+    """Reconcile a re-crawl batch into an existing index: LATEST
+    ``warc_ts`` per url wins.
+
+    Per batch url (the batch itself is first reduced to its newest row
+    per url):
+
+    - url not in the live corpus      -> appended (plain append law);
+    - batch row NEWER than the live copy -> the live doc id is
+      tombstoned and the fresh content appended under a new id;
+    - batch row older or same-aged    -> dropped (existing copy wins —
+      replaying a committed upsert batch is therefore a no-op).
+
+    The tombstone pointer and the delta dirs commit in ONE snapshot
+    (op="upsert"): a crash anywhere before the publish leaves the old
+    index fully intact (orphan delta/tombstone dirs are invisible), and
+    a retry recomputes the same base and overwrites the same dirs.
+
+    Serving right after an upsert follows the deletion law
+    (plans/delete.py): superseded docs are masked everywhere while
+    n_docs/avgdl/df still count them — run ``compact_index`` to fold
+    them physically, after which the index equals a full rebuild over
+    the latest-per-url corpus (stats exact; surviving ids preserved).
+
+    Requires the base build to have persisted docs dirs carrying
+    ``url`` and ``warc_ts`` (run_from_pages does; a bare run_from_docs
+    index cannot resolve re-crawls and fails loudly).
+    """
+    from pyspark.sql.window import Window
+
+    from tse_spark.plans import delete as dmod
+
+    meta = _load_validated_meta(out_dir, dictionary, "upsert_pages")
+    docs_dirs = meta.get("docs_dirs", ["docs"])
+    paths = [os.path.join(out_dir, d) for d in docs_dirs]
+    if not all(os.path.exists(p) for p in paths):
+        raise ValueError(
+            f"upsert_pages: index at {out_dir} has no persisted docs "
+            f"dirs {docs_dirs} — re-crawl resolution needs them"
+        )
+    old_docs = spark.read.parquet(*paths)
+    for c in ("url", "warc_ts"):
+        if c not in old_docs.columns:
+            raise ValueError(
+                f"upsert_pages: the persisted docs table lacks '{c}' — "
+                "this index was not built from a pages table, so "
+                "re-crawls cannot be resolved; use append_pages"
+            )
+
+    # live corpus view: tombstoned ids excluded, then (defensively) the
+    # newest copy per url — after any committed upsert there is exactly
+    # one live row per url, so the window is a cheap invariant guard
+    live = old_docs.join(
+        dmod.load_tombstones(spark, out_dir), "doc_id", "left_anti"
+    )
+    w_live = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.col("doc_id").desc()
+    )
+    live_latest = (
+        live.withColumn("__rn", F.row_number().over(w_live))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "url",
+            F.col("doc_id").alias("__old_id"),
+            F.col("warc_ts").alias("__old_ts"),
+        )
+    )
+
+    pages = spark.read.parquet(pages_path)
+    # newest row per url WITHIN the batch (content hash breaks exact
+    # warc_ts ties deterministically, any engine, any partitioning)
+    content = F.md5(
+        F.col("html") if "html" in pages.columns else F.col("text")
+    )
+    w_batch = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), content.asc()
+    )
+    batch = (
+        pages.withColumn("__rn", F.row_number().over(w_batch))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    j = batch.join(live_latest, "url", "left")
+    is_new = F.col("__old_id").isNull()
+    is_newer = ~is_new & (F.col("warc_ts") > F.col("__old_ts"))
+    fresh = j.filter(is_new | is_newer).drop("__old_id", "__old_ts")
+    stale = j.filter(is_newer).select(F.col("__old_id").alias("doc_id"))
+
+    # the replaced ids join the tombstone set in a NEW versioned dir —
+    # invisible until _append_batch's single publish flips meta.json.
+    # (stale non-empty implies fresh non-empty: every replacement
+    # contributes a fresh row, so the publish below always runs.)
+    stale_rows = stale.distinct()
+    old_tomb_dir = meta.get("tombstones_dir")
+    if old_tomb_dir:
+        stale_rows = stale_rows.unionByName(
+            spark.read.parquet(
+                os.path.join(out_dir, old_tomb_dir)
+            ).select("doc_id")
+        ).distinct()
+    n_before = int(meta.get("n_tombstones", 0))
+    version = int(meta.get("tombstone_version", 0)) + 1
+    dname = f"tombstones_v{version}"
+    stale_rows.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, dname)
+    )
+    n_tomb = spark.read.parquet(os.path.join(out_dir, dname)).count()
+    n_replaced = int(n_tomb) - n_before
+    if n_replaced > 0:
+        meta["tombstones_dir"] = dname
+        meta["n_tombstones"] = int(n_tomb)
+        meta["tombstone_version"] = version
+    else:
+        # nothing replaced (pure-append or all-stale batch): drop the
+        # identical tombstone rewrite so versions don't churn
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, dname), ignore_errors=True)
+
+    return _append_batch(
+        spark, out_dir, meta, fresh, dictionary, force_extract,
+        op="upsert", source=pages_path, n_replaced=n_replaced,
+    )
