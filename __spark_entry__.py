@@ -173,6 +173,37 @@ def _q_bm25_topk(spark, sf):
     return _bm25(spark, sf, BM25_QUERY, False)
 
 
+def _q_bm25_explain(spark, sf):
+    """Score EXPLAIN (index_build.bm25_explain): the per-term BM25
+    decomposition — (tf, df, dl, idf, contribution, total) — for
+    exactly the docs bm25_topk returns.  The relevance-debugging
+    surface; oracle reproduces the decomposition in SQL."""
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(
+        tf.filter(F.col("term").isin(sorted(set(BM25_QUERY))))
+    )
+    n, avgdl = ib.corpus_stats(doclen)
+    return ib.bm25_explain(
+        spark, tf, doclen, dfreq, n, avgdl, BM25_QUERY, K
+    )
+
+
+def _q_index_fsck(spark, sf):
+    """Integrity audit (plans/fsck.py) of the serving ws index: full
+    shard decode, published-vs-recomputed stats equality, id-space /
+    dl / duplicate-pair / snapshot-log invariants.  The numeric columns
+    are ground-truth-checked against the corpus (DuckDB recomputes
+    docs/terms/postings/max-id from the tokenization law); the flag
+    columns must all come back 1."""
+    from tse_spark.plans import fsck
+
+    h = _ws_index(spark, sf)
+    return fsck.fsck_index(spark, h.out_dir)
+
+
 def _q_bm25_conjunctive(spark, sf):
     return _bm25(spark, sf, BM25_CONJ_QUERY, True)
 
@@ -2255,6 +2286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen": _q_doclen,
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
+        "bm25_explain": _q_bm25_explain,
+        "index_fsck": _q_index_fsck,
         "bm25_conjunctive": _q_bm25_conjunctive,
         "bm25_boolean": _q_bm25_boolean,
         "wand_boolean": _q_wand_boolean,
@@ -2955,6 +2988,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(sum(s), 4) AS score
         FROM perterm GROUP BY doc_id
         ORDER BY sum(s) DESC, doc_id LIMIT 10""",
+        # score explain: bm25_topk's winners with the per-term formula
+        # decomposition (same cut law, so the doc set is identical)
+        "bm25_explain": _TOK
+        + f"""
+        , perterm AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, dl.dl,
+                 ln(1 + (stats.n_docs - dfreq.df + 0.5)
+                        / (dfreq.df + 0.5)) AS idf,
+                 ln(1 + (stats.n_docs - dfreq.df + 0.5)
+                        / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                   AS s
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats
+          WHERE tf.term IN ({", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY)))})
+        ),
+        top AS (
+          SELECT doc_id, sum(s) AS score FROM perterm GROUP BY doc_id
+          ORDER BY sum(s) DESC, doc_id LIMIT {K}
+        )
+        SELECT p.doc_id, p.term, p.tf, p.df, p.dl,
+               round(p.idf, 6) AS idf, round(p.s, 4) AS contrib,
+               round(t.score, 4) AS score
+        FROM perterm p JOIN top t USING (doc_id)""",
+        # fsck: the numeric audit columns recomputed from the corpus
+        # law; every invariant flag must come back 1
+        "index_fsck": _TOK
+        + """
+        SELECT (SELECT count(*) FROM dl)::BIGINT AS n_docs,
+               (SELECT count(*) FROM dfreq)::BIGINT AS n_terms,
+               (SELECT count(*) FROM tf)::BIGINT AS n_postings,
+               (SELECT max(doc_id) FROM dl)::BIGINT AS max_posting_doc_id,
+               0::BIGINT AS n_tombstones,
+               1::BIGINT AS dirs_ok, 1::BIGINT AS stats_ok,
+               1::BIGINT AS ids_ok, 1::BIGINT AS pairs_ok,
+               1::BIGINT AS dl_ok, 1::BIGINT AS n_docs_ok,
+               1::BIGINT AS tombstones_ok, 1::BIGINT AS snapshot_ok""",
         "bm25_page2": _TOK
         + bm25_3
         + """

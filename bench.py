@@ -167,6 +167,8 @@ HEADLINE = [
     "media_gif_roundtrip",
     "wildcard_terms",
     "wildcard_search_indexed",
+    "bm25_explain",
+    "index_fsck",
     "wand_recrawled",
 ]
 

@@ -428,11 +428,14 @@ def bm25_per_term(
     n_docs: int,
     avgdl: float,
     terms: list[str],
+    detail: bool = False,
 ) -> DataFrame:
     """Pre-aggregation BM25 addends ``(doc_id, term, s)`` for the query
     terms (one row per matched (doc, term) — tf is already per-pair
     unique), shared by the sum (:func:`bm25_scores`) and group-max
-    (:func:`bm25_expanded_topk`) combiners."""
+    (:func:`bm25_expanded_topk`) combiners.  ``detail=True`` keeps the
+    formula inputs (tf, df, dl, idf) alongside ``s`` — the explain
+    surface (:func:`bm25_explain`)."""
     if len(terms) <= 64:
         # short queries: a pushed-down IN predicate prunes the tf scan
         # with zero extra jobs (a broadcast join would schedule a
@@ -464,7 +467,62 @@ def bm25_per_term(
             ),
         )
     )
+    if detail:
+        return per_term.select(
+            "doc_id", "term", "tf", "df", "dl", idf.alias("idf"), "s"
+        )
     return per_term.select("doc_id", "term", "s")
+
+
+def bm25_explain(
+    spark: SparkSession,
+    tf: DataFrame,
+    doclen: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Score EXPLAIN: the per-term BM25 decomposition for the top-k
+    docs — one row per (doc, matched query term) with the formula
+    inputs (tf, df, dl, idf) and the term's contribution, plus the
+    doc's total score.  The 'why does this doc rank here' serving
+    surface (relevance debugging, quality triage); the reference
+    exposes no such introspection (tse/SearchCGI.cpp prints final
+    scores only).
+
+    The top-k cut is bm25_topk's exact law (exact score desc, doc_id),
+    so explain rows always describe exactly the docs bm25_topk
+    returns; detail rows for the winners broadcast-join back against
+    the pruned per-term relation — two scans of the SAME pushed-down
+    tf subset, no extra corpus pass."""
+    terms = sorted(set(terms))
+    if not terms:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, term string, tf long, df long, dl long,"
+            " idf double, contrib double, score double",
+        )
+    per = bm25_per_term(
+        spark, tf, doclen, dfreq, n_docs, avgdl, terms, detail=True
+    )
+    top = (
+        per.groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return per.join(F.broadcast(top), "doc_id").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        "dl",
+        F.round("idf", 6).alias("idf"),
+        F.round("s", 4).alias("contrib"),
+        F.round("score", 4).alias("score"),
+    )
 
 
 def bm25_filtered_topk(
