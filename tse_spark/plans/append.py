@@ -318,11 +318,18 @@ def upsert_pages(
                 "re-crawls cannot be resolved; use append_pages"
             )
 
-    # live corpus view: tombstoned ids excluded, then (defensively) the
-    # newest copy per url — after any committed upsert there is exactly
-    # one live row per url, so the window is a cheap invariant guard
-    live = old_docs.join(
-        dmod.load_tombstones(spark, out_dir), "doc_id", "left_anti"
+    pages = spark.read.parquet(pages_path)
+
+    # live corpus view, RESTRICTED to the batch's urls before anything
+    # shuffles: the semi-join prunes the corpus scan to O(batch) rows
+    # (AQE broadcasts the delta side — at 10^12 docs the batch is the
+    # small side, exactly append's assumption), so the newest-copy
+    # window below never repartitions the corpus.  Tombstoned ids are
+    # excluded; after any committed upsert there is exactly one live
+    # row per url, so the window is a cheap invariant guard.
+    live = (
+        old_docs.join(pages.select("url").distinct(), "url", "left_semi")
+        .join(dmod.load_tombstones(spark, out_dir), "doc_id", "left_anti")
     )
     w_live = Window.partitionBy("url").orderBy(
         F.col("warc_ts").desc(), F.col("doc_id").desc()
@@ -336,8 +343,6 @@ def upsert_pages(
             F.col("warc_ts").alias("__old_ts"),
         )
     )
-
-    pages = spark.read.parquet(pages_path)
     # newest row per url WITHIN the batch (content hash breaks exact
     # warc_ts ties deterministically, any engine, any partitioning)
     content = F.md5(
