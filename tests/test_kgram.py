@@ -7,7 +7,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from tse_spark.operators import kgram as KG
-from tse_spark.operators import textops
 
 
 def test_pattern_grams_anchoring():
@@ -64,23 +63,25 @@ def test_wildcard_terms_gram_path_actually_prunes(vocab):
 
 
 def test_wildcard_search_matches_like_scan(spark):
+    """Both wildcard forms follow the INDEX-ELIGIBILITY tokenization
+    (build_tf_ws, 2..8 bytes) — the analysis scan, the index-served
+    form, and the ground-truth regex scan must agree on every pattern
+    (the '*a*' case pins that a bare out-of-range token like 'a' is
+    excluded everywhere, not just on the indexed path)."""
+    from tse_spark.operators import index_build as ib
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    tf = (
-        textops.tokens(docs)
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = ib.build_tf_ws(docs)
     for pat in ["*or*", "s*", "st*m", "*a*"]:
         rx = KG._pattern_regex(pat)
         want = {
             (r["doc_id"], r["n_terms"], r["tf"])
             for r in (
-                textops.tokens(docs)
-                .filter(F.col("term").rlike(rx))
+                tf.filter(F.col("term").rlike(rx))
                 .groupBy("doc_id")
                 .agg(
                     F.countDistinct("term").alias("n_terms"),
-                    F.count(F.lit(1)).alias("tf"),
+                    F.sum("tf").alias("tf"),
                 )
             ).collect()
         }

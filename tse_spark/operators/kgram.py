@@ -22,8 +22,10 @@ removes the false positives k-gram conjunction admits (e.g. pattern
   index — candidates are data-dependent, so a semi-join (not a driver
   collect + IN literal) keeps the whole plan distributed.
 
-Tokenization matches :func:`textops.tokens` (lowercase, whitespace);
-the oracle twin is plain SQL ``LIKE`` with ``*`` -> ``%``.
+Tokenization follows the index-eligibility law (build_tf_ws:
+lowercase whitespace tokens, 2..8 bytes) so the analysis and
+index-served forms agree by construction; the oracle twin is plain
+SQL ``LIKE`` with ``*`` -> ``%`` over the same filtered token stream.
 """
 
 from __future__ import annotations
@@ -31,8 +33,6 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, functions as F
-
-from tse_spark.operators import textops
 
 # boundary char for anchored grams: \x01 never appears in real tokens
 # (and a token that did contain it would only create a harmless extra
@@ -92,22 +92,39 @@ def write_kgram_index(vocab: DataFrame, out_dir: str, k: int = 3) -> str:
     """Materialize the k-gram index gram-sorted, so a query's
     ``gram IN`` filter skips whole parquet files on row-group min/max
     stats (the positional table's layout law).  A derived artifact —
-    rebuildable from term_stats at any time — so a plain atomic meta
-    rename gates visibility (no snapshot log needed)."""
+    rebuildable from term_stats at any time — but rebuilds must still
+    be crash-safe: data lands in a fresh VERSIONED dir and the atomic
+    meta rename flips the pointer last, so a crash mid-rebuild leaves
+    the previous version fully readable (no snapshot log needed for a
+    derived artifact; the version counter is the whole history)."""
     import json
     import os
 
+    meta_path = os.path.join(out_dir, "meta.json")
+    version = 1
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            version = int(json.load(f).get("version", 0)) + 1
+    dname = f"data_v{version}"
     (
         kgram_index(vocab, k)
         .repartitionByRange(8, "gram")
         .sortWithinPartitions("gram", "term")
         .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "data"))
+        .parquet(os.path.join(out_dir, dname))
     )
     tmp = os.path.join(out_dir, "meta.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"kind": "kgram", "k": int(k)}, f)
-    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+        json.dump(
+            {
+                "kind": "kgram",
+                "k": int(k),
+                "data_dir": dname,
+                "version": version,
+            },
+            f,
+        )
+    os.replace(tmp, meta_path)
     return out_dir
 
 
@@ -119,7 +136,9 @@ def load_kgram_index(spark, out_dir: str) -> tuple[DataFrame, int]:
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
     return (
-        spark.read.parquet(os.path.join(out_dir, "data")),
+        spark.read.parquet(
+            os.path.join(out_dir, meta.get("data_dir", "data"))
+        ),
         int(meta["k"]),
     )
 
@@ -161,23 +180,14 @@ def wildcard_search(
 ) -> DataFrame:
     """(doc_id, n_terms, tf) — documents containing any term matching
     the pattern: distinct matched terms per doc and total occurrences.
-    Analysis form: tokenizes the corpus (one scan), matched terms
-    arrive as a broadcast.  The oracle twin is ``LIKE`` with % for *."""
-    vocab = (
-        textops.tokens(docs)
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
-    )
-    matched = wildcard_terms(vocab, pattern, k).select("term")
-    return (
-        textops.tokens(docs)
-        .join(F.broadcast(matched), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("term").alias("n_terms"),
-            F.count(F.lit(1)).alias("tf"),
-        )
-    )
+    Analysis form: ONE tokenization lineage (index_build.build_tf_ws —
+    the same 2..8-byte index-eligibility law the serving index applies,
+    so analysis and :func:`wildcard_search_indexed` agree by
+    construction and share one oracle).  The oracle twin is ``LIKE``
+    with % for *."""
+    from tse_spark.operators import index_build as ib
+
+    return wildcard_search_indexed(ib.build_tf_ws(docs), pattern, k)
 
 
 def wildcard_search_indexed(

@@ -367,32 +367,52 @@ def upsert_pages(
     # invisible until _append_batch's single publish flips meta.json.
     # (stale non-empty implies fresh non-empty: every replacement
     # contributes a fresh row, so the publish below always runs.)
-    stale_rows = stale.distinct()
-    old_tomb_dir = meta.get("tombstones_dir")
-    if old_tomb_dir:
-        stale_rows = stale_rows.unionByName(
-            spark.read.parquet(
-                os.path.join(out_dir, old_tomb_dir)
-            ).select("doc_id")
-        ).distinct()
-    n_before = int(meta.get("n_tombstones", 0))
-    version = int(meta.get("tombstone_version", 0)) + 1
-    dname = f"tombstones_v{version}"
-    stale_rows.repartition(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, dname)
-    )
-    n_tomb = spark.read.parquet(os.path.join(out_dir, dname)).count()
-    n_replaced = int(n_tomb) - n_before
-    if n_replaced > 0:
-        meta["tombstones_dir"] = dname
-        meta["n_tombstones"] = int(n_tomb)
-        meta["tombstone_version"] = version
-    else:
-        # nothing replaced (pure-append or all-stale batch): drop the
-        # identical tombstone rewrite so versions don't churn
-        import shutil
+    n_replaced = 0
+    if stale.limit(1).count() > 0:
+        # short-circuit above: a pure-append or replayed batch never
+        # touches (reads OR rewrites) the existing tombstone set
+        import hashlib
 
-        shutil.rmtree(os.path.join(out_dir, dname), ignore_errors=True)
+        stale_rows = stale.distinct()
+        old_tomb_dir = meta.get("tombstones_dir")
+        if old_tomb_dir:
+            stale_rows = stale_rows.unionByName(
+                spark.read.parquet(
+                    os.path.join(out_dir, old_tomb_dir)
+                ).select("doc_id")
+            ).distinct()
+        n_before = int(meta.get("n_tombstones", 0))
+        version = int(meta.get("tombstone_version", 0)) + 1
+        # the dir name carries a (batch, loaded-state) tag: a crashed
+        # retry recomputes the SAME name and overwrites harmlessly,
+        # while a CONCURRENT writer from the same loaded state (e.g. a
+        # takedown delete_docs racing this upsert) targets a different
+        # dir — so the CAS loser can never have clobbered the winner's
+        # already-committed tombstone files
+        tag = hashlib.md5(
+            f"{pages_path}@{meta.get('snapshot_id', 0)}".encode()
+        ).hexdigest()[:8]
+        dname = f"tombstones_v{version}_{tag}"
+        stale_rows.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, dname)
+        )
+        n_tomb = spark.read.parquet(
+            os.path.join(out_dir, dname)
+        ).count()
+        n_replaced = int(n_tomb) - n_before
+        if n_replaced > 0:
+            meta["tombstones_dir"] = dname
+            meta["n_tombstones"] = int(n_tomb)
+            meta["tombstone_version"] = version
+        else:
+            # every stale id was already tombstoned (e.g. a replayed
+            # batch racing its own crash recovery): keep the current
+            # version, drop the identical rewrite
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(out_dir, dname), ignore_errors=True
+            )
 
     return _append_batch(
         spark, out_dir, meta, fresh, dictionary, force_extract,

@@ -65,6 +65,10 @@ def fsck_index(spark: SparkSession, out_dir: str) -> DataFrame:
     )
     dec = po.decode_postings(postings)
 
+    # ONE aggregate over ONE decode pass — the decode is the dominant
+    # audit cost, so every invariant that can fold into this job does:
+    # dl consistency is distinct (doc, dl) == distinct doc (a doc with
+    # two different dls inflates only the pair count)
     row = dec.agg(
         F.count_distinct("doc_id").alias("n_docs"),
         F.count_distinct("term").alias("n_terms"),
@@ -72,15 +76,9 @@ def fsck_index(spark: SparkSession, out_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_id"),
         F.min("doc_id").alias("min_id"),
         F.count_distinct("term", "doc_id").alias("n_pairs"),
+        F.count_distinct("doc_id", "dl").alias("n_doc_dls"),
     ).collect()[0]
-    # one dl per doc: the max distinct-dl count over docs must be 1
-    dl_bad = (
-        dec.groupBy("doc_id")
-        .agg(F.count_distinct("dl").alias("c"))
-        .filter(F.col("c") > 1)
-        .limit(1)
-        .count()
-    )
+    dl_bad = int(row["n_doc_dls"]) - int(row["n_docs"])
 
     # published stats == stats recomputed from the shards (exact
     # relational equality, both directions)
