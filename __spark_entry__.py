@@ -708,6 +708,18 @@ def _batch_queries_df(spark):
     )
 
 
+def _q_percolate(spark, sf):
+    """Prospective search (operators/percolate.py): the standing-query
+    table evaluated against the corpus in ONE tokenize-and-join pass —
+    every conjunctive (query, doc) match with its coverage and tf.
+    Oracle reproduces the match law in SQL over the same literal query
+    table."""
+    from tse_spark.operators import percolate as pc
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return pc.percolate(docs, _batch_queries_df(spark), conjunctive=True)
+
+
 def _q_batch_search(spark, sf):
     """Batch retrieval (operators/batchsearch.py): the whole query
     table served by ONE pruned pass over the compressed shards —
@@ -2377,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_tombstoned": _q_wand_tombstoned,
         "wand_delete_compacted": _q_wand_delete_compacted,
         "wand_recrawled": _q_wand_recrawled,
+        "percolate_matches": _q_percolate,
         "wand_snapshot": _q_wand_snapshot,
         "wand_federated": _q_wand_federated,
         "bm25_rm3": _q_bm25_rm3,
@@ -3952,6 +3965,24 @@ def oracle_sql() -> dict[str, str]:
     _bq_values = ", ".join(
         f"({qid}, '{text}')" for qid, text in BATCH_QUERIES
     )
+    # percolation: conjunctive (query, doc) matches with coverage + tf
+    out["percolate_matches"] = _TOK + f"""
+    , q AS (SELECT * FROM (VALUES {_bq_values}) t(query_id, text)),
+    qt AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT query_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM q)
+      WHERE strlen(term) BETWEEN 2 AND 8),
+    nt AS (SELECT query_id, count(*)::BIGINT AS n FROM qt GROUP BY 1),
+    m AS (
+      SELECT qt.query_id, tf.doc_id,
+             count(*)::BIGINT AS n_matched, sum(tf.tf)::BIGINT AS tf
+      FROM tf JOIN qt USING (term)
+      GROUP BY 1, 2)
+    SELECT m.query_id, m.doc_id, m.n_matched, m.tf
+    FROM m JOIN nt USING (query_id)
+    WHERE m.n_matched = nt.n"""
     _batch_core = _TOK + f"""
     , q AS (SELECT * FROM (VALUES {_bq_values}) t(query_id, text)),
     qt AS (

@@ -169,6 +169,7 @@ HEADLINE = [
     "wildcard_search_indexed",
     "bm25_explain",
     "index_fsck",
+    "percolate_matches",
     "wand_recrawled",
 ]
 
