@@ -253,21 +253,30 @@ def build_tf_dl(docs: DataFrame, dict_broadcast) -> DataFrame:
     )
 
 
+def ws_token_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The pre-aggregation ``(doc_id, term)`` token stream of the
+    whitespace tokenizer with the 2..8-byte eligibility filter
+    (CrtInvertedIdx.cpp:25) applied — one row per OCCURRENCE, all
+    whole-stage codegen.  Consumers that can aggregate later than the
+    tf grain (percolation's sparse match join) read this directly and
+    skip the full-delta (doc, term) shuffle."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(
+        (F.octet_length("term") >= oracle.MIN_TERM_BYTES)
+        & (F.octet_length("term") <= oracle.MAX_TERM_BYTES)
+    )
+
+
 def build_tf_ws(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """``tf(doc_id, term, tf)`` via the whitespace tokenizer — fully
     JVM-side (split + explode + groupBy, whole-stage codegen; no Python)
     for already-clean text like the driver's ``documents`` table.  The
-    2..8-byte eligibility filter (CrtInvertedIdx.cpp:25) applies here
-    too, pushed before the aggregation shuffle."""
+    2..8-byte eligibility filter applies inside :func:`ws_token_stream`,
+    pushed before the aggregation shuffle."""
     return (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
-        )
-        .filter(
-            (F.octet_length("term") >= oracle.MIN_TERM_BYTES)
-            & (F.octet_length("term") <= oracle.MAX_TERM_BYTES)
-        )
+        ws_token_stream(docs, text_col)
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

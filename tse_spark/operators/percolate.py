@@ -51,18 +51,33 @@ def percolate(
         queries, tokenizer=tokenizer, dictionary=dictionary
     )
     if tokenizer == "ws":
-        tf = ib.build_tf_ws(docs)
-    else:
-        b_dict = docs.sparkSession.sparkContext.broadcast(dictionary)
-        tf = ib.build_tf(docs, b_dict)
-    m = (
-        tf.join(F.broadcast(qt), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_matched"),
-            F.sum("tf").alias("tf"),
+        # raw OCCURRENCE stream, not the tf aggregate: pre-aggregating
+        # tf would shuffle the whole delta on (doc, term) before the
+        # match join; joining occurrences against the broadcast query
+        # terms first means the one real shuffle groups only the
+        # sparse match rows
+        m = (
+            ib.ws_token_stream(docs)
+            .join(F.broadcast(qt), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.count_distinct("term").alias("n_matched"),
+                F.count(F.lit(1)).alias("tf"),
+            )
         )
-    )
+    else:
+        # the FMM tokenizer pre-aggregates inside its Arrow UDF (there
+        # is no cheaper occurrence stream to expose)
+        b_dict = docs.sparkSession.sparkContext.broadcast(dictionary)
+        m = (
+            ib.build_tf(docs, b_dict)
+            .join(F.broadcast(qt), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_matched"),
+                F.sum("tf").alias("tf"),
+            )
+        )
     if conjunctive:
         n_terms = qt.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("__n_terms")
