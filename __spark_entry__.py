@@ -708,6 +708,23 @@ def _batch_queries_df(spark):
     )
 
 
+def _q_vocab_drift(spark, sf):
+    """Vocabulary drift across the recrawl lifecycle's commit log
+    (plans/snapshots.term_drift): df movers between snapshot v1 (the
+    base build) and the current state (upsert + compact folded) — read
+    from each PUBLISHED state's term_stats, no corpus rescan.  Oracle
+    recomputes both corpora's df from the laws and diffs them."""
+    import json as _json
+    import os as _os
+
+    from tse_spark.plans import snapshots as snmod
+
+    h = _recrawl_index(spark, sf)
+    with open(_os.path.join(h.out_dir, "meta.json")) as f:
+        cur = int(_json.load(f)["snapshot_id"])
+    return snmod.term_drift(spark, h.out_dir, 1, cur, k=20)
+
+
 def _q_percolate(spark, sf):
     """Prospective search (operators/percolate.py): the standing-query
     table evaluated against the corpus in ONE tokenize-and-join pass —
@@ -2390,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_delete_compacted": _q_wand_delete_compacted,
         "wand_recrawled": _q_wand_recrawled,
         "percolate_matches": _q_percolate,
+        "vocab_drift": _q_vocab_drift,
         "wand_snapshot": _q_wand_snapshot,
         "wand_federated": _q_wand_federated,
         "bm25_rm3": _q_bm25_rm3,
@@ -3959,6 +3977,38 @@ def oracle_sql() -> dict[str, str]:
     SELECT url, round(sum(s), 4) AS score
     FROM perterm GROUP BY url
     ORDER BY round(sum(s), 4) DESC, url LIMIT {K}"""
+    # vocabulary drift across the recrawl lifecycle: df(base corpus)
+    # vs df(reconciled corpus), top movers by |delta| with a term
+    # tiebreak — the same total order the engine's cut uses
+    out["vocab_drift"] = f"""
+    WITH corpus_b AS (
+      SELECT {_SYNTH_URL_EXPR} AS url,
+             CASE WHEN doc_id % 9 = 2 THEN text || ' spark spark'
+                  ELSE text END AS text
+      FROM documents
+      UNION ALL
+      SELECT {_SYNTH_URL_EXPR} || '?v=new' AS url, 'join ' || text
+      FROM documents WHERE doc_id % 9 = 7
+    ),
+    ta AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df_a FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM documents)
+      WHERE strlen(term) BETWEEN 2 AND 8 GROUP BY 1),
+    tb AS (
+      SELECT term, count(DISTINCT url)::BIGINT AS df_b FROM (
+        SELECT url,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM corpus_b)
+      WHERE strlen(term) BETWEEN 2 AND 8 GROUP BY 1)
+    SELECT coalesce(ta.term, tb.term) AS term,
+           coalesce(df_a, 0)::BIGINT AS df_a,
+           coalesce(df_b, 0)::BIGINT AS df_b,
+           (coalesce(df_b, 0) - coalesce(df_a, 0))::BIGINT AS delta
+    FROM ta FULL OUTER JOIN tb USING (term)
+    ORDER BY abs(coalesce(df_b, 0) - coalesce(df_a, 0)) DESC,
+             coalesce(ta.term, tb.term) LIMIT 20"""
     # batch retrieval: per-query exhaustive BM25 over a literal query
     # table, window-ranked — one oracle covers the single-pass batch
     # plan because its scores share the engine's idf/avgdl law

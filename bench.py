@@ -171,6 +171,7 @@ HEADLINE = [
     "index_fsck",
     "percolate_matches",
     "wand_recrawled",
+    "vocab_drift",
 ]
 
 RESULT: dict = {

@@ -145,6 +145,25 @@ def test_snapshot_diff_reports_the_op_chain(lifecycle):
         sn.snapshot_diff(out, 1, 9)
 
 
+def test_term_drift_tracks_the_lifecycle(spark, lifecycle):
+    """Content-level drift across published states: identity is
+    all-zero, an append only raises df, a compacted delete only
+    lowers it (v3's stats are v2's by the stale-stats law, so the
+    drop shows against v2 exactly as against v3)."""
+    out, _, _ = lifecycle
+    same = sn.term_drift(spark, out, 2, 2, k=1000).collect()
+    assert same and all(r["delta"] == 0 for r in same)
+    up = sn.term_drift(spark, out, 1, 2, k=1000).collect()
+    assert all(r["delta"] >= 0 for r in up)
+    assert any(r["delta"] > 0 for r in up)
+    down = sn.term_drift(spark, out, 2, 4, k=1000).collect()
+    assert all(r["delta"] <= 0 for r in down)
+    assert any(r["delta"] < 0 for r in down)
+    # the cut is (|delta| desc, term): top-1 must hold the max |delta|
+    top1 = sn.term_drift(spark, out, 1, 2, k=1).collect()[0]
+    assert abs(top1["delta"]) == max(abs(r["delta"]) for r in up)
+
+
 # NOTE: keep last in the module — vacuums the shared lifecycle index.
 def test_vacuum_expires_old_states_keeps_retained(spark, lifecycle):
     out, truths, _ = lifecycle

@@ -320,3 +320,39 @@ def vacuum_index(
             except FileNotFoundError:
                 pass
     return {"removed_dirs": removed, "expired_snapshots": expired_ids}
+
+
+def term_drift(spark, out_dir: str, sid_a: int, sid_b: int, k: int = 20):
+    """Vocabulary drift between two retained snapshots: the k terms
+    whose document frequency moved most between state A and state B —
+    the content-level twin of :func:`snapshot_diff` (which reads only
+    metadata).  The curation question it answers: *what did this
+    recrawl / append / takedown actually do to the corpus?* — topic
+    surges, spam floods, or an extraction regression all show up as df
+    movers long before they show up in relevance metrics.
+
+    Both states open through the commit log (:func:`load_index_at`),
+    so the comparison is between PUBLISHED index states, not raw
+    corpora; df comes from each state's term_stats (one tiny
+    vocabulary-sized relation per side — no posting decode, no corpus
+    scan).  Deterministic cut: order by (|delta| desc, term) — a total
+    order any engine reproduces.
+
+    Returns (term, df_a, df_b, delta) with absent terms counted 0.
+    """
+    from pyspark.sql import functions as F
+
+    ha = load_index_at(spark, out_dir, sid_a)
+    hb = load_index_at(spark, out_dir, sid_b)
+    a = ha.term_stats.select("term", F.col("df").alias("df_a"))
+    b = hb.term_stats.select("term", F.col("df").alias("df_b"))
+    j = (
+        a.join(b, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("df_a", F.lit(0)).cast("long").alias("df_a"),
+            F.coalesce("df_b", F.lit(0)).cast("long").alias("df_b"),
+        )
+        .withColumn("delta", (F.col("df_b") - F.col("df_a")).cast("long"))
+    )
+    return j.orderBy(F.abs("delta").desc(), "term").limit(k)
