@@ -708,6 +708,26 @@ def _batch_queries_df(spark):
     )
 
 
+RELATED_DF_CAP = 400   # hot-term cap for the all-pairs related join
+RELATED_TOP = 20
+
+
+def _q_related_pairs(spark, sf):
+    """All-pairs related documents (dedup.tf_cosine_pairs): the batch
+    'related articles' precompute — tf-vector cosine over the
+    df-capped term subspace, hot terms dropped BEFORE the self-join
+    (jaccard_pairs' quadratic-explosion law).  Integer dot products
+    keep the metric bit-identical across engines."""
+    from tse_spark.operators import dedup
+
+    out = dedup.tf_cosine_pairs(
+        _tf_ws_cached(spark, sf),
+        max_term_df=RELATED_DF_CAP,
+        top=RELATED_TOP,
+    )
+    return out.select("doc_a", "doc_b", F.col("dot").cast("long").alias("dot"), "cos")
+
+
 def _q_vocab_drift(spark, sf):
     """Vocabulary drift across the recrawl lifecycle's commit log
     (plans/snapshots.term_drift): df movers between snapshot v1 (the
@@ -2408,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_recrawled": _q_wand_recrawled,
         "percolate_matches": _q_percolate,
         "vocab_drift": _q_vocab_drift,
+        "related_pairs": _q_related_pairs,
         "wand_snapshot": _q_wand_snapshot,
         "wand_federated": _q_wand_federated,
         "bm25_rm3": _q_bm25_rm3,
@@ -3977,6 +3998,28 @@ def oracle_sql() -> dict[str, str]:
     SELECT url, round(sum(s), 4) AS score
     FROM perterm GROUP BY url
     ORDER BY round(sum(s), 4) DESC, url LIMIT {K}"""
+    # all-pairs related docs: tf cosine over the df-capped subspace —
+    # integer dots and squared norms are exact in float64, so the
+    # cosine is bit-identical cross-engine before the display round
+    out["related_pairs"] = _TOK + f"""
+    , cold AS (
+      SELECT term FROM dfreq WHERE df <= {RELATED_DF_CAP}),
+    t AS (SELECT tf.* FROM tf JOIN cold USING (term)),
+    norms AS (
+      SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM t GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(a.tf * b.tf)::BIGINT AS dot
+      FROM t a JOIN t b USING (term)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, dot,
+           round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    ORDER BY round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) DESC,
+             doc_a, doc_b LIMIT {RELATED_TOP}"""
     # vocabulary drift across the recrawl lifecycle: df(base corpus)
     # vs df(reconciled corpus), top movers by |delta| with a term
     # tiebreak — the same total order the engine's cut uses

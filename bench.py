@@ -170,6 +170,7 @@ HEADLINE = [
     "bm25_explain",
     "index_fsck",
     "percolate_matches",
+    "related_pairs",
     "wand_recrawled",
     "vocab_drift",
 ]

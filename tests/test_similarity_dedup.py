@@ -113,3 +113,38 @@ def test_ivf_ann_topk_recall(emb):
     ]
     recall = len(set(brute) & set(ann)) / len(brute)
     assert recall >= 0.5, f"recall@10 {recall:.2f} (brute {brute}, ivf {ann})"
+
+
+def test_tf_cosine_pairs_laws(spark):
+    """tf_cosine_pairs: identical docs hit cos 1.0, disjoint docs pair
+    nothing, and the df cap drops hot terms from BOTH dot and norms
+    (self-consistent subspace — the jaccard-cap lesson)."""
+    from tse_spark.operators import dedup
+
+    tf = spark.createDataFrame(
+        [
+            # docs 1 and 2 identical over {aa, bb}; doc 3 disjoint;
+            # 'hot' appears in every doc (df 4 > cap)
+            (1, "aa", 2), (1, "bb", 1), (1, "hot", 9),
+            (2, "aa", 2), (2, "bb", 1), (2, "hot", 1),
+            (3, "cc", 5), (3, "hot", 2),
+            (4, "aa", 1), (4, "hot", 3),
+        ],
+        "doc_id long, term string, tf long",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): (r["dot"], r["cos"])
+        for r in dedup.tf_cosine_pairs(tf, max_term_df=3).collect()
+    }
+    assert out[(1, 2)] == (5, 1.0)          # identical capped vectors
+    assert (1, 3) not in out and (2, 3) not in out  # disjoint
+    # (1,4) share only 'aa': dot 2*1, norms sqrt(5)*sqrt(1)
+    dot, cos = out[(1, 4)]
+    assert dot == 2
+    assert cos == round(2 / (5 ** 0.5 * 1), 6)
+    # without the cap, 'hot' would have paired 3 with everyone
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.tf_cosine_pairs(tf).collect()
+    }
+    assert (1, 3) in full

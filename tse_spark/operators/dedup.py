@@ -136,6 +136,74 @@ def jaccard_pairs(
     return j
 
 
+def tf_cosine_pairs(
+    tf: DataFrame,
+    max_term_df: int | None = None,
+    top: int | None = None,
+) -> DataFrame:
+    """Related-document pairs by TERM-VECTOR cosine — the batch
+    "related articles" precompute (more_like_this answers one seed at
+    a time; this materializes every pair above the noise floor in one
+    pass), and at high thresholds a bag-of-words near-dup signal that
+    sees reorderings shingles miss.
+
+    Plan shape is :func:`jaccard_pairs`'s: ``max_term_df`` drops terms
+    whose document frequency exceeds the cap BEFORE the term self-join
+    (the hot-key law — a stopword term at web scale is a quadratic
+    pair explosion and carries no relatedness signal; the cap is also
+    a crude idf, which is why plain tf weights suffice here).  Norms
+    are computed over the SAME capped term subspace as the dot
+    products, so the result is the exact cosine of the transformed
+    vectors — self-consistent, and the DuckDB oracle mirrors it.
+
+    Determinism across engines: dot products and squared norms are
+    sums of INTEGER products (exact in float64 in any summation
+    order), so cos = dot / (sqrt(na2) * sqrt(nb2)) is bit-identical
+    everywhere — no rounding law needed beyond the display round.
+
+    Returns (doc_a, doc_b, dot, cos), doc_a < doc_b; ``top`` cuts by
+    (cos desc, doc_a, doc_b) — a total order.
+    """
+    t = tf
+    if max_term_df is not None:
+        cold = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("tdf"))
+            .filter(F.col("tdf") <= max_term_df)
+            .select("term")
+        )
+        t = tf.join(cold, "term", "left_semi")
+    norms = t.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = t.select(F.col("doc_id").alias("doc_a"), "term", F.col("tf").alias("tfa"))
+    b = t.select(F.col("doc_id").alias("doc_b"), "term", F.col("tf").alias("tfb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    out = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cos",
+            F.round(
+                F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6
+            ),
+        )
+        .select("doc_a", "doc_b", "dot", "cos")
+    )
+    if top is not None:
+        out = out.orderBy(
+            F.desc("cos"), F.asc("doc_a"), F.asc("doc_b")
+        ).limit(top)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (JVM-side hashes; pytest-verified against exact Jaccard)
 # ---------------------------------------------------------------------------
