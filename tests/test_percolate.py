@@ -93,9 +93,12 @@ def test_alert_stream_equals_batch(spark, qdf, tmp_path_factory):
     }
     import pandas as pd
 
-    union = spark.createDataFrame(pd.concat([p1, p2])).select(
-        F.col("url").alias("doc_id"), "text"
-    )
+    # the sink reduces every micro-batch to its newest row per url
+    # (the ingest side's reconciliation law); urls are disjoint across
+    # these batches, so one reduce over the union is the same thing
+    union = alerts.latest_per_url(
+        spark.createDataFrame(pd.concat([p1, p2]))
+    ).select(F.col("url").alias("doc_id"), "text")
     want = {
         (r["query_id"], r["doc_id"], r["n_matched"], r["tf"])
         for r in pc.percolate(union, qdf).collect()

@@ -73,6 +73,24 @@ def shingles(
     )
 
 
+def _drop_hot_keys(rel: DataFrame, col: str, cap: int | None) -> DataFrame:
+    """Rows whose ``col`` value occurs in at most ``cap`` rows — the
+    quadratic-explosion guard every all-pairs self-join here shares
+    (jaccard_pairs, tf_cosine_pairs): a key shared by k docs yields
+    k·(k−1)/2 pairs, so one stopword-grade key at web scale dominates
+    the whole join while carrying no similarity signal.  ``None``
+    disables the cap."""
+    if cap is None:
+        return rel
+    cold = (
+        rel.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__kdf"))
+        .filter(F.col("__kdf") <= cap)
+        .select(col)
+    )
+    return rel.join(cold, col, "left_semi")
+
+
 def jaccard_pairs(
     sh: DataFrame,
     min_jaccard: float = 0.0,
@@ -95,15 +113,7 @@ def jaccard_pairs(
     near-dup signal, which is also why MinHash pipelines drop them).
     The DuckDB oracle mirrors the same definition.
     """
-    s = sh
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("sdf"))
-            .filter(F.col("sdf") <= max_shingle_df)
-            .select("shingle")
-        )
-        s = sh.join(hot, "shingle", "left_semi")
+    s = _drop_hot_keys(sh, "shingle", max_shingle_df)
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -164,15 +174,7 @@ def tf_cosine_pairs(
     Returns (doc_a, doc_b, dot, cos), doc_a < doc_b; ``top`` cuts by
     (cos desc, doc_a, doc_b) — a total order.
     """
-    t = tf
-    if max_term_df is not None:
-        cold = (
-            tf.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("tdf"))
-            .filter(F.col("tdf") <= max_term_df)
-            .select("term")
-        )
-        t = tf.join(cold, "term", "left_semi")
+    t = _drop_hot_keys(tf, "term", max_term_df)
     norms = t.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("n2")
     )
