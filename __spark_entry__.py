@@ -712,6 +712,20 @@ RELATED_DF_CAP = 400   # hot-term cap for the all-pairs related join
 RELATED_TOP = 20
 
 
+def _q_index_storage(spark, sf):
+    """Storage report over the serving index's compressed shards
+    (postings.storage_report): per-shard + total term/posting counts —
+    the skew/capacity dashboard.  Byte columns are engine-side only
+    (the codec's size law has no SQL twin); the oracle recomputes the
+    shard occupancy from the tokenization + shard-assignment laws."""
+    from tse_spark.operators import postings as po
+
+    h = _ws_index(spark, sf)
+    return po.storage_report(h.postings).select(
+        "shard", "n_terms", "n_postings"
+    )
+
+
 def _q_related_pairs(spark, sf):
     """All-pairs related documents (dedup.tf_cosine_pairs): the batch
     'related articles' precompute — tf-vector cosine over the
@@ -2429,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_matches": _q_percolate,
         "vocab_drift": _q_vocab_drift,
         "related_pairs": _q_related_pairs,
+        "index_storage": _q_index_storage,
         "wand_snapshot": _q_wand_snapshot,
         "wand_federated": _q_wand_federated,
         "bm25_rm3": _q_bm25_rm3,
@@ -3998,6 +4013,21 @@ def oracle_sql() -> dict[str, str]:
     SELECT url, round(sum(s), 4) AS score
     FROM perterm GROUP BY url
     ORDER BY round(sum(s), 4) DESC, url LIMIT {K}"""
+    # index storage occupancy: shard = doc_id // ceil(n_docs/8) (the
+    # _ws_index builder's shard_range law); -1 = the TOTAL row
+    out["index_storage"] = _TOK + """
+    , sr AS (
+      SELECT cast(ceil(count(*) / 8.0) AS BIGINT) AS r FROM dl),
+    assign AS (
+      SELECT cast(floor(tf.doc_id / sr.r) AS BIGINT) AS shard,
+             tf.term, tf.doc_id
+      FROM tf CROSS JOIN sr)
+    SELECT shard, count(DISTINCT term)::BIGINT AS n_terms,
+           count(*)::BIGINT AS n_postings
+    FROM assign GROUP BY 1
+    UNION ALL
+    SELECT -1::BIGINT, count(DISTINCT term)::BIGINT, count(*)::BIGINT
+    FROM assign"""
     # all-pairs related docs: tf cosine over the df-capped subspace —
     # integer dots and squared norms are exact in float64, so the
     # cosine is bit-identical cross-engine before the display round

@@ -171,6 +171,7 @@ HEADLINE = [
     "index_fsck",
     "percolate_matches",
     "related_pairs",
+    "index_storage",
     "wand_recrawled",
     "vocab_drift",
 ]

@@ -148,3 +148,25 @@ def test_explain_coheres_with_topk(spark, idx):
     )
     assert round(s, 4) == pytest.approx(row["contrib"], abs=2e-4)
     assert round(idf, 6) == pytest.approx(row["idf"], abs=2e-6)
+
+
+def test_storage_report_accounts_for_every_byte(spark, idx):
+    """storage_report: the TOTAL row equals the per-shard sum, counts
+    equal the decoded truth, and compression beats raw int64 pairs."""
+    from pyspark.sql import functions as F
+
+    from tse_spark.operators import postings as po
+
+    h, out = idx
+    rep = {r["shard"]: r for r in po.storage_report(h.postings).collect()}
+    shards = [s for s in rep if s >= 0]
+    tot = rep[-1]
+    assert tot["n_postings"] == sum(rep[s]["n_postings"] for s in shards)
+    assert tot["blob_bytes"] == sum(rep[s]["blob_bytes"] for s in shards)
+    dec = po.decode_postings(h.postings)
+    assert tot["n_postings"] == dec.count()
+    raw = h.postings.agg(
+        F.sum(F.octet_length("blocks")).alias("b")
+    ).collect()[0]["b"]
+    assert tot["blob_bytes"] == raw
+    assert 0 < tot["bytes_per_posting"] < 16.0  # beats raw (doc, tf) int64s

@@ -442,6 +442,42 @@ def reencode_shards(
     return merge_partials(partials, avgdl, block_size, num_parts)
 
 
+def storage_report(postings: DataFrame) -> DataFrame:
+    """Capacity-planning report over the compressed shards — the
+    storage half of the ops story (plans/fsck.py is the consistency
+    half): per shard and in TOTAL (shard = -1), how many terms and
+    postings live there and what they cost on disk.
+
+    ``bytes_per_posting`` is the headline number: the delta-gap varint
+    blocks should land well under the 16 bytes/posting a raw
+    (int64 doc_id, int64 tf) pair costs — regressions here mean an
+    encoder change or a pathological doc-id distribution.  All columns
+    come from the shard rows' own metadata (df + blob length); nothing
+    decodes, so the report is vocabulary-sized work even at 10^12
+    docs.  Skew reads directly off the per-shard rows: a shard whose
+    n_postings is a large multiple of the median is the straggler the
+    (term, shard) salt exists to prevent."""
+    per = postings.groupBy("shard").agg(
+        F.count_distinct("term").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum(F.octet_length("blocks")).cast("long").alias("blob_bytes"),
+    )
+    total = postings.agg(
+        F.lit(-1).cast("long").alias("shard"),
+        F.count_distinct("term").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum(F.octet_length("blocks")).cast("long").alias("blob_bytes"),
+    )
+    return (
+        per.unionByName(total)
+        .withColumn(
+            "bytes_per_posting",
+            F.round(F.col("blob_bytes") / F.col("n_postings"), 3),
+        )
+        .orderBy("shard")
+    )
+
+
 def term_stats(postings: DataFrame) -> DataFrame:
     """Global per-term stats from the shards (df = sum of shard dfs)."""
     return postings.groupBy("term").agg(
