@@ -594,6 +594,35 @@ def _q_wand_conjunctive(spark, sf):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _q_wand_sharedcache(spark, sf):
+    """Cross-process shared posting cache (operators/servecache.py):
+    a COLD serving process (fresh handle, empty in-process LRUs) must
+    reproduce the exhaustive SQL BM25 (wand_topk's oracle) purely from
+    snapshot-keyed cache entries a SIBLING process wrote — its Spark
+    posting path is poisoned, so any cache miss would crash rather
+    than silently fall back.  A vacuum sweep runs between the two so
+    the cold read also proves eviction keeps only valid entries."""
+    import hashlib as _h
+
+    from tse_spark.operators import servecache as sc
+    from tse_spark.plans import pipeline as pl
+
+    h = _ws_index(spark, sf)  # ensures the on-disk index exists
+    root = "/tmp/tse_svc_cache_" + _h.md5(sf.encode()).hexdigest()[:8]
+    filler = pl.load_index(spark, h.out_dir)
+    cache = filler.attach_shared_cache(root)
+    filler.engine.search_local(" ".join(BM25_QUERY), K)
+    sc.vacuum_cache(root, cache.key, budget_bytes=256 << 20)
+    cold = pl.load_index(spark, h.out_dir)
+    cold.attach_shared_cache(root)
+    cold.engine.postings = None  # a Spark posting fetch would throw
+    res = cold.engine.search_local(" ".join(BM25_QUERY), K)
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 4)) for d, s in res],
+        "doc_id long, score double",
+    )
+
+
 def _ws_pruned_index(spark, sf):
     """Impact-pruned sibling of _ws_index: same tokenizer/shards, but
     every term keeps only its top-PRUNE_M postings (pipeline prune_m);
@@ -2359,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_page2": _q_bm25_page2,
         "wand_topk": _q_wand_topk,
         "wand_conjunctive": _q_wand_conjunctive,
+        "wand_sharedcache": _q_wand_sharedcache,
         "postings_strings": _q_postings_strings,
         "top_terms": _q_top_terms,
         "scan_search": _q_scan_search,
@@ -4339,6 +4369,8 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY sum(s) DESC, doc_id LIMIT 10"""
     # the index-served MLT twin shares the declarative oracle
     out["wand_mlt"] = out["more_like_this"]
+    # cold shared-cache serving must equal the exhaustive BM25
+    out["wand_sharedcache"] = out["wand_topk"]
     pages_sql = _pages_bm25_oracle_sql()
     if pages_sql:
         out["pages_bm25"] = pages_sql

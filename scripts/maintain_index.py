@@ -16,6 +16,9 @@ Subcommands:
   delete     tombstone urls (newline file) and/or doc ids; O(delta)
   compact    fold append deltas + tombstones into fresh base dirs
   vacuum     expire old snapshots, remove dirs only they referenced
+  vacuum-cache  sweep the shared serving cache (query_index
+             --cache-root): drop superseded snapshot keys, keep the
+             current key within --budget-mb by recency
 
 Every mutating subcommand commits through the snapshot-stamped atomic
 meta publish (tse_spark/plans/snapshots.py), so each run appends one
@@ -62,6 +65,16 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("vacuum")
     v.add_argument("--keep", type=int, default=2)
     v.add_argument("--dry-run", action="store_true")
+    vc = sub.add_parser("vacuum-cache")
+    vc.add_argument(
+        "--cache-root", required=True,
+        help="shared serving-cache dir (query_index --cache-root)",
+    )
+    vc.add_argument(
+        "--budget-mb", type=int, default=1024,
+        help="byte budget for the CURRENT snapshot's entries; "
+        "superseded snapshot dirs are always dropped",
+    )
     args = ap.parse_args(argv)
 
     from tse_spark.plans import snapshots as sn
@@ -90,6 +103,16 @@ def main(argv: list[str] | None = None) -> int:
             args.index, keep=args.keep, dry_run=args.dry_run
         )
         print(json.dumps({"dry_run": args.dry_run, **report}))
+        return 0
+    if args.cmd == "vacuum-cache":
+        from tse_spark.operators import servecache as sc
+
+        with open(f"{args.index}/meta.json") as f:
+            key = sc.cache_key(json.load(f))
+        report = sc.vacuum_cache(
+            args.cache_root, key, budget_bytes=args.budget_mb << 20
+        )
+        print(json.dumps({"current_key": key, **report}))
         return 0
 
     from pyspark.sql import SparkSession

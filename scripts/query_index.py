@@ -87,6 +87,14 @@ def main(argv: list[str] | None = None) -> int:
         "term_stats keywords -> WAND), instead of running queries",
     )
     ap.add_argument(
+        "--cache-root", default=None, metavar="DIR",
+        help="attach the cross-process shared posting cache "
+        "(operators.servecache): misses fill DIR, hits skip the "
+        "Spark fetch — point every serving replica at one DIR so "
+        "they warm each other; entries are snapshot-keyed, so a "
+        "newer index commit is never served stale bytes",
+    )
+    ap.add_argument(
         "--queries-file", default=None,
         help="UTF-8 file, one query per line (use for non-ASCII queries: "
         "spark-submit under a C locale mangles non-ASCII argv)",
@@ -169,6 +177,8 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         handle = pl.load_index(spark, args.index, dictionary)
+    if args.cache_root:
+        handle.attach_shared_cache(args.cache_root)
     handle.engine.warm()
     handle.engine.query_log_path = args.index.rstrip("/") + "/query_log.jsonl"
     if args.complete:

@@ -133,6 +133,12 @@ class SearchEngine:
         self._decoded_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._decoded_bytes = 0
         self.decoded_cache_budget = 512 << 20
+        # optional SECOND cache tier shared across serving processes
+        # (operators/servecache.py): consulted between the in-process
+        # LRU and the pruned Spark fetch, write-through on fills.  One
+        # replica's cold miss warms the whole fleet; keyed by the index
+        # snapshot so a commit can never serve stale bytes.
+        self.shared_cache = None
         # Q13 (reference Query.cpp:233-261 appends a timestamped query
         # line): JSONL query log, enabled by setting a path
         self.query_log_path: str | None = None
@@ -219,6 +225,18 @@ class SearchEngine:
                 df = e[0]
             if df > 0:
                 out[t] = int(df)
+        if missing and self.shared_cache is not None:
+            # shared tier, df-only read (header bytes, never the blob)
+            still = []
+            for t in missing:
+                df = self.shared_cache.get_df(t)
+                if df is None:
+                    still.append(t)
+                    continue
+                self._df_cache[t] = df
+                if df > 0:
+                    out[t] = df
+            missing = still
         if missing:
             rows = self.term_stats.filter(
                 F.col("term").isin(missing)
@@ -702,6 +720,20 @@ class SearchEngine:
                 out[t] = e
             else:
                 missing.append(t)
+        if missing and self.shared_cache is not None:
+            # shared tier: another replica's fill (or negative) serves
+            # this one without a Spark job
+            still = []
+            for t in missing:
+                e = self.shared_cache.get(t)
+                if e is None:
+                    still.append(t)
+                    continue
+                out[t] = e
+                self._term_cache[t] = e
+                while len(self._term_cache) > self.posting_cache_max_terms:
+                    self._term_cache.popitem(last=False)
+            missing = still
         if missing:
             by_term: dict[str, list[tuple[int, bytes]]] = {}
             dfs: dict[str, int] = {}
@@ -715,6 +747,9 @@ class SearchEngine:
                 entry = (dfs.get(t, 0), blob)
                 out[t] = entry
                 self._term_cache[t] = entry
+                if self.shared_cache is not None:
+                    # write-through (atomic, immutable per snapshot key)
+                    self.shared_cache.put(t, entry[0], entry[1])
                 while len(self._term_cache) > self.posting_cache_max_terms:
                     self._term_cache.popitem(last=False)
         return out

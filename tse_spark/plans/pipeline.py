@@ -266,6 +266,7 @@ class IndexPipeline:
         return IndexHandle(
             self.spark, self.out_dir, postings, stats,
             meta["n_docs"], meta["avgdl"], self.dictionary, man,
+            meta=meta,
         )
 
 
@@ -273,10 +274,14 @@ class IndexHandle:
     def __init__(
         self, spark, out_dir, postings, term_stats, n_docs, avgdl,
         dictionary, manifest, enc_avgdl: float | None = None,
-        tombstones=None,
+        tombstones=None, meta: dict | None = None,
     ):
         self.spark = spark
         self.out_dir = out_dir
+        # the published meta this handle was opened with (None for
+        # in-build handles) — keys the shared serving cache so a
+        # time-travel handle never shares entries with the live one
+        self.meta = meta
         self.postings = postings
         self.term_stats = term_stats
         self.n_docs = n_docs
@@ -292,6 +297,24 @@ class IndexHandle:
             spark, postings, term_stats, n_docs, avgdl, dictionary,
             bound_scale=scale, tombstones=tombstones,
         )
+
+    def attach_shared_cache(self, cache_root: str):
+        """Attach the cross-process posting cache tier
+        (operators/servecache.py) to this handle's engine, keyed by the
+        meta this handle was OPENED with (so a time-travel handle gets
+        its snapshot's own key) — any commit produces a new key, so
+        entries this engine writes can never be read against a
+        different snapshot.  Returns the cache for stats/vacuum."""
+        from tse_spark.operators import servecache as sc
+
+        if self.meta is not None:
+            cache = sc.SharedPostingCache.for_meta(cache_root, self.meta)
+        else:
+            cache = sc.SharedPostingCache.for_index(
+                cache_root, self.out_dir
+            )
+        self.engine.shared_cache = cache
+        return cache
 
     def _tf_row_major(self):
         """The tf checkpoint as (doc_id, term, tf): tse-tokenized
@@ -464,7 +487,7 @@ def handle_from_meta(
     return IndexHandle(
         spark, out_dir, postings, stats,
         meta["n_docs"], meta["avgdl"], dictionary, cp.Manifest(out_dir),
-        enc_avgdl=meta.get("enc_avgdl"), tombstones=tomb,
+        enc_avgdl=meta.get("enc_avgdl"), tombstones=tomb, meta=meta,
     )
 
 
