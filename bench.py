@@ -13,7 +13,11 @@ stdout line is always the most complete result:
    per-level minima) -> docs/sec at both + scaling efficiency
    T_N*N / (T_4N*4N), with per-leg hypervisor steal evidence.
 2. **BM25 serving latency**: block-max WAND over the compressed shards
-   built in phase 1, p50/p95 over the reference query set.
+   built in phase 1, p50/p95 over the reference query set.  Also
+   measures a FRESH replica's first-touch latency with the
+   cross-process shared posting cache attached (replica_cold_p50_ms)
+   against the no-cache cold pass — the fleet warm-up evidence for
+   operators/servecache.py.
 3. **Headline queries** at $SPARK_GRAFT_SF_DIR (default
    /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]: per-query wall
    seconds, forced with a noop sink (full materialization, no driver
@@ -650,6 +654,38 @@ def run_serving(spark, index_dir: str) -> None:
     RESULT["bm25_p50_ms"] = serving["p50_ms"]
     RESULT["bm25_p95_ms"] = serving["p95_ms"]
     RESULT["serving"] = serving
+
+    # cross-process shared cache tier (operators/servecache.py): a
+    # FRESH replica (cold in-process LRUs) first-touch latency when a
+    # sibling replica already served the same query set — the fleet
+    # warm-up story.  Compare replica_cold_p50_ms against cold_p50_ms
+    # (no shared tier) and p50_ms (same-process hot).
+    import shutil
+
+    root = os.path.join(SCRATCH, "svc_cache_bench")
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        filler = pl.load_index(spark, index_dir, fixtures.mini_dict_bytes())
+        filler.attach_shared_cache(root)
+        queries = fixtures.gen_queries()
+        for _, q, k in queries:
+            filler.engine.search_local(q, k)
+        replica = pl.load_index(
+            spark, index_dir, fixtures.mini_dict_bytes()
+        )
+        replica.attach_shared_cache(root)
+        lat = []
+        for _, q, k in queries:  # first touch on THIS replica
+            t0 = time.time()
+            replica.engine.search_local(q, k)
+            lat.append((time.time() - t0) * 1000.0)
+        lat.sort()
+        serving["replica_cold_p50_ms"] = round(statistics.median(lat), 2)
+        serving["replica_cold_p95_ms"] = round(
+            lat[int(len(lat) * 0.95) - 1], 2
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     flush()
 
 
