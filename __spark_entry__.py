@@ -843,6 +843,29 @@ def _q_batch_metrics(spark, sf):
     return bs.retrieval_metrics(results, qrels, BATCH_K)
 
 
+def _q_ltr_features(spark, sf):
+    """Learning-to-rank feature export (operators/ltr.py): one row per
+    (query, BM25 top-k candidate) with the classic feature block —
+    bm25/rank, term-match stats (n_matched, coverage, sum/max tf,
+    sum_idf), length norms, the quality_score heuristic, and the
+    pagerank prior over the synthetic link graph.  Candidates come
+    from ONE batch-retrieval pass; every feature joins against the
+    broadcast candidate set, never a corpus rescan.  The oracle
+    recomputes the whole matrix (retrieval + features + prior) in
+    SQL."""
+    from tse_spark.operators import ltr
+
+    h = _ws_index(spark, sf)
+    priors = _q_pagerank(spark, sf).select(
+        "doc_id", F.col("rank").alias("prior")
+    )
+    return ltr.ltr_features(
+        h.postings, h.term_stats, h.n_docs, h.avgdl,
+        _batch_queries_df(spark), _t(spark, sf, "documents"),
+        priors=priors, k=BATCH_K,
+    )
+
+
 RM3_FB = 3       # feedback docs
 RM3_TERMS = 5    # expansion terms
 RM3_LAM = 0.5    # expansion weight
@@ -2478,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_federated": _q_wand_federated,
         "bm25_rm3": _q_bm25_rm3,
         "batch_search": _q_batch_search,
+        "ltr_features": _q_ltr_features,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
@@ -2904,13 +2928,17 @@ def _pages_bm25_oracle_sql() -> str | None:
     ORDER BY sum(s) DESC, doc_id LIMIT 10"""
 
 
-def _pagerank_oracle_sql(n_iter: int = 3) -> str:
+def _pagerank_oracle_sql(n_iter: int = 3, as_cte: bool = False) -> str:
     """Unrolled power iteration — the same graph law and rank update as
     _q_pagerank, one CTE pair (contrib, dangling) + rank CTE per
     iteration.  All rank math in DOUBLE (0.15/0.85 literals promote via
-    the DOUBLE n), matching Spark's float64."""
+    the DOUBLE n), matching Spark's float64.
+
+    ``as_cte=True`` emits just the CTE list (no WITH, no final
+    SELECT), ending with ``r{n_iter}`` — for embedding the prior into
+    a larger oracle (ltr_features)."""
     head = """
-    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    nn AS (SELECT count(*)::BIGINT AS n FROM documents),
     e0 AS (
       SELECT doc_id AS src, (doc_id * 2 + 1) % nn.n AS dst
       FROM documents, nn
@@ -2943,9 +2971,12 @@ def _pagerank_oracle_sql(n_iter: int = 3) -> str:
       FROM v CROSS JOIN n CROSS JOIN d{k}
       LEFT JOIN c{k} ON v.id = c{k}.id)"""
         )
+    body = head + "".join(its)
+    if as_cte:
+        return body
     return (
-        head
-        + "".join(its)
+        "\n    WITH "
+        + body.lstrip()
         + f"""
     SELECT id AS doc_id, round(r, 6) AS rank FROM r{n_iter}"""
     )
@@ -4199,6 +4230,63 @@ def oracle_sql() -> dict[str, str]:
            round(coalesce(hits.dcg / ideal.idcg, 0.0), 6) AS ndcg_at_k
     FROM ideal LEFT JOIN hits USING (query_id)
     ORDER BY query_id"""
+    # LTR feature matrix: batch retrieval (feature aggregates fused
+    # into the scoring aggregation) + quality heuristic (all-token
+    # law) + pagerank prior (unrolled power iteration as CTEs)
+    out["ltr_features"] = _TOK + f"""
+    , q AS (SELECT * FROM (VALUES {_bq_values}) t(query_id, text)),
+    qt AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT query_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM q)
+      WHERE strlen(term) BETWEEN 2 AND 8),
+    nt AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM qt
+           GROUP BY 1),
+    perqd AS (
+      SELECT qt.query_id, tf.doc_id,
+             sum(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+               AS score,
+             count(*)::BIGINT AS n_matched,
+             sum(tf.tf)::BIGINT AS sum_tf,
+             max(tf.tf)::BIGINT AS max_tf,
+             sum(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)))
+               AS sum_idf,
+             max(dl.dl)::BIGINT AS dl
+      FROM tf
+      JOIN qt USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM perqd),
+    cand AS (SELECT * FROM ranked WHERE rank <= {BATCH_K}),
+    tokq AS (SELECT doc_id, term FROM tok0 WHERE strlen(term) > 0),
+    qual AS (
+      SELECT doc_id,
+             round(least(count(*) / 100.0, 1.0)
+                   * (0.5 + avg(CASE WHEN term IN
+                                ('the','a','of','and','to')
+                                THEN 1 ELSE 0 END)), 4) AS quality
+      FROM tokq GROUP BY doc_id),
+    {_pagerank_oracle_sql(as_cte=True)},
+    pri AS (SELECT id AS doc_id, round(r, 6) AS prior FROM r3)
+    SELECT cand.query_id, cand.doc_id, cand.rank::BIGINT AS rank,
+           round(cand.score, 4) AS bm25, cand.n_matched,
+           round(cand.n_matched / nt.n_terms::DOUBLE, 4) AS coverage,
+           cand.sum_tf, cand.max_tf,
+           round(cand.sum_idf, 4) AS sum_idf,
+           cand.dl, round(cand.dl / stats.avgdl, 4) AS dl_norm,
+           coalesce(qual.quality, 0.0) AS quality,
+           coalesce(pri.prior, 0.0) AS prior
+    FROM cand JOIN nt USING (query_id) CROSS JOIN stats
+    LEFT JOIN qual ON qual.doc_id = cand.doc_id
+    LEFT JOIN pri ON pri.doc_id = cand.doc_id"""
     # RM3 pseudo-relevance feedback: feedback-doc selection (base
     # BM25 top-n), aggregate tf-idf expansion (more_like_this's rounded
     # keyword law, tf summed over the feedback docs, query terms

@@ -178,6 +178,9 @@ HEADLINE = [
     "index_storage",
     "wand_recrawled",
     "vocab_drift",
+    # round-3 continuation
+    "wand_sharedcache",
+    "ltr_features",
 ]
 
 RESULT: dict = {

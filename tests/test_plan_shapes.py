@@ -117,3 +117,38 @@ def test_batch_search_never_shuffles_the_index_side(spark, tmp_path):
     first_agg_above = plan.rindex("HashAggregate", 0, decode_at)
     seg = plan[first_agg_above:decode_at]
     assert "Exchange" not in seg.split("BroadcastHashJoin")[0]
+
+
+def test_ltr_features_no_corpus_rescan_for_features(spark, tmp_path):
+    """ltr_features' scale claims: (a) like batch retrieval, the index
+    side never SortMergeJoins — query relations ride in as broadcast
+    builds; (b) the quality/prior feature joins run against the
+    BROADCAST candidate set (docs semi-joined, priors inner-joined),
+    so after the top-k window no full-corpus relation is exchanged."""
+    from tse_spark.operators import ltr
+    from tse_spark.plans import pipeline as pl
+
+    out = str(tmp_path / "lidx")
+    pipe = pl.IndexPipeline(
+        spark, out, tokenizer="ws", num_shards=2, block_size=32
+    )
+    d = _docs(spark)
+    h = pipe.run_from_docs(d, input_key="ltrplan", resume=False)
+    q = spark.createDataFrame(
+        [(0, "tok1 tok2"), (1, "tok3")], "query_id long, text string"
+    )
+    priors = d.select("doc_id", (F.col("doc_id") * 0.001).alias("prior"))
+    df = ltr.ltr_features(
+        h.postings, h.term_stats, h.n_docs, h.avgdl, q, d,
+        priors=priors, k=5,
+    )
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    # docs->quality and priors join through broadcast candidate ids
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("LeftSemi, BuildRight") >= 1
+    # and the result is actually right: every candidate has features
+    rows = df.collect()
+    assert rows and all(r["n_matched"] >= 1 for r in rows)
+    assert all(0 < r["coverage"] <= 1.0 for r in rows)
+    assert all(r["quality"] > 0 for r in rows)
