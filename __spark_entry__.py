@@ -866,6 +866,31 @@ def _q_ltr_features(spark, sf):
     )
 
 
+LM_FILTER_Q = 0.5  # perplexity filter: keep the most-fluent half
+
+
+def _q_lm_perplexity(spark, sf):
+    """CCNet-style curation (operators/lm.py): per-doc perplexity
+    under an add-k smoothed bigram LM trained on the corpus itself —
+    tokens/bigrams/model/score laws all deterministic, so the oracle
+    recomputes training AND scoring in SQL."""
+    from tse_spark.operators import lm
+
+    return lm.doc_perplexity(_t(spark, sf, "documents"))
+
+
+def _q_lm_filter(spark, sf):
+    """The exact rank form of the perplexity filter: the most-fluent
+    floor(q*n_scored) docs by (ppl, doc_id).  The scale path is the
+    thresholded map-side variant (perplexity_filter_threshold); this
+    ranked law is what the oracle can cut identically."""
+    from tse_spark.operators import lm
+
+    return lm.perplexity_filter(
+        _t(spark, sf, "documents"), q=LM_FILTER_Q
+    )
+
+
 RM3_FB = 3       # feedback docs
 RM3_TERMS = 5    # expansion terms
 RM3_LAM = 0.5    # expansion weight
@@ -2502,6 +2527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rm3": _q_bm25_rm3,
         "batch_search": _q_batch_search,
         "ltr_features": _q_ltr_features,
+        "lm_perplexity": _q_lm_perplexity,
+        "lm_filter": _q_lm_filter,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
@@ -4287,6 +4314,45 @@ def oracle_sql() -> dict[str, str]:
     FROM cand JOIN nt USING (query_id) CROSS JOIN stats
     LEFT JOIN qual ON qual.doc_id = cand.doc_id
     LEFT JOIN pri ON pri.doc_id = cand.doc_id"""
+    # bigram LM training + perplexity scoring (operators/lm.py laws)
+    _lm_core = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> strlen(x) > 0) AS arr
+      FROM documents),
+    bg0 AS (
+      SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+      FROM (SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr) - 1)) AS i
+            FROM t)),
+    bg AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+           FROM bg0 GROUP BY 1, 2, 3),
+    c12 AS (SELECT w1, w2, sum(tf)::BIGINT AS n12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(n12)::BIGINT AS n1 FROM c12 GROUP BY 1),
+    voc AS (SELECT count(DISTINCT tok)::BIGINT AS v
+            FROM (SELECT unnest(arr) AS tok FROM t)),
+    lm AS (SELECT c12.w1, c12.w2,
+                  ln((n12 + 0.5) / (n1 + 0.5 * voc.v)) AS logprob
+           FROM c12 JOIN c1 USING (w1) CROSS JOIN voc),
+    per AS (
+      SELECT bg.doc_id, sum(bg.tf)::BIGINT AS n_bigrams,
+             sum(bg.tf * lm.logprob) / sum(bg.tf) AS avg_lp
+      FROM bg JOIN lm USING (w1, w2)
+      GROUP BY 1)"""
+    out["lm_perplexity"] = _lm_core + """
+    SELECT doc_id, n_bigrams, round(avg_lp, 6) AS avg_logprob,
+           round(exp(-avg_lp), 4) AS ppl
+    FROM per"""
+    out["lm_filter"] = _lm_core + f"""
+    , scored AS (SELECT doc_id, round(exp(-avg_lp), 4) AS ppl FROM per),
+    nsc AS (SELECT count(*)::BIGINT AS n FROM scored),
+    rk AS (SELECT doc_id, ppl,
+                  row_number() OVER (ORDER BY ppl, doc_id) AS rank
+           FROM scored)
+    SELECT doc_id, ppl, rank::BIGINT AS rank
+    FROM rk CROSS JOIN nsc
+    WHERE rank <= floor({LM_FILTER_Q} * n)"""
     # RM3 pseudo-relevance feedback: feedback-doc selection (base
     # BM25 top-n), aggregate tf-idf expansion (more_like_this's rounded
     # keyword law, tf summed over the feedback docs, query terms

@@ -181,6 +181,7 @@ HEADLINE = [
     # round-3 continuation
     "wand_sharedcache",
     "ltr_features",
+    "lm_perplexity",
 ]
 
 RESULT: dict = {
