@@ -866,6 +866,23 @@ def _q_ltr_features(spark, sf):
     )
 
 
+DUP_SPAN_N = 5  # duplicate-span masking: minimum span length (tokens)
+
+
+def _q_dup_span_mask(spark, sf):
+    """ExactSubstr-style duplicate-span removal (dedup.dup_span_mask):
+    every token position inside a CROSS-DOC duplicated span of >=
+    DUP_SPAN_N tokens is masked and the cleaned text emitted — the
+    span-level sibling of document-level near-dup.  md5 gram keys
+    (portable mode); the oracle replays grams → cross-doc dup test →
+    position coverage → reconstruction on the raw gram strings."""
+    from tse_spark.operators import dedup
+
+    return dedup.dup_span_mask(
+        _t(spark, sf, "documents"), n=DUP_SPAN_N, hash_fn="md5"
+    )
+
+
 LM_FILTER_Q = 0.5  # perplexity filter: keep the most-fluent half
 
 
@@ -2529,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": _q_ltr_features,
         "lm_perplexity": _q_lm_perplexity,
         "lm_filter": _q_lm_filter,
+        "dup_span_mask": _q_dup_span_mask,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
@@ -4353,6 +4371,51 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, ppl, rank::BIGINT AS rank
     FROM rk CROSS JOIN nsc
     WHERE rank <= floor({LM_FILTER_Q} * n)"""
+    # duplicate-span masking: gram -> cross-doc dup -> coverage ->
+    # per-doc reconstruction (dedup.dup_span_mask laws; the oracle
+    # groups by the raw gram string — hashing is only a shuffle-size
+    # optimization, the partition it induces is identical)
+    out["dup_span_mask"] = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> strlen(x) > 0) AS arr
+      FROM documents),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(arr[i:i + {DUP_SPAN_N - 1}], ' ') AS gram
+      FROM (SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr) - {DUP_SPAN_N - 1}))
+                     AS i
+            FROM t)),
+    dup AS (SELECT gram FROM occ GROUP BY gram
+            HAVING min(doc_id) <> max(doc_id)),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS p
+      FROM (SELECT o.doc_id, o.pos,
+                   unnest(generate_series(0, {DUP_SPAN_N - 1})) AS j
+            FROM occ o JOIN dup USING (gram))),
+    tok AS (SELECT doc_id, i AS p, arr[i] AS tokn
+            FROM (SELECT doc_id, arr,
+                         unnest(generate_series(1, len(arr))) AS i
+                  FROM t)),
+    surv AS (
+      SELECT tok.doc_id, tok.p, tok.tokn
+      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id
+                            AND tok.p = cov.p
+      WHERE cov.p IS NULL),
+    agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                   string_agg(tokn, ' ' ORDER BY p) AS clean_text
+            FROM surv GROUP BY doc_id),
+    base AS (SELECT doc_id, len(arr)::BIGINT AS n_tokens FROM t)
+    SELECT base.doc_id, base.n_tokens,
+           (base.n_tokens - coalesce(agg.n_kept, 0))::BIGINT AS n_masked,
+           CASE WHEN base.n_tokens > 0
+                THEN round((base.n_tokens - coalesce(agg.n_kept, 0))
+                           / base.n_tokens::DOUBLE, 4)
+                ELSE 0.0 END AS dup_ratio,
+           coalesce(agg.clean_text, '') AS clean_text
+    FROM base LEFT JOIN agg USING (doc_id)"""
     # RM3 pseudo-relevance feedback: feedback-doc selection (base
     # BM25 top-n), aggregate tf-idf expansion (more_like_this's rounded
     # keyword law, tf summed over the feedback docs, query terms

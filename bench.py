@@ -182,6 +182,7 @@ HEADLINE = [
     "wand_sharedcache",
     "ltr_features",
     "lm_perplexity",
+    "dup_span_mask",
 ]
 
 RESULT: dict = {

@@ -148,3 +148,55 @@ def test_tf_cosine_pairs_laws(spark):
         for r in dedup.tf_cosine_pairs(tf).collect()
     }
     assert (1, 3) in full
+
+
+def test_dup_span_mask_masks_cross_doc_spans_only(spark):
+    from tse_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h unique1 tail1"),
+            (2, "x y a b c d e f g h other"),
+            # within-doc repetition is NOT a cross-doc duplicate
+            (3, "p q r s t p q r s t p q r s t"),
+            (4, ""),
+            (5, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    for mode in ("xxhash64", "md5"):
+        out = {
+            r["doc_id"]: r
+            for r in dd.dup_span_mask(docs, n=5, hash_fn=mode).collect()
+        }
+        # the shared 8-token span a..h masks fully in both docs
+        assert out[1]["clean_text"] == "unique1 tail1"
+        assert out[1]["n_masked"] == 8
+        assert out[2]["clean_text"] == "x y other"
+        assert out[2]["dup_ratio"] == round(8 / 11, 4)
+        # self-repetition survives: the law is cross-document
+        assert out[3]["n_masked"] == 0
+        assert out[3]["clean_text"].startswith("p q r s t")
+        # short/empty docs pass through unmasked
+        assert out[4] ["n_tokens"] == 0 and out[4]["clean_text"] == ""
+        assert out[5]["n_masked"] == 0 and out[5]["clean_text"] == "short doc"
+
+
+def test_dup_span_mask_partial_overlap(spark):
+    from tse_spark.operators import dedup as dd
+
+    # spans overlap by 6 tokens (c..h): with n=5, every position inside
+    # the shared 6-token run is covered; the flanks survive
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 c d e f g h z1 z2"),
+            (2, "b1 c d e f g h b2 b3 b4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd.dup_span_mask(docs, n=5).collect()
+    }
+    assert out[1]["clean_text"] == "a1 a2 z1 z2"
+    assert out[2]["clean_text"] == "b1 b2 b3 b4"

@@ -444,3 +444,130 @@ def ngram_contamination(
         )
         .filter(F.col("contam_frac") >= min_frac)
     )
+
+
+def dup_span_mask(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span removal (the "deduplicating
+    training data" recipe, reformulated for Spark): mask every token
+    position that lies inside a CROSS-DOCUMENT duplicated span of
+    >= ``n`` tokens, and emit the cleaned text.
+
+    The suffix-array formulation doesn't distribute; the equivalent
+    n-gram law does: a span of length >= n repeats across docs iff
+    every n-gram inside it repeats across docs, so the union of
+    positions covered by cross-doc-duplicated n-grams IS the union of
+    duplicated spans.  Dataflow:
+
+      1. (doc_id, pos, key) n-gram occurrences, built INSIDE the token
+         array (transform over an index sequence — no positional
+         self-join); ``key`` is the gram hashed per ``hash_fn``
+         (module docstring: xxhash64 production / md5 oracle mode), so
+         only (key, doc_id, pos) triples ever shuffle, never gram text;
+      2. duplicated keys via min(doc_id) <> max(doc_id) — a
+         partially-aggregable test for "seen in >= 2 docs" (no
+         count-distinct shuffle of doc ids);
+      3. covered positions = the semi-joined occurrences exploded to
+         their n positions, distinct per doc;
+      4. reconstruction: anti-join token positions against coverage,
+         re-assemble per doc (sort_array over (pos, token) structs —
+         a per-doc array sort, no global order).
+
+    Output: (doc_id, n_tokens, n_masked, dup_ratio, clean_text) for
+    every input doc (docs shorter than ``n`` tokens pass through
+    unmasked).
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.octet_length(t) > 0,
+    )
+    base = docs.select("doc_id", arr.alias("arr"))
+    # sequence(1, 0) would step DOWN ([1, 0]) — docs shorter than n
+    # tokens must produce an empty gram list instead
+    n_grams_of = F.when(
+        F.size("arr") >= n,
+        F.sequence(F.lit(1), F.size("arr") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                n_grams_of,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(
+                        " ", F.slice("arr", i, F.lit(n))
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.gram")
+    if hash_fn == "md5":
+        key = F.md5(F.encode("gram", "UTF-8"))
+    else:
+        key = F.xxhash64("gram")
+    occ = grams.select("doc_id", "pos", key.alias("key"))
+    dup = occ.groupBy("key").agg(
+        F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx")
+    ).filter(F.col("_mn") != F.col("_mx")).select("key")
+    cov = (
+        occ.join(dup, "key", "semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "doc_id",
+        F.size("arr").alias("n_tokens"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("arr"), F.lit(1))),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.try_element_at("arr", i).alias("tok"),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", "n_tokens", "t.p", "t.tok").filter(
+        F.col("tok").isNotNull()
+    )
+    surv = toks.join(
+        cov, ["doc_id", "p"], "left_anti"
+    ).groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("p", "tok"))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    # fully-masked docs drop out of surv; docs with zero tokens never
+    # had token rows — restore both from the base relation
+    full = base.select("doc_id", F.size("arr").alias("n_tokens"))
+    return full.join(
+        surv.select("doc_id", "n_kept", "clean_text"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_masked"),
+        F.when(F.col("n_tokens") > 0, F.round(
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            / F.col("n_tokens"),
+            4,
+        )).otherwise(F.lit(0.0)).alias("dup_ratio"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
