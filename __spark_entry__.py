@@ -866,6 +866,57 @@ def _q_ltr_features(spark, sf):
     )
 
 
+WINNOW_K = 4       # winnowing: k-gram length (tokens)
+WINNOW_W = 5       # winnowing: window length (k-grams)
+WINNOW_SHARED = 2  # pair candidates: min shared fingerprints
+WINNOW_FP_DF = 200  # hot-fingerprint cap before the pair self-join
+
+
+def _q_winnow_fingerprints(spark, sf):
+    """Winnowing (MOSS) fingerprints (dedup.winnow_fingerprints): the
+    window-min sample of the k-gram hash stream, LOCAL by construction
+    (any shared run of w+k-1 tokens shares a fingerprint) — the third
+    fingerprint family next to MinHash and SimHash.  Portable md5
+    hash; the oracle replays kgram-hash -> frame-bounded window min ->
+    distinct."""
+    from tse_spark.operators import dedup
+
+    return dedup.winnow_fingerprints(
+        _t(spark, sf, "documents"), k=WINNOW_K, w=WINNOW_W,
+        hash_fn="md5",
+    )
+
+
+def _q_winnow_pairs(spark, sf):
+    """Plagiarism-style candidates over the winnowing fingerprints:
+    pairs sharing >= WINNOW_SHARED fps, hot-fp capped like
+    jaccard_pairs."""
+    from tse_spark.operators import dedup
+
+    fps = dedup.winnow_fingerprints(
+        _t(spark, sf, "documents"), k=WINNOW_K, w=WINNOW_W,
+        hash_fn="md5",
+    )
+    return dedup.winnow_pairs(
+        fps, min_shared=WINNOW_SHARED, max_fp_df=WINNOW_FP_DF
+    )
+
+
+PMI_MIN_COUNT = 5  # collocation mining: bigram count floor
+
+
+def _q_pmi_collocations(spark, sf):
+    """Collocation mining (textops.pmi_collocations): top-20 bigrams
+    by PMI over one in-array bigram aggregation, count-floored against
+    PMI's rare-pair pathology; rounded-PMI ties break by (w1, w2) so
+    the LIMIT boundary is deterministic in both engines."""
+    from tse_spark.operators import textops
+
+    return textops.pmi_collocations(
+        _t(spark, sf, "documents"), min_count=PMI_MIN_COUNT, k=20
+    )
+
+
 DUP_SPAN_N = 5  # duplicate-span masking: minimum span length (tokens)
 
 
@@ -2547,6 +2598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "lm_filter": _q_lm_filter,
         "dup_span_mask": _q_dup_span_mask,
+        "pmi_collocations": _q_pmi_collocations,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
@@ -4416,6 +4470,63 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 0.0 END AS dup_ratio,
            coalesce(agg.clean_text, '') AS clean_text
     FROM base LEFT JOIN agg USING (doc_id)"""
+    # PMI collocations over the same in-array bigram law
+    out["pmi_collocations"] = rf"""
+    WITH t AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> strlen(x) > 0) AS arr
+      FROM documents),
+    bg0 AS (
+      SELECT arr[i] AS w1, arr[i + 1] AS w2
+      FROM (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i
+            FROM t)),
+    bg AS (SELECT w1, w2, count(*)::BIGINT AS n12 FROM bg0 GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(n12)::BIGINT AS n1 FROM bg GROUP BY 1),
+    c2 AS (SELECT w2, sum(n12)::BIGINT AS n2 FROM bg GROUP BY 1),
+    tot AS (SELECT sum(n12)::BIGINT AS nn FROM bg)
+    SELECT bg.w1, bg.w2, bg.n12,
+           round(ln(bg.n12::DOUBLE * tot.nn::DOUBLE
+                    / (c1.n1::DOUBLE * c2.n2::DOUBLE)), 4) AS pmi
+    FROM bg JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+    WHERE bg.n12 >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2 LIMIT 20"""
+    # winnowing: kgram md5-32 hashes -> frame-bounded window min ->
+    # distinct fingerprints; pairs via capped self-join
+    _winnow_core = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> strlen(x) > 0) AS arr
+      FROM documents),
+    g AS (
+      SELECT doc_id, len(arr) - {WINNOW_K - 1} AS nk, i AS pos,
+             ('0x' || substr(md5(
+                array_to_string(arr[i:i + {WINNOW_K - 1}], ' ')
+              ), 1, 8))::BIGINT AS h
+      FROM (SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr) - {WINNOW_K - 1}))
+                     AS i
+            FROM t
+            WHERE len(arr) >= {WINNOW_K})),
+    wm AS (
+      SELECT doc_id, pos, nk,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM g),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM wm
+      WHERE pos <= greatest(nk - {WINNOW_W - 1}, 1))"""
+    out["winnow_fingerprints"] = _winnow_core + """
+    SELECT doc_id, fp FROM fps"""
+    out["winnow_pairs"] = _winnow_core + f"""
+    , cold AS (SELECT fp FROM fps GROUP BY fp
+               HAVING count(*) <= {WINNOW_FP_DF}),
+    cf AS (SELECT fps.doc_id, fps.fp FROM fps JOIN cold USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*)::BIGINT AS n_shared
+    FROM cf a JOIN cf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {WINNOW_SHARED}"""
     # RM3 pseudo-relevance feedback: feedback-doc selection (base
     # BM25 top-n), aggregate tf-idf expansion (more_like_this's rounded
     # keyword law, tf summed over the feedback docs, query terms

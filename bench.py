@@ -183,6 +183,8 @@ HEADLINE = [
     "ltr_features",
     "lm_perplexity",
     "dup_span_mask",
+    "pmi_collocations",
+    "winnow_pairs",
 ]
 
 RESULT: dict = {

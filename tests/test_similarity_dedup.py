@@ -200,3 +200,60 @@ def test_dup_span_mask_partial_overlap(spark):
     }
     assert out[1]["clean_text"] == "a1 a2 z1 z2"
     assert out[2]["clean_text"] == "b1 b2 b3 b4"
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Schleimer et al.'s theorem: any shared token run of w+k-1
+    tokens is guaranteed to produce a shared fingerprint."""
+    from tse_spark.operators import dedup as dd
+
+    k, w = 4, 5  # guarantee threshold: 8 shared tokens
+    shared = "q1 q2 q3 q4 q5 q6 q7 q8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"x1 x2 x3 {shared} y1"),
+            (3, "completely unrelated content with nothing common"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = dd.winnow_fingerprints(docs, k=k, w=w)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dd.winnow_pairs(fps, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs  # the guarantee
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnowing_is_local_survives_block_swap(spark):
+    """Reordering blocks preserves local fingerprints — the property
+    that distinguishes winnowing from the global MinHash/SimHash."""
+    from tse_spark.operators import dedup as dd
+
+    a = "b1 b2 b3 b4 b5 b6 b7 b8 c1 c2 c3 c4 c5 c6 c7 c8"
+    b = "c1 c2 c3 c4 c5 c6 c7 c8 b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    fps = dd.winnow_fingerprints(docs, k=4, w=5)
+    rows = fps.collect()
+    s1 = {r["fp"] for r in rows if r["doc_id"] == 1}
+    s2 = {r["fp"] for r in rows if r["doc_id"] == 2}
+    # each 8-token block exceeds the w+k-1 guarantee, so both blocks
+    # contribute shared fingerprints despite the swap
+    assert len(s1 & s2) >= 2
+
+
+def test_winnowing_short_doc_ragged_window(spark):
+    from tse_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5"), (2, "t1 t2 t3")],
+        "doc_id long, text string",
+    )
+    rows = dd.winnow_fingerprints(docs, k=4, w=5).collect()
+    # doc 1 has 2 k-grams (< w): exactly one ragged-window fingerprint
+    assert len([r for r in rows if r["doc_id"] == 1]) == 1
+    # doc 2 is shorter than k: no fingerprints at all
+    assert not [r for r in rows if r["doc_id"] == 2]

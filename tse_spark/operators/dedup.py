@@ -571,3 +571,91 @@ def dup_span_mask(
         )).otherwise(F.lit(0.0)).alias("dup_ratio"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm, Schleimer
+    et al. SIGMOD'03): hash every k-token gram, slide a w-gram window,
+    keep each window's MINIMUM hash — the provably position-robust
+    sample of the k-gram stream (any shared run of w+k-1 tokens is
+    guaranteed to share a fingerprint).  A third fingerprint family
+    next to MinHash (per-doc global sample) and SimHash (weighted
+    projection): winnowing is LOCAL, so it survives reordering and
+    partial overlap that break the global schemes.
+
+    Returns the DISTINCT (doc_id, fp) relation.  The classic
+    formulation also records positions; the hash-set form is what
+    pair-matching consumes and keeps the law window-min-only, which
+    both Spark and SQL express as one frame-bounded window aggregate.
+
+    Scale: grams/hashes are built inside the token array (no
+    positional self-join); the sliding min is a per-doc window frame —
+    partitioned by doc, never global; output is sampled down ~2/(w+1)
+    of the k-gram stream before anything shuffles to matching."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.octet_length(t) > 0,
+    )
+    base = docs.select("doc_id", arr.alias("arr")).filter(
+        F.size("arr") >= k
+    )
+    grams = base.select(
+        "doc_id",
+        F.size("arr").alias("_len"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("arr") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(
+                        " ", F.slice("arr", i, F.lit(k))
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "_len", "g.pos", "g.gram")
+    h = _base_hash32("gram", hash_fn)
+    hashed = grams.select("doc_id", "_len", "pos", h.alias("h"))
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    # a row is a window START while w k-grams remain; shorter docs
+    # (fewer than w k-grams) contribute their single ragged window
+    n_kgrams = F.col("_len") - (k - 1)
+    starts = hashed.withColumn("fp", F.min("h").over(win)).filter(
+        (F.col("pos") <= n_kgrams - (w - 1)) | (F.col("pos") == 1)
+    )
+    return starts.select("doc_id", "fp").distinct()
+
+
+def winnow_pairs(
+    fps: DataFrame,
+    min_shared: int = 2,
+    max_fp_df: int | None = 200,
+) -> DataFrame:
+    """(id_a, id_b, n_shared) for doc pairs sharing at least
+    ``min_shared`` winnowing fingerprints — the candidate relation a
+    plagiarism/near-dup pipeline verifies.  Same hot-key cap law as
+    jaccard_pairs (``max_fp_df``): a fingerprint shared by k docs
+    yields k·(k−1)/2 pairs, and ubiquitous fingerprints carry no
+    signal."""
+    cold = _drop_hot_keys(fps, "fp", max_fp_df)
+    a = cold.select(F.col("doc_id").alias("id_a"), "fp")
+    b = cold.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

@@ -732,3 +732,57 @@ def facet_counts(
         .groupBy("facet", "value")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information —
+    ``pmi = ln(n(w1 w2) * N / (n(w1) * n(w2)))`` with N the total
+    bigram count and unigram counts taken over the same bigram-slot
+    stream (w1 counts = prefix occurrences, w2 counts = suffix
+    occurrences), so the three distributions share one sample space
+    and PMI is a proper log-odds.  ``min_count`` floors the bigram
+    count (PMI's classic rare-pair pathology).  Phrase discovery for
+    index phrase terms / query suggestions; the reference has no
+    statistics layer at all (its dictionary is hand-shipped,
+    index/readme.txt).
+
+    One hash-agg over bigrams (in-array adjacency, zip_with — no
+    positional shuffle), two tiny derived aggregations, one broadcast
+    join each; the top-k is a TakeOrderedAndProject."""
+    bg = bigram_counts(docs, text_col=text_col).select(
+        F.split("bigram", " ").getItem(0).alias("w1"),
+        F.split("bigram", " ").getItem(1).alias("w2"),
+        F.col("n").alias("n12"),
+    )
+    c1 = bg.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    c2 = bg.groupBy("w2").agg(F.sum("n12").alias("n2"))
+    tot = bg.agg(F.sum("n12").alias("nn"))
+    return (
+        bg.filter(F.col("n12") >= int(min_count))
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("long").alias("n12"),
+            F.round(
+                F.log(
+                    F.col("n12").cast("double")
+                    * F.col("nn").cast("double")
+                    / (
+                        F.col("n1").cast("double")
+                        * F.col("n2").cast("double")
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(int(k))
+    )
