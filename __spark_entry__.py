@@ -866,6 +866,58 @@ def _q_ltr_features(spark, sf):
     )
 
 
+BPE_MERGES = 20  # tokenizer training: merge budget
+_BPE_CACHE: dict[str, object] = {}
+
+
+def _bpe_learned(spark, sf):
+    """(merges, final vocab) for the sf — learned once per sf_dir and
+    shared by the bpe_merges / bpe_segment entries."""
+    from tse_spark.operators import bpe
+
+    if sf not in _BPE_CACHE:
+        _BPE_CACHE[sf] = bpe.learn_bpe(
+            spark, _t(spark, sf, "documents"), n_merges=BPE_MERGES
+        )
+    return _BPE_CACHE[sf]
+
+
+def _q_bpe_pair_counts(spark, sf):
+    """BPE training iteration 0 (operators/bpe.py): adjacent CHARACTER
+    pair counts over the corpus word-count table — the statistics the
+    first merge decision reads; direct SQL twin."""
+    from tse_spark.operators import bpe
+
+    vocab = bpe.word_count_table(
+        _t(spark, sf, "documents")
+    ).select("word", "count", bpe._syms_col().alias("syms"))
+    return bpe.pair_count_table(vocab).select(
+        "left", "right", F.col("n").cast("long").alias("n")
+    )
+
+
+def _q_bpe_merges(spark, sf):
+    """Full BPE merge learning (Sennrich): BPE_MERGES merges in learn
+    order.  The law is iterative (no direct SQL form), so the oracle
+    is the pages_bm25 fixture pattern: an INDEPENDENT pure-Python
+    implementation (oracle.bpe_learn) recomputes the merge list from
+    the same parquet and the SQL reads its fixture."""
+    from tse_spark.operators import bpe
+
+    merges, _ = _bpe_learned(spark, sf)
+    return bpe.merges_df(spark, merges)
+
+
+def _q_bpe_segment(spark, sf):
+    """The learned segmentation of the corpus vocabulary (what a
+    tokenizer export ships) — conformance over every word, fixture
+    oracle from oracle.bpe_segment_word."""
+    from tse_spark.operators import bpe
+
+    _, vocab = _bpe_learned(spark, sf)
+    return bpe.segment_table(vocab)
+
+
 WINNOW_K = 4       # winnowing: k-gram length (tokens)
 WINNOW_W = 5       # winnowing: window length (k-grams)
 WINNOW_SHARED = 2  # pair candidates: min shared fingerprints
@@ -2601,6 +2653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_segment": _q_bpe_segment,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
@@ -3025,6 +3080,60 @@ def _pages_bm25_oracle_sql() -> str | None:
     SELECT doc_id, round(sum(s), 4) AS score
     FROM perterm GROUP BY doc_id
     ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+
+
+def _bpe_oracle_fixtures() -> "tuple[str, str] | None":
+    """Fixture parquets for the iterative BPE oracles (pages_bm25
+    pattern): the pure-Python twin (oracle.bpe_learn /
+    bpe_segment_word) recomputes the merge list and the vocabulary
+    segmentation straight from the sf0.01 documents parquet —
+    no Spark involved — and the driver's SQL just reads the files.
+    Returns (merges_path, segments_path), cached on disk per corpus
+    row count + merge budget; None if sf0.01 is unavailable."""
+    import os
+
+    docs_file = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(docs_file):
+        return None
+    try:
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        from tse_spark import oracle as _o
+
+        n_rows = _pq.ParquetFile(docs_file).metadata.num_rows
+        mp = f"/tmp/tse_bpe_merges_{n_rows}_{BPE_MERGES}.parquet"
+        sp = f"/tmp/tse_bpe_segs_{n_rows}_{BPE_MERGES}.parquet"
+        if not (os.path.exists(mp) and os.path.exists(sp)):
+            texts = _pq.read_table(
+                docs_file, columns=["text"]
+            ).column("text").to_pylist()
+            wc = _o.bpe_word_counts([t or "" for t in texts])
+            merges = _o.bpe_learn(wc, BPE_MERGES)
+            _pd.DataFrame(
+                {
+                    "rank": range(1, len(merges) + 1),
+                    "left": [a for a, _, _ in merges],
+                    "right": [b for _, b, _ in merges],
+                    "pair": [a + b for a, b, _ in merges],
+                    "count": [n for _, _, n in merges],
+                }
+            ).to_parquet(mp)
+            segs = [
+                (w, c, _o.bpe_segment_word(w, merges))
+                for w, c in wc.items()
+            ]
+            _pd.DataFrame(
+                {
+                    "word": [w for w, _, _ in segs],
+                    "count": [c for _, c, _ in segs],
+                    "n_pieces": [len(s) for _, _, s in segs],
+                    "pieces": [" ".join(s) for _, _, s in segs],
+                }
+            ).to_parquet(sp)
+        return mp, sp
+    except Exception:
+        return None
 
 
 def _pagerank_oracle_sql(n_iter: int = 3, as_cte: bool = False) -> str:
@@ -4527,6 +4636,34 @@ def oracle_sql() -> dict[str, str]:
            count(*)::BIGINT AS n_shared
     FROM cf a JOIN cf b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING count(*) >= {WINNOW_SHARED}"""
+    # BPE iteration-0 statistics: direct SQL twin (character pairs of
+    # the word-count table, weighted; unicode substr on both sides)
+    out["bpe_pair_counts"] = r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '\s+'),
+               x -> strlen(x) > 0)) AS word
+      FROM documents),
+    wc AS (SELECT word, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+    pr AS (
+      SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r, cnt
+      FROM (SELECT word, cnt,
+                   unnest(generate_series(1, strlen(word) - 1)) AS i
+            FROM wc))
+    SELECT l AS "left", r AS "right", sum(cnt)::BIGINT AS n
+    FROM pr GROUP BY 1, 2"""
+    # full BPE learning + segmentation: iterative law -> fixture
+    # parquet written by the pure-Python twin (pages_bm25 pattern)
+    _bpe_fx = _bpe_oracle_fixtures()
+    if _bpe_fx:
+        out["bpe_merges"] = f"""
+        SELECT rank::BIGINT AS rank, "left", "right", pair,
+               count::BIGINT AS count
+        FROM read_parquet('{_bpe_fx[0]}')"""
+        out["bpe_segment"] = f"""
+        SELECT word, count::BIGINT AS count,
+               n_pieces::BIGINT AS n_pieces, pieces
+        FROM read_parquet('{_bpe_fx[1]}')"""
     # RM3 pseudo-relevance feedback: feedback-doc selection (base
     # BM25 top-n), aggregate tf-idf expansion (more_like_this's rounded
     # keyword law, tf summed over the feedback docs, query terms

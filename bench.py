@@ -185,6 +185,8 @@ HEADLINE = [
     "dup_span_mask",
     "pmi_collocations",
     "winnow_pairs",
+    "bpe_pair_counts",
+    "bpe_merges",
 ]
 
 RESULT: dict = {

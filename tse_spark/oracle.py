@@ -545,3 +545,88 @@ def parse_robot(data: str) -> list[str]:
     if num >= ROBOTS_MAXDIR:
         num = ROBOTS_MAXDIR - 1  # dir[num-1] = NULL (Res.cpp:71)
     return [w for w in arr[:num]]  # type: ignore[misc]
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning — the pure-Python truth the Spark operator
+# (tse_spark/operators/bpe.py) is conformance-pinned to, and the source
+# of the fixture parquet its driver oracle scores from (the pages_bm25
+# fixture pattern: the law is iterative, so no direct SQL twin exists).
+# Laws:
+#   words    lowercase whitespace tokens (empties dropped), corpus counts
+#   symbols  unicode characters of the word
+#   pairs    adjacent symbol pairs, weighted by word count, overlapping
+#            occurrences all counted ("aaa" -> (a,a) twice)
+#   pick     max count, ties by (left, right) ascending
+#   merge    replace occurrences LEFT-TO-RIGHT, non-overlapping
+#            ("aaa" + (a,a) -> [aa, a])
+#   stop     when the best pair's count < 2 (merging singletons is noise)
+# ---------------------------------------------------------------------------
+
+
+def bpe_word_counts(texts: "list[str]") -> "dict[str, int]":
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def bpe_pair_counts(
+    words: "dict[tuple[str, ...], int]",
+) -> "dict[tuple[str, str], int]":
+    pc: dict[tuple[str, str], int] = {}
+    for syms, c in words.items():
+        for i in range(len(syms) - 1):
+            pc[(syms[i], syms[i + 1])] = pc.get(
+                (syms[i], syms[i + 1]), 0
+            ) + c
+    return pc
+
+
+def bpe_merge_word(
+    syms: "tuple[str, ...]", a: str, b: str
+) -> "tuple[str, ...]":
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_learn(
+    word_counts: "dict[str, int]", n_merges: int
+) -> "list[tuple[str, str, int]]":
+    """The learned merge list [(left, right, pair_count), ...] in merge
+    order, at most ``n_merges`` long."""
+    words = {tuple(w): c for w, c in word_counts.items() if w}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pc = bpe_pair_counts(words)
+        if not pc:
+            break
+        (a, b), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        merges.append((a, b, n))
+        words = {
+            bpe_merge_word(s, a, b): c for s, c in words.items()
+        }
+    return merges
+
+
+def bpe_segment_word(
+    word: str, merges: "list[tuple[str, str, int]]"
+) -> "tuple[str, ...]":
+    syms = tuple(word)
+    for a, b, _ in merges:
+        syms = bpe_merge_word(syms, a, b)
+    return syms
