@@ -866,6 +866,46 @@ def _q_ltr_features(spark, sf):
     )
 
 
+INCR_MIN_J = 0.2  # incremental dedup: verify threshold
+
+
+def _incr_split(spark, sf):
+    """The incremental-dedup scenario: every 10th doc is 'today's
+    crawl batch', the rest is the historical corpus."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0),
+    )
+
+
+def _q_incr_neardup(spark, sf):
+    """Incremental near-dup (dedup.neardup_vs_corpus): the new batch's
+    banded MinHash signatures BROADCAST against the corpus signature
+    table; exact-Jaccard verify recomputes corpus shingle sets only
+    for candidate docs.  md5 portable mode — the oracle replays
+    signatures, banding, the batch-x-corpus candidate join, and the
+    verification."""
+    from tse_spark.operators import dedup
+
+    new, corpus = _incr_split(spark, sf)
+    return dedup.neardup_vs_corpus(
+        new, corpus, min_jaccard=INCR_MIN_J, hash_fn="md5"
+    )
+
+
+def _q_incr_novel(spark, sf):
+    """What the pipeline appends: the batch anti-joined against its
+    corpus matches."""
+    from tse_spark.operators import dedup
+
+    new, corpus = _incr_split(spark, sf)
+    m = dedup.neardup_vs_corpus(
+        new, corpus, min_jaccard=INCR_MIN_J, hash_fn="md5"
+    )
+    return dedup.novel_docs(new, m).select("doc_id", "lang", "source")
+
+
 BPE_MERGES = 20  # tokenizer training: merge budget
 _BPE_CACHE: dict[str, object] = {}
 
@@ -2656,6 +2696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_segment": _q_bpe_segment,
+        "incr_neardup": _q_incr_neardup,
+        "incr_novel": _q_incr_novel,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
@@ -3080,6 +3122,70 @@ def _pages_bm25_oracle_sql() -> str | None:
     SELECT doc_id, round(sum(s), 4) AS score
     FROM perterm GROUP BY doc_id
     ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+
+
+def _incr_oracle_sqls(
+    num_hashes: int = 16, bands: int = 4
+) -> "tuple[str, str]":
+    """(matches_sql, novel_sql) for the incremental-dedup entries:
+    dedup.neardup_vs_corpus(hash_fn='md5') replayed — per-doc md5
+    MinHash signatures, banding, batch-x-corpus candidate join, exact
+    Jaccard — over the doc_id%10 batch/corpus split."""
+    sig_cols = []
+    for i in range(num_hashes):
+        a = 2 * i + 1
+        b = (0x9E3779B9 * (i + 1)) & 0xFFFFF
+        sig_cols.append(
+            f"min(({_MD5_H32} * {a} + {b}) % {_MH_PRIME}) AS mh_{i}"
+        )
+    rpb = num_hashes // bands
+    band_selects = []
+    for bnd in range(bands):
+        key = " || ',' || ".join(
+            f"mh_{bnd * rpb + r}::VARCHAR" for r in range(rpb)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bnd} AS band, {key} AS bucket FROM sig"
+        )
+    core = f"""
+    WITH arrs AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS arr
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(arr) - 1),
+                    i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+             AS shingle
+      FROM arrs WHERE len(arr) >= 3),
+    sig AS (SELECT doc_id, {', '.join(sig_cols)} FROM sh GROUP BY doc_id),
+    banded AS ({' UNION ALL '.join(band_selects)}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.new_id, c.corpus_id, count(*) AS i
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.new_id
+      JOIN sh s2 ON s2.doc_id = c.corpus_id AND s2.shingle = s1.shingle
+      GROUP BY 1, 2),
+    matches AS (
+      SELECT it.new_id, it.corpus_id,
+             round(it.i / (za.n + zb.n - it.i), 6) AS jaccard
+      FROM inter it
+      JOIN sz za ON za.doc_id = it.new_id
+      JOIN sz zb ON zb.doc_id = it.corpus_id
+      WHERE round(it.i / (za.n + zb.n - it.i), 6) >= {INCR_MIN_J})"""
+    return (
+        core + """
+    SELECT new_id, corpus_id, jaccard FROM matches""",
+        core + """
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 10 = 0
+      AND doc_id NOT IN (SELECT new_id FROM matches)""",
+    )
 
 
 def _bpe_oracle_fixtures() -> "tuple[str, str] | None":
@@ -4654,6 +4760,7 @@ def oracle_sql() -> dict[str, str]:
     FROM pr GROUP BY 1, 2"""
     # full BPE learning + segmentation: iterative law -> fixture
     # parquet written by the pure-Python twin (pages_bm25 pattern)
+    out["incr_neardup"], out["incr_novel"] = _incr_oracle_sqls()
     _bpe_fx = _bpe_oracle_fixtures()
     if _bpe_fx:
         out["bpe_merges"] = f"""

@@ -178,15 +178,18 @@ HEADLINE = [
     "index_storage",
     "wand_recrawled",
     "vocab_drift",
-    # round-3 continuation
-    "wand_sharedcache",
-    "ltr_features",
-    "lm_perplexity",
-    "dup_span_mask",
+    # round-3 continuation (cheapest first: the battery degrades
+    # tail-first on budget; wand_sharedcache is cheap here because
+    # wand_topk above has already built/cached the ws index)
     "pmi_collocations",
-    "winnow_pairs",
     "bpe_pair_counts",
+    "lm_perplexity",
+    "wand_sharedcache",
+    "dup_span_mask",
+    "ltr_features",
     "bpe_merges",
+    "incr_neardup",
+    "winnow_pairs",
 ]
 
 RESULT: dict = {

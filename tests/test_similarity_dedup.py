@@ -257,3 +257,53 @@ def test_winnowing_short_doc_ragged_window(spark):
     assert len([r for r in rows if r["doc_id"] == 1]) == 1
     # doc 2 is shorter than k: no fingerprints at all
     assert not [r for r in rows if r["doc_id"] == 2]
+
+
+def test_incremental_neardup_vs_corpus(spark):
+    from tse_spark.operators import dedup as dd
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different corpus content about spark jobs"),
+            (3, "another unrelated document in the historical set"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-identical to corpus doc 1
+            (100, "the quick brown fox jumps over the lazy dog now"),
+            (101, "entirely novel text never seen before anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    m = dd.neardup_vs_corpus(new, corpus, min_jaccard=0.3).collect()
+    assert {(r["new_id"], r["corpus_id"]) for r in m} == {(100, 1)}
+    novel = dd.novel_docs(
+        new, dd.neardup_vs_corpus(new, corpus, min_jaccard=0.3)
+    ).collect()
+    assert {r["doc_id"] for r in novel} == {101}
+
+
+def test_incremental_neardup_broadcasts_batch_side(spark):
+    from tse_spark.operators import dedup as dd
+
+    corpus = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("w"), (F.col("id") % 9).cast("string"),
+            F.lit(" x y z a b c")
+        ).alias("text"),
+    )
+    new = corpus.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    df = dd.neardup_vs_corpus(new, corpus, min_jaccard=0.1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the candidate join must broadcast the (banded) BATCH side and the
+    # corpus shingle recompute must be a semi-join on candidate ids —
+    # the corpus is never exchanged pairwise
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("LeftSemi") >= 1
+    assert df.count() > 0

@@ -659,3 +659,137 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared))
     )
+
+
+def banded_signatures(
+    sig: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, band, bucket) — the LSH banding of a signature table
+    (the same law lsh_candidate_pairs uses internally); exposed so an
+    incremental batch can band against a MATERIALIZED corpus signature
+    table instead of re-banding the corpus per run."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for bnd in range(bands):
+        cs = [
+            F.col(f"mh_{bnd * rows_per_band + r}")
+            for r in range(rows_per_band)
+        ]
+        bucket = (
+            F.concat_ws(",", *[c.cast("string") for c in cs])
+            if hash_fn == "md5"
+            else F.xxhash64(*cs).cast("string")
+        )
+        band_cols.append(
+            F.struct(F.lit(bnd).alias("band"), bucket.alias("bucket"))
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def neardup_vs_corpus(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_sig: DataFrame | None = None,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+    hash_fn: str = "xxhash64",
+    text_col: str = "text",
+) -> DataFrame:
+    """INCREMENTAL near-dup — the production shape minhash_neardup's
+    one-shot batch form doesn't cover: a (small) new crawl batch
+    checked against the (huge) historical corpus without ever
+    re-processing the corpus.
+
+    - ``corpus_sig``: the corpus's materialized (doc_id, mh_*)
+      signature table (build once with shingles + minhash_signatures,
+      maintain O(delta) like the ANN signature tables); when None it
+      is derived from ``corpus_docs`` (test/oracle path).
+    - candidates: the BATCH side is banded and BROADCAST into an
+      equi-join against the banded corpus signatures — per-batch cost
+      tracks the batch, the corpus table is only scanned;
+    - verification: exact Jaccard, with corpus shingle sets recomputed
+      ONLY for candidate corpus docs (semi-join on the broadcast
+      candidate ids) — signatures are stored, shingle sets are not.
+
+    Returns (new_id, corpus_id, jaccard) for verified matches; feed to
+    an anti-join to keep only novel batch docs."""
+    new_sh = shingles(new_docs, n, text_col)
+    new_sig = minhash_signatures(new_sh, num_hashes, hash_fn)
+    if corpus_sig is None:
+        corpus_sig = minhash_signatures(
+            shingles(corpus_docs, n, text_col), num_hashes, hash_fn
+        )
+    nb = F.broadcast(
+        banded_signatures(new_sig, num_hashes, bands, hash_fn)
+    ).alias("a")
+    cb = banded_signatures(corpus_sig, num_hashes, bands, hash_fn).alias(
+        "b"
+    )
+    cand = (
+        nb.join(
+            cb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    cand_corpus = F.broadcast(
+        cand.select(F.col("corpus_id").alias("doc_id")).distinct()
+    )
+    corpus_sets = (
+        shingles(
+            corpus_docs.join(cand_corpus, "doc_id", "semi"), n, text_col
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("s"))
+    )
+    new_sets = new_sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("s")
+    )
+    return (
+        cand.join(
+            new_sets.select(
+                F.col("doc_id").alias("new_id"), F.col("s").alias("sa")
+            ),
+            "new_id",
+        )
+        .join(
+            corpus_sets.select(
+                F.col("doc_id").alias("corpus_id"),
+                F.col("s").alias("sb"),
+            ),
+            "corpus_id",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sa") + F.size("sb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+def novel_docs(new_docs: DataFrame, matches: DataFrame) -> DataFrame:
+    """The batch minus anything that near-dups the corpus — what an
+    incremental curation pipeline actually appends."""
+    return new_docs.join(
+        matches.select(F.col("new_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
