@@ -2093,6 +2093,32 @@ def _q_pagerank(spark, sf):
     return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
 
 
+def _q_hits(spark, sf):
+    """HITS hubs & authorities (linkrank.hits, 2 rounds) over the same
+    synthetic link graph as pagerank — the mutual-reinforcement link
+    signal PageRank conflates.  Fully declarative (L2 norms stay in
+    the plan as 1-row cross joins); the oracle is the same unrolled
+    iteration in SQL."""
+    from tse_spark.operators import linkrank
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n_df = docs.agg(F.count(F.lit(1)).alias("__n"))
+    base = docs.crossJoin(n_df)
+    i, n = F.col("doc_id"), F.col("__n")
+    e1 = base.select(i.alias("src"), ((i * 2 + 1) % n).alias("dst"))
+    e2 = base.select(i.alias("src"), ((i * 5 + 3) % n).alias("dst"))
+    e3 = base.filter(i % 3 == 0).select(
+        i.alias("src"), ((i * 11 + 7) % n).alias("dst")
+    )
+    edges = e1.union(e2).union(e3).filter(F.col("src") % 11 != 0)
+    out = linkrank.hits(docs, edges, n_iter=2, id_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.round("auth", 6).alias("auth"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
 def _q_dedup_components(spark, sf):
     """Near-dup clusters: the exact-cosine pairs (cosine_neardup query)
     closed into connected components via min-label propagation —
@@ -2698,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": _q_bpe_segment,
         "incr_neardup": _q_incr_neardup,
         "incr_novel": _q_incr_novel,
+        "hits_scores": _q_hits,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
@@ -3122,6 +3149,64 @@ def _pages_bm25_oracle_sql() -> str | None:
     SELECT doc_id, round(sum(s), 4) AS score
     FROM perterm GROUP BY doc_id
     ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+
+
+def _hits_oracle_sql(n_iter: int = 2) -> str:
+    """Unrolled HITS — the same graph law as the pagerank oracle and
+    the same per-round update as linkrank.hits (authority sum ->
+    L2-normalize -> hub sum -> L2-normalize)."""
+    head = """
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    e0 AS (
+      SELECT doc_id AS src, (doc_id * 2 + 1) % nn.n AS dst
+      FROM documents, nn
+      UNION
+      SELECT doc_id, (doc_id * 5 + 3) % nn.n FROM documents, nn
+      UNION
+      SELECT doc_id, (doc_id * 11 + 7) % nn.n FROM documents, nn
+      WHERE doc_id % 3 = 0),
+    e AS (SELECT src, dst FROM e0 WHERE src % 11 <> 0),
+    v AS (SELECT doc_id AS id FROM documents),
+    s0 AS (SELECT id, 1.0 AS auth, 1.0 AS hub FROM v)"""
+    its = []
+    for k in range(1, n_iter + 1):
+        j = k - 1
+        its.append(
+            f""",
+    ar{k} AS (
+      SELECT e.dst AS id, sum(p.hub) AS a
+      FROM e JOIN s{j} p ON e.src = p.id GROUP BY e.dst),
+    t{k} AS (
+      SELECT v.id, coalesce(ar{k}.a, 0.0) AS auth, p.hub
+      FROM v JOIN s{j} p ON v.id = p.id
+      LEFT JOIN ar{k} ON v.id = ar{k}.id),
+    an{k} AS (SELECT sqrt(sum(auth * auth)) AS nrm FROM t{k}),
+    u{k} AS (
+      SELECT id,
+             CASE WHEN an{k}.nrm > 0 THEN auth / an{k}.nrm
+                  ELSE 0.0 END AS auth,
+             hub
+      FROM t{k} CROSS JOIN an{k}),
+    hr{k} AS (
+      SELECT e.src AS id, sum(q.auth) AS h
+      FROM e JOIN u{k} q ON e.dst = q.id GROUP BY e.src),
+    w{k} AS (
+      SELECT u{k}.id, u{k}.auth, coalesce(hr{k}.h, 0.0) AS hub
+      FROM u{k} LEFT JOIN hr{k} ON u{k}.id = hr{k}.id),
+    hn{k} AS (SELECT sqrt(sum(hub * hub)) AS nrm FROM w{k}),
+    s{k} AS (
+      SELECT id, auth,
+             CASE WHEN hn{k}.nrm > 0 THEN hub / hn{k}.nrm
+                  ELSE 0.0 END AS hub
+      FROM w{k} CROSS JOIN hn{k})"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"""
+    SELECT id AS doc_id, round(auth, 6) AS auth, round(hub, 6) AS hub
+    FROM s{n_iter}"""
+    )
 
 
 def _incr_oracle_sqls(
@@ -4761,6 +4846,7 @@ def oracle_sql() -> dict[str, str]:
     # full BPE learning + segmentation: iterative law -> fixture
     # parquet written by the pure-Python twin (pages_bm25 pattern)
     out["incr_neardup"], out["incr_novel"] = _incr_oracle_sqls()
+    out["hits_scores"] = _hits_oracle_sql()
     _bpe_fx = _bpe_oracle_fixtures()
     if _bpe_fx:
         out["bpe_merges"] = f"""

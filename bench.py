@@ -189,6 +189,7 @@ HEADLINE = [
     "ltr_features",
     "bpe_merges",
     "incr_neardup",
+    "hits_scores",
     "winnow_pairs",
 ]
 

@@ -169,3 +169,34 @@ def test_dedup_keep_one(spark):
     )
     # components {1,2,3} -> keep 1; {5,6} -> keep 5; others untouched
     assert kept == [0, 1, 4, 5, 7, 8, 9]
+
+
+def test_hits_invariants_and_known_graph(spark):
+    from tse_spark.operators import linkrank as lr
+
+    # hub chain: 0 -> {1, 2}, 3 -> {1}; 1 and 2 are authorities
+    verts = spark.createDataFrame(
+        [(i,) for i in range(4)], "id long"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (3, 1)], "src long, dst long"
+    )
+    out = {
+        r["id"]: (r["auth"], r["hub"])
+        for r in lr.hits(verts, edges, n_iter=3).collect()
+    }
+    import math
+
+    # L2 norms are 1 after each round
+    assert math.isclose(
+        sum(a * a for a, _ in out.values()), 1.0, rel_tol=1e-9
+    )
+    assert math.isclose(
+        sum(h * h for _, h in out.values()), 1.0, rel_tol=1e-9
+    )
+    # node 1 (two in-links, one from the best hub) beats node 2
+    assert out[1][0] > out[2][0] > 0
+    # node 0 links to both authorities: the dominant hub
+    assert out[0][1] > out[3][1] > 0
+    # pure authorities have zero hub score; pure hubs zero authority
+    assert out[1][1] == 0.0 and out[0][0] == 0.0

@@ -270,3 +270,97 @@ def dedup_keep_one(
         F.col("id").alias(doc_id)
     )
     return docs.join(drop, doc_id, "left_anti")
+
+
+def hits(
+    vertices: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 2,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """HITS (Kleinberg's hubs & authorities) after ``n_iter``
+    mutual-reinforcement rounds — the query-independent link signal
+    classic web ranking pairs with PageRank (a good HUB is not a good
+    AUTHORITY; PageRank conflates them).
+
+    Per round: ``a(v) = sum_{u->v} h(u)`` then L2-normalize,
+    ``h(u) = sum_{u->v} a(v)`` then L2-normalize; both start at 1.
+    Returns (``id_col``, authority, hub).
+
+    Scale shape mirrors :func:`pagerank`: scores join edges on one
+    endpoint and aggregate on the other (hash shuffles on graph keys,
+    nothing O(V) broadcast); the L2 norms are 1-row aggregates
+    cross-joined back; ``checkpoint_every`` bounds lineage."""
+    verts = vertices.select(F.col(id_col).alias("id")).distinct()
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    e = (
+        e.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .persist()
+    )
+    scores = verts.select(
+        "id", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub")
+    )
+    for i in range(n_iter):
+        # authorities from hubs
+        a_raw = (
+            e.join(
+                scores.select(F.col("id").alias("src"), "hub"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("__a"))
+        )
+        scores = (
+            scores.join(a_raw, scores.id == a_raw.dst, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("__a"), F.lit(0.0)).alias("auth"),
+                "hub",
+            )
+        )
+        an = scores.agg(
+            F.sqrt(F.sum(F.col("auth") * F.col("auth"))).alias("__an")
+        )
+        scores = scores.crossJoin(an).select(
+            "id",
+            F.when(
+                F.col("__an") > 0, F.col("auth") / F.col("__an")
+            ).otherwise(F.lit(0.0)).alias("auth"),
+            "hub",
+        )
+        # hubs from authorities
+        h_raw = (
+            e.join(
+                scores.select(F.col("id").alias("dst"), "auth"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.sum("auth").alias("__h"))
+        )
+        scores = (
+            scores.join(h_raw, scores.id == h_raw.src, "left")
+            .select(
+                "id",
+                "auth",
+                F.coalesce(F.col("__h"), F.lit(0.0)).alias("hub"),
+            )
+        )
+        hn = scores.agg(
+            F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("__hn")
+        )
+        scores = scores.crossJoin(hn).select(
+            "id",
+            "auth",
+            F.when(
+                F.col("__hn") > 0, F.col("hub") / F.col("__hn")
+            ).otherwise(F.lit(0.0)).alias("hub"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
+            i + 1
+        ) < n_iter:
+            scores = scores.localCheckpoint(eager=False)
+    return scores.withColumnRenamed("id", id_col)
