@@ -1545,6 +1545,51 @@ def _q_lsh_neardup(spark, sf):
     )
 
 
+# k-means / SemDeDup parameters (clustering.py laws; oracle unrolls
+# the same iteration count)
+KMEANS_K = 8
+KMEANS_ITERS = 2
+SEMDEDUP_TAU = 0.35
+
+
+def _q_kmeans_clusters(spark, sf):
+    """Trained k-means assignment (Lloyd, 2 iterations from the
+    deterministic vec_id<k seeds; fixed-point centroid updates so the
+    DuckDB oracle unrolls the identical iteration bit-for-bit) — the
+    coarse quantizer a production IVF build trains
+    (clustering.kmeans_clusters)."""
+    from tse_spark.operators import clustering
+
+    return clustering.kmeans_clusters(
+        _t(spark, sf, "embeddings"), KMEANS_K, KMEANS_ITERS, EMB_DIM
+    )
+
+
+def _q_kmeans_report(spark, sf):
+    """Per-cell k-means convergence scoreboard: size + mean intra-cell
+    squared distance, through the exact fixed-point mean law."""
+    from tse_spark.operators import clustering
+
+    return clustering.kmeans_report(
+        _t(spark, sf, "embeddings"), KMEANS_K, KMEANS_ITERS, EMB_DIM
+    )
+
+
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup: drop vectors with a lower-id cosine>=tau neighbor in
+    the SAME trained cluster — the cluster partition bounds the pair
+    search (one equi-join shuffle on cell, never a corpus cross join)."""
+    from tse_spark.operators import clustering
+
+    return clustering.semantic_dedup(
+        _t(spark, sf, "embeddings"),
+        KMEANS_K,
+        KMEANS_ITERS,
+        EMB_DIM,
+        SEMDEDUP_TAU,
+    )
+
+
 SNAPSHOT_URL = "http://site42.example.de/cgi-bin/q42"  # synth url of doc 42
 
 
@@ -2553,6 +2598,28 @@ def _q_bm25_fresh(spark, sf):
     return textops.recency_boost(cand, K, 30.0)
 
 
+def _q_bm25_pagerank(spark, sf):
+    """Authority-fused ranking: top-50 BM25 candidates multiplied by
+    the PageRank prior (linkrank.authority_boost) — the classic web
+    combine (relevance x link authority) the reference never had.
+    The prior is the `pagerank` query's own rounded output, so both
+    engines fuse bit-identical inputs."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import linkrank
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(
+        tf.filter(F.col("term").isin(sorted(set(BM25_QUERY))))
+    )
+    n, avgdl = ib.corpus_stats(doclen)
+    top = ib.bm25_topk(spark, tf, doclen, dfreq, n, avgdl, BM25_QUERY, 50)
+    n_total = _t(spark, sf, "documents").count()
+    return linkrank.authority_boost(
+        top, _q_pagerank(spark, sf), n_total, K, weight=1.0
+    )
+
+
 def _q_search_dedup(spark, sf):
     """Duplicate-collapsed serving: top-50 BM25 candidates → best
     result per content fingerprint (md5 of the first 16 chars — a
@@ -2693,6 +2760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_lsh": _q_dedup_components_lsh,
         "dedup_keep_one": _q_dedup_keep_one,
         "lsh_neardup": _q_lsh_neardup,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "kmeans_report": _q_kmeans_report,
+        "semantic_dedup": _q_semantic_dedup,
         "robots_rules": _q_robots_rules,
         "robots_frontier": _q_robots_frontier,
         "gzip_decode": _q_gzip_decode,
@@ -2736,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_facets": _q_wand_facets,
         "related_terms": _q_related_terms,
         "bm25_fresh": _q_bm25_fresh,
+        "bm25_pagerank": _q_bm25_pagerank,
         "search_dedup": _q_search_dedup,
         "wand_mlt": _q_wand_mlt,
         # rows-only engine path (no DuckDB equivalent; pytest-verified)
@@ -3378,6 +3449,116 @@ def _pagerank_oracle_sql(n_iter: int = 3, as_cte: bool = False) -> str:
         + body.lstrip()
         + f"""
     SELECT id AS doc_id, round(r, 6) AS rank FROM r{n_iter}"""
+    )
+
+
+def _kmeans_cte_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = EMB_DIM
+) -> str:
+    """Unrolled Lloyd iteration mirroring clustering.kmeans_train:
+    seeds = embeddings of vec_id < k; assignment = argmin of
+    dot(v,v) - 2 dot(v,c) + dot(c,c) with ties to the lowest cell;
+    update = per-dim fixed-point means (floor(x*2^20+0.5) summed as
+    BIGINT — exact in any order, so engine and oracle centroids are
+    bit-identical).  Emits CTEs ending with the final assignment
+    ``a{iters+1}`` and final centroids ``c{iters}``."""
+    from tse_spark.operators.clustering import FP_SCALE
+
+    fp = float(FP_SCALE)
+    d2 = (
+        "list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, cc.c)"
+        " + list_dot_product(cc.c, cc.c)"
+    )
+    parts = [
+        f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT unnest(range(1, {dim + 1})) AS i),
+    c0 AS (SELECT vec_id::INT AS cell, embedding::DOUBLE[] AS c
+           FROM embeddings WHERE vec_id < {k})"""
+    ]
+    for it in range(1, iters + 2):
+        prev = f"c{it - 1}"
+        parts.append(
+            f"""
+    a{it} AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, cc.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, cc.cell) AS rn
+        FROM e CROSS JOIN {prev} cc) WHERE rn = 1)"""
+        )
+        if it == iters + 1:
+            break
+        parts.append(
+            f"""
+    s{it} AS (
+      SELECT a.cell, d.i,
+             sum(CAST(floor(e.v[d.i] * {fp} + 0.5) AS BIGINT)) AS sq,
+             count(*) AS n
+      FROM a{it} a JOIN e USING (vec_id) CROSS JOIN dims d
+      GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""
+    c{it} AS (
+      SELECT cell, list(CAST(sq AS DOUBLE) / ({fp} * n) ORDER BY i) AS c
+      FROM s{it} GROUP BY cell
+      UNION ALL
+      SELECT cell, c FROM {prev}
+      WHERE cell NOT IN (SELECT cell FROM a{it}))"""
+        )
+    return ",".join(parts)
+
+
+def _kmeans_clusters_oracle_sql() -> str:
+    fin = KMEANS_ITERS + 1
+    return (
+        "WITH "
+        + _kmeans_cte_sql().lstrip()
+        + f"\n    SELECT vec_id, cell::BIGINT AS cell FROM a{fin}"
+    )
+
+
+def _kmeans_report_oracle_sql() -> str:
+    fin = KMEANS_ITERS + 1
+    return (
+        "WITH "
+        + _kmeans_cte_sql().lstrip()
+        + f""",
+    d2 AS (
+      SELECT a.cell,
+             CAST(floor((list_dot_product(e.v, e.v)
+                   - 2*list_dot_product(e.v, cc.c)
+                   + list_dot_product(cc.c, cc.c)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS q
+      FROM a{fin} a JOIN e USING (vec_id)
+      JOIN c{KMEANS_ITERS} cc USING (cell))
+    SELECT cell::BIGINT AS cell, count(*)::BIGINT AS n_vectors,
+           round(CAST(sum(q) AS DOUBLE) / (1000000.0 * count(*)), 4)
+             AS mean_sq_dist
+    FROM d2 GROUP BY cell"""
+    )
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    fin = KMEANS_ITERS + 1
+    return (
+        "WITH "
+        + _kmeans_cte_sql().lstrip()
+        + f""",
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM a{fin} a JOIN a{fin} b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_dot_product(ea.v, eb.v)
+                  / sqrt(list_dot_product(ea.v, ea.v)
+                         * list_dot_product(eb.v, eb.v)), 4)
+            >= {SEMDEDUP_TAU})
+    SELECT af.vec_id, af.cell::BIGINT AS cell,
+           af.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+    FROM a{fin} af"""
     )
 
 
@@ -4138,6 +4319,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle_sql(),
         "lsh_neardup": _lsh_neardup_oracle_sql(),
         "lsh_ann": _lsh_ann_oracle_sql(),
+        "kmeans_clusters": _kmeans_clusters_oracle_sql(),
+        "kmeans_report": _kmeans_report_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
     }
     # the materialized-index serving paths return IDENTICAL results to
     # the on-the-fly ones (same probe construction, pytest-enforced) —
@@ -4956,6 +5140,26 @@ def oracle_sql() -> dict[str, str]:
     # index-only sidebar twin shares the declarative oracle
     out["wand_facets"] = out["facet_counts"]
     # recency fusion: top-50 candidates, rational decay, round-then-order
+    # authority fusion: top-50 BM25 x PageRank prior (the prior CTEs
+    # are the pagerank oracle verbatim; both engines fuse the rounded
+    # prior, so the inputs are bit-identical)
+    out["bm25_pagerank"] = (
+        _TOK
+        + bm25_3
+        + """
+    , cand AS (
+      SELECT doc_id, sum(s) AS score
+      FROM perterm GROUP BY doc_id
+      ORDER BY sum(s) DESC, doc_id LIMIT 50),"""
+        + _pagerank_oracle_sql(as_cte=True)
+        + f"""
+    SELECT c.doc_id,
+           round(c.score * (1.0 + n.n * round(r.r, 6)), 4) AS score
+    FROM cand c JOIN r3 r ON r.id = c.doc_id CROSS JOIN n
+    ORDER BY round(c.score * (1.0 + n.n * round(r.r, 6)), 4) DESC,
+             c.doc_id
+    LIMIT {K}"""
+    )
     out["bm25_fresh"] = _TOK + bm25_3 + """
     , cand AS (
       SELECT doc_id, sum(s) AS score

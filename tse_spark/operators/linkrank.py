@@ -364,3 +364,54 @@ def hits(
         ) < n_iter:
             scores = scores.localCheckpoint(eager=False)
     return scores.withColumnRenamed("id", id_col)
+
+
+def authority_boost(
+    ranked: DataFrame,
+    priors: DataFrame,
+    n_docs: int,
+    k: int = 10,
+    weight: float = 1.0,
+    id_col: str = "doc_id",
+    prior_col: str = "rank",
+) -> DataFrame:
+    """Query-independent authority fusion — the classic web-ranking
+    combine the reference never had (TSE ranks by tf alone; production
+    engines multiply in a link prior): rerank a candidate list
+    (``id_col``, score) by ``boosted = round(score * (1 + weight * n *
+    prior), 4)``, where ``prior`` is a PageRank-style score summing to
+    ~1 over the corpus — ``n * prior`` centers the multiplier at 1 so
+    an average-authority page keeps its BM25 score and the weight has
+    a corpus-size-free meaning.
+
+    Rerank-window design (same shape as textops.recency_boost): fuse
+    over the top-N candidates of the base ranking, never the corpus —
+    the candidate ids BROADCAST-SEMI-JOIN into the prior table's scan
+    (BuildRight, the one probe of the corpus-sized side), and the
+    surviving <=N prior rows then broadcast into a left join that
+    preserves every candidate.  Rounded-before-ordering with id-asc
+    ties for a reproducible cut; candidates missing from the prior
+    table keep prior 0 (new pages rank by relevance alone).
+    """
+    pr = priors.select(
+        F.col(id_col).alias("__id"), F.col(prior_col).alias("__prior")
+    )
+    cand = ranked.select(
+        F.col(id_col).alias("__id"), F.col("score").alias("__score")
+    )
+    pruned = pr.join(F.broadcast(cand.select("__id")), "__id", "left_semi")
+    j = cand.join(F.broadcast(pruned), "__id", "left")
+    boosted = F.round(
+        F.col("__score")
+        * (
+            F.lit(1.0)
+            + F.lit(float(weight) * float(n_docs))
+            * F.coalesce(F.col("__prior"), F.lit(0.0))
+        ),
+        4,
+    )
+    return (
+        j.select(F.col("__id").alias(id_col), boosted.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
