@@ -414,6 +414,91 @@ def _q_mix_sample(spark, sf):
     return sampling.mix_report(_t(spark, sf, "documents"), _mix_rates())
 
 
+def _q_doc_chunks(spark, sf):
+    """Sliding-window chunker (textops.chunk_documents): 64-token
+    windows, 16-token overlap — the pretraining/RAG splitter.  Pure
+    per-row codegen (split + sequence + slice), zero shuffles."""
+    from tse_spark.operators import textops
+
+    return textops.chunk_documents(_t(spark, sf, "documents"), 64, 16)
+
+
+# plural-rich synthesized column for the stemming demo: the fixture
+# vocabulary has no inflections, so each doc deterministically appends
+# one plural whose S-stem merges with an existing base term
+_PLURAL_CASE = {0: "queries", 1: "tables", 2: "keys", 3: "rows"}
+STEM_QUERY = ["query", "table", "row"]
+
+
+def _plural_docs(spark, sf):
+    m = F.col("doc_id") % 4
+    plural = (
+        F.when(m == 0, _PLURAL_CASE[0])
+        .when(m == 1, _PLURAL_CASE[1])
+        .when(m == 2, _PLURAL_CASE[2])
+        .otherwise(_PLURAL_CASE[3])
+    )
+    return _t(spark, sf, "documents").withColumn(
+        "text", F.concat_ws(" ", F.col("text"), plural)
+    )
+
+
+def _q_bm25_stemmed(spark, sf):
+    """Stemmed retrieval: the tf relation re-keyed on the S-stem
+    (textops.stemmed_tf) feeds the UNCHANGED BM25 scorer, so 'query'
+    matches 'queries' etc.; doclen is invariant, df merges across
+    inflections.  Runs over the plural-augmented corpus so the merge
+    actually changes scores (the fixture vocabulary is plural-free)."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import textops
+
+    docs = _plural_docs(spark, sf)
+    stf = textops.stemmed_tf(ib.build_tf_ws(docs))
+    doclen = ib.build_doclen(stf)
+    dfreq = ib.build_df_stats(
+        stf.filter(F.col("term").isin(sorted(set(STEM_QUERY))))
+    )
+    n, avgdl = ib.corpus_stats(doclen)
+    out = ib.bm25_topk(
+        spark, stf, doclen, dfreq, n, avgdl, STEM_QUERY, K, False
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_auto_stopwords(spark, sf):
+    """Corpus-mined stopword list: terms in >= 75% of documents
+    (textops.auto_stopwords; 0.75 is exactly representable, so the
+    threshold is bit-identical in both engines)."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import textops
+
+    tf = _tf_ws_cached(spark, sf)
+    n, _ = ib.corpus_stats(ib.build_doclen(tf))
+    return textops.auto_stopwords(tf, n, 0.75)
+
+
+def _q_distinct_estimate(spark, sf):
+    """KMV distinct-cardinality sketch (sketches.kmv_distinct): the
+    k=128 smallest distinct 60-bit md5 hashes estimate distinct(text)
+    without a full dedup; the query doubles as its own accuracy report
+    (exact count + relative error alongside the estimate)."""
+    from tse_spark.operators import sketches
+
+    return sketches.kmv_distinct(_t(spark, sf, "documents"), "text", 128)
+
+
+def _q_priority_sample(spark, sf):
+    """Priority sampling (Duffield-Lund-Thorup): deterministic
+    weighted sample of 20 docs by byte length with Horvitz-Thompson
+    weight estimates — reproducible at any parallelism, unlike
+    DataFrame.sample (sketches.priority_sample)."""
+    from tse_spark.operators import sketches
+
+    return sketches.priority_sample(
+        _t(spark, sf, "documents"), "doc_id", F.octet_length("text"), 20
+    )
+
+
 def _q_seq_pack(spark, sf):
     """Fixed-budget sequence packing (256-token sequences, 8 shards):
     docs concatenate in (shard, doc_id) order and split at exact token
@@ -1590,6 +1675,42 @@ def _q_semantic_dedup(spark, sf):
     )
 
 
+RP_OUT_DIM = 32
+RP_SEED = 11
+RP_CAND = 50
+
+
+def _q_rp_ann(spark, sf):
+    """Johnson-Lindenstrauss compressed tier, coarse-then-exact: top-50
+    candidates by cosine in the 64->32 sign-projected space, exact
+    re-rank of the candidates only (similarity.rp_ann_topk_rerank);
+    the coarse pass reads vectors 2x smaller.  `rp_recall` monitors
+    the recall the projection's distortion allows on this corpus."""
+    from tse_spark.operators import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    qv = similarity.get_query_vec(emb, 0)
+    return similarity.rp_ann_topk_rerank(
+        emb, qv, K, RP_OUT_DIM, RP_CAND, RP_SEED, EMB_DIM, exclude_id=0
+    )
+
+
+def _q_rp_recall(spark, sf):
+    """Recall@10 of the projected-space ranking vs exact cosine — the
+    dimensionality/recall tradeoff monitor for the JL tier."""
+    hit = (
+        _q_rp_ann(spark, sf)
+        .select("vec_id")
+        .join(_q_cosine_topk(spark, sf).select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return hit.select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n_hit"),
+        F.round(F.col("n_hit") / 10.0, 4).alias("recall"),
+    )
+
+
 SNAPSHOT_URL = "http://site42.example.de/cgi-bin/q42"  # synth url of doc 42
 
 
@@ -2704,6 +2825,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "repetition_filter": _q_repetition_filter,
         "mix_sample": _q_mix_sample,
+        "distinct_estimate": _q_distinct_estimate,
+        "priority_sample": _q_priority_sample,
+        "doc_chunks": _q_doc_chunks,
+        "bm25_stemmed": _q_bm25_stemmed,
+        "auto_stopwords": _q_auto_stopwords,
         "seq_pack": _q_seq_pack,
         "pii_redact": _q_pii_redact,
         "cosine_topk": _q_cosine_topk,
@@ -2760,6 +2886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_lsh": _q_dedup_components_lsh,
         "dedup_keep_one": _q_dedup_keep_one,
         "lsh_neardup": _q_lsh_neardup,
+        "rp_ann": _q_rp_ann,
+        "rp_recall": _q_rp_recall,
         "kmeans_clusters": _q_kmeans_clusters,
         "kmeans_report": _q_kmeans_report,
         "semantic_dedup": _q_semantic_dedup,
@@ -3452,6 +3580,48 @@ def _pagerank_oracle_sql(n_iter: int = 3, as_cte: bool = False) -> str:
     )
 
 
+def _rp_ann_oracle_sql() -> str:
+    """JL projected-space top-k: the sign-plane literals re-derived
+    into SQL (same seed law as similarity.rp_planes); the query's
+    projection is computed by the SAME sequential fold in both
+    engines, so the rounded cosines agree."""
+    from tse_spark.operators.similarity import rp_planes
+
+    planes = rp_planes(EMB_DIM, RP_OUT_DIM, RP_SEED)
+
+    def lit(p):
+        return "[" + ",".join(repr(float(x)) for x in p) + "]"
+
+    proj = ",".join(f"list_dot_product(v, {lit(p)})" for p in planes)
+    qproj = ",".join(f"list_dot_product(qv, {lit(p)})" for p in planes)
+    cos_exact = (
+        "list_dot_product(e.v, q.qv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) "
+        "* sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = 0),
+    p AS (SELECT vec_id, [{proj}] AS proj FROM e),
+    qp AS (SELECT [{qproj}] AS qproj FROM q),
+    cand AS (
+      SELECT vec_id,
+             round(list_dot_product(p.proj, qp.qproj)
+                   / (sqrt(list_dot_product(p.proj, p.proj))
+                      * sqrt(list_dot_product(qp.qproj, qp.qproj))), 4)
+               AS pcos
+      FROM p CROSS JOIN qp
+      WHERE vec_id <> 0
+      ORDER BY pcos DESC, vec_id
+      LIMIT {RP_CAND})
+    SELECT e.vec_id, e.label, round({cos_exact}, 4) AS cos
+    FROM e JOIN cand USING (vec_id), q
+    ORDER BY cos DESC, vec_id
+    LIMIT {K}"""
+
+
 def _kmeans_cte_sql(
     k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = EMB_DIM
 ) -> str:
@@ -3920,6 +4090,63 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1 ELSE 0 END)
                      / count(*)::DOUBLE, 6) AS observed_rate
         FROM t GROUP BY source""",
+        # KMV sketch: k smallest distinct 60-bit hashes; est =
+        # (k-1) * 2^60 / h_k, half-up — sketches.kmv_distinct verbatim
+        "distinct_estimate": """
+        WITH hs AS (
+          SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+          FROM documents),
+        sm AS (SELECT h FROM hs ORDER BY h LIMIT 128),
+        sk AS (
+          SELECT count(*)::BIGINT AS k_used, max(h) AS kth_hash,
+                 CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+                      ELSE floor(127.0 * 1152921504606846976.0 / max(h)
+                                 + 0.5) END AS est
+          FROM sm),
+        ex AS (
+          SELECT count(DISTINCT text)::BIGINT AS exact_distinct
+          FROM documents)
+        SELECT k_used, kth_hash, CAST(est AS BIGINT) AS est_distinct,
+               exact_distinct,
+               round((est - exact_distinct) / exact_distinct, 4) AS rel_err
+        FROM sk CROSS JOIN ex""",
+        # sliding-window chunker: starts = 0,48,96,... kept while the
+        # window adds new tokens; chunk = 64-token slice
+        "doc_chunks": """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> strlen(t) > 0) AS toks
+          FROM documents),
+        d2 AS (SELECT doc_id, toks, len(toks) AS n FROM d
+               WHERE len(toks) > 0),
+        st AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS s
+               FROM d2),
+        f AS (SELECT * FROM st WHERE s = 0 OR s < n - 16)
+        SELECT doc_id, (s // 48)::BIGINT AS chunk_id, s::BIGINT AS start_tok,
+               len(toks[s + 1 : least(s + 64, n)])::BIGINT AS n_tok,
+               array_to_string(toks[s + 1 : least(s + 64, n)], ' ')
+                 AS chunk_text
+        FROM f""",
+        # priority sampling: q = w / u with u = (h+1)/2^60 from the
+        # row's own md5; top-20 by (q desc, id), est_w = max(w, tau)
+        # with tau = the 21st priority — sketches.priority_sample
+        "priority_sample": """
+        WITH p AS (
+          SELECT doc_id AS id, strlen(text)::DOUBLE AS w,
+                 strlen(text)::DOUBLE
+                   / ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                       ::BIGINT + 1) / 1152921504606846976.0) AS q
+          FROM documents),
+        top AS (SELECT * FROM p ORDER BY q DESC, id LIMIT 21),
+        st AS (SELECT count(*) AS n_top, min(q) AS q_min FROM top),
+        r AS (
+          SELECT t.*, row_number() OVER (ORDER BY q DESC, id) AS rn
+          FROM top t)
+        SELECT id, w,
+               round(greatest(w, CASE WHEN st.n_top > 20 THEN st.q_min
+                                      ELSE 0.0 END), 4) AS est_w
+        FROM r CROSS JOIN st WHERE rn <= 20""",
         "seq_pack": """
         WITH d AS (
           SELECT doc_id % 8 AS shard, doc_id,
@@ -4319,6 +4546,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle_sql(),
         "lsh_neardup": _lsh_neardup_oracle_sql(),
         "lsh_ann": _lsh_ann_oracle_sql(),
+        "rp_ann": _rp_ann_oracle_sql(),
         "kmeans_clusters": _kmeans_clusters_oracle_sql(),
         "kmeans_report": _kmeans_report_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
@@ -4335,6 +4563,13 @@ def oracle_sql() -> dict[str, str]:
     # from the two oracles so the eval law is shared verbatim
     out["ann_recall"] = f"""
     WITH a AS ({out['lsh_ann']}),
+    e AS ({out['cosine_topk']})
+    SELECT 10::BIGINT AS k, count(*)::BIGINT AS n_hit,
+           round(count(*) / 10.0, 4) AS recall
+    FROM a JOIN e USING (vec_id)"""
+    # the JL tier's recall monitor — same composition over its oracle
+    out["rp_recall"] = f"""
+    WITH a AS ({out['rp_ann']}),
     e AS ({out['cosine_topk']})
     SELECT 10::BIGINT AS k, count(*)::BIGINT AS n_hit,
            round(count(*) / 10.0, 4) AS recall
@@ -5140,6 +5375,60 @@ def oracle_sql() -> dict[str, str]:
     # index-only sidebar twin shares the declarative oracle
     out["wand_facets"] = out["facet_counts"]
     # recency fusion: top-50 candidates, rational decay, round-then-order
+    # stemmed retrieval over the plural-augmented corpus: eligibility
+    # filter, THEN the S-stem CASE (textops.s_stem_expr twin), then the
+    # standard BM25 CTE chain under the same names so _BM25_SQL reuses
+    def _stem(c: str) -> str:
+        return f"""CASE
+          WHEN length({c}) > 3 AND {c} LIKE '%ies' THEN
+            CASE WHEN {c} LIKE '%eies' OR {c} LIKE '%aies' THEN {c}
+                 ELSE substr({c}, 1, length({c}) - 3) || 'y' END
+          WHEN length({c}) > 3 AND {c} LIKE '%es' THEN
+            CASE WHEN {c} LIKE '%aes' OR {c} LIKE '%ees'
+                      OR {c} LIKE '%oes' THEN {c}
+                 ELSE substr({c}, 1, length({c}) - 1) END
+          WHEN length({c}) > 3 AND {c} LIKE '%s' THEN
+            CASE WHEN {c} LIKE '%us' OR {c} LIKE '%ss' THEN {c}
+                 ELSE substr({c}, 1, length({c}) - 1) END
+          ELSE {c} END"""
+
+    stem_terms = ", ".join(f"'{t}'" for t in sorted(set(STEM_QUERY)))
+    out["bm25_stemmed"] = (
+        """
+    WITH docs2 AS (
+      SELECT doc_id,
+             text || ' ' || CASE doc_id % 4
+               WHEN 0 THEN 'queries' WHEN 1 THEN 'tables'
+               WHEN 2 THEN 'keys' ELSE 'rows' END AS text
+      FROM documents),
+    tok0 AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+'))
+               AS term
+      FROM docs2),
+    tokf AS (SELECT doc_id, term FROM tok0
+             WHERE strlen(term) BETWEEN 2 AND 8),
+    tok AS (SELECT doc_id, """
+        + _stem("term")
+        + """ AS term FROM tokf),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl)
+    """
+        + _BM25_SQL.format(terms=stem_terms)
+        + f"""
+    SELECT doc_id, round(sum(s), 4) AS score
+    FROM perterm GROUP BY doc_id
+    ORDER BY sum(s) DESC, doc_id LIMIT {K}"""
+    )
+    # corpus-mined stopwords: df >= 0.75 * n_docs (0.75 exact in
+    # binary, so the threshold is bit-identical in both engines)
+    out["auto_stopwords"] = _TOK + """
+    SELECT term, df,
+           round(df::DOUBLE / stats.n_docs, 4) AS doc_frac
+    FROM dfreq CROSS JOIN stats
+    WHERE df::DOUBLE >= 0.75 * stats.n_docs"""
     # authority fusion: top-50 BM25 x PageRank prior (the prior CTEs
     # are the pagerank oracle verbatim; both engines fuse the rounded
     # prior, so the inputs are bit-identical)

@@ -307,3 +307,46 @@ def test_incremental_neardup_broadcasts_batch_side(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("LeftSemi") >= 1
     assert df.count() > 0
+
+
+def test_rp_projection_preserves_neighbors(spark, emb):
+    """JL tier: recall@10 of the 64->16 sign projection vs exact
+    cosine stays useful (the tradeoff the rp_recall query monitors),
+    and the projected query vector matches a sequential-fold numpy
+    twin exactly."""
+    import numpy as np
+
+    from tse_spark.operators import similarity as sim
+
+    qv = sim.get_query_vec(emb, 0)
+    planes = sim.rp_planes(64, 16, 11)
+    qp = sim.rp_project_vec(planes, qv)
+    # sequential-fold twin (same order as the operator's loop)
+    want = []
+    for p in planes:
+        acc = 0.0
+        for a, b in zip(qv, p):
+            acc += float(a) * float(b)
+        want.append(acc)
+    assert qp == want
+    # the rerank contract: result == exact cosine top-k RESTRICTED to
+    # the coarse projected candidate set (deterministic, data-free)
+    cand = {
+        r.vec_id
+        for r in sim.rp_ann_topk(emb, qv, 30, 32, 11, 64, exclude_id=0)
+        .collect()
+    }
+    got = sim.rp_ann_topk_rerank(
+        emb, qv, 10, 32, 30, 11, 64, exclude_id=0
+    ).collect()
+    assert {r.vec_id for r in got} <= cand
+    exact_all = {
+        r.vec_id: r.cos
+        for r in sim.cosine_scores(emb, qv).collect()
+    }
+    want_ids = sorted(
+        (i for i in cand),
+        key=lambda i: (-exact_all[i], i),
+    )[:10]
+    assert [r.vec_id for r in got] == want_ids
+    assert all(r.cos == exact_all[r.vec_id] for r in got)

@@ -1,0 +1,127 @@
+"""KMV distinct estimation + priority sampling (operators/sketches.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tse_spark.operators import sketches as sk
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_kmv_partitioning_independent(spark, docs):
+    """The estimate depends only on the global k smallest distinct
+    hashes — any repartitioning must give the identical row."""
+    a = sk.kmv_distinct(docs.repartition(1), "text", 64).collect()[0]
+    b = sk.kmv_distinct(docs.repartition(13), "text", 64).collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+def test_kmv_exact_below_k(spark, docs):
+    """Fewer distinct values than k -> the sketch saw everything and
+    the estimate IS the exact count."""
+    small = docs.limit(40)
+    row = sk.kmv_distinct(small, "text", 128).collect()[0]
+    assert row.k_used == row.exact_distinct == row.est_distinct == 40
+    assert row.rel_err == 0.0
+
+
+def test_kmv_estimate_within_tolerance(docs):
+    """k=128 -> relative error stddev ~ 1/sqrt(k-2) ~ 9%; assert a
+    generous 4-sigma band so the law (not luck) is what's tested."""
+    row = sk.kmv_distinct(docs, "text", 128).collect()[0]
+    assert row.exact_distinct == 500
+    assert abs(row.rel_err) < 0.36
+
+
+def test_kmv_matches_numpy_twin(docs):
+    """est = (k-1) * 2^60 / (k-th smallest distinct hash), half-up."""
+    pdf = docs.select("text").toPandas()
+    import hashlib
+
+    hs = np.unique(
+        [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for t in pdf["text"]
+        ]
+    )
+    k = 128
+    hk = np.sort(hs)[k - 1]
+    want = int(np.floor((k - 1) * float(1 << 60) / hk + 0.5))
+    row = sk.kmv_distinct(docs, "text", k).collect()[0]
+    assert row.kth_hash == int(hk)
+    assert row.est_distinct == want
+
+
+def test_priority_sample_partitioning_independent(docs):
+    a = sk.priority_sample(
+        docs.repartition(1), "doc_id", F.octet_length("text"), 10
+    ).toPandas().sort_values("id").reset_index(drop=True)
+    b = sk.priority_sample(
+        docs.repartition(17), "doc_id", F.octet_length("text"), 10
+    ).toPandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_priority_sample_tau_law(docs):
+    """The sample is the top-k by q = w/u and every estimate is
+    max(w, tau) with tau the (k+1)-th priority — numpy twin."""
+    import hashlib
+
+    pdf = docs.select("doc_id", F.octet_length("text").alias("w")).toPandas()
+    u = np.array(
+        [
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) + 1)
+            / float(1 << 60)
+            for i in pdf["doc_id"]
+        ]
+    )
+    q = pdf["w"].to_numpy().astype(np.float64) / u
+    order = np.lexsort((pdf["doc_id"].to_numpy(), -q))
+    k = 20
+    tau = q[order[k]]
+    want_ids = set(pdf["doc_id"].to_numpy()[order[:k]].tolist())
+    got = sk.priority_sample(
+        docs, "doc_id", F.octet_length("text"), k
+    ).toPandas()
+    assert set(got["id"]) == want_ids
+    for _, r in got.iterrows():
+        assert r["est_w"] == round(max(r["w"], tau), 4)
+
+
+def test_priority_sample_whole_table_keeps_raw_weights(spark):
+    """k >= n: everything sampled, tau = 0, est_w == w (the estimator
+    degrades to the exact subset sum)."""
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "w": [10, 20, 30]})
+    df = spark.createDataFrame(pdf)
+    got = sk.priority_sample(df, "doc_id", F.col("w"), 5).toPandas()
+    assert len(got) == 3
+    assert (got["est_w"] == got["w"]).all()
+
+
+def test_priority_sample_unbiased_over_hash_salts(spark):
+    """Horvitz-Thompson property, demonstrated across 30 independent
+    draws (salting the id changes the hash draw): the mean of
+    sum(est_w) approaches the true total weight."""
+    rng = np.random.RandomState(5)
+    n = 200
+    w = rng.randint(1, 50, size=n)
+    pdf = pd.DataFrame({"base_id": range(n), "w": w})
+    df = spark.createDataFrame(pdf)
+    total = float(w.sum())
+    ests = []
+    for salt in range(30):
+        salted = df.select(
+            F.concat(F.lit(f"s{salt}:"), F.col("base_id")).alias("doc_id"),
+            "w",
+        )
+        got = sk.priority_sample(salted, "doc_id", F.col("w"), 16)
+        ests.append(got.agg(F.sum("est_w")).collect()[0][0])
+    mean = float(np.mean(ests))
+    assert abs(mean - total) / total < 0.15

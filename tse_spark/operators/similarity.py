@@ -1007,3 +1007,104 @@ def int8_ann_topk_rerank(
     )
     cand = emb.join(F.broadcast(cand_ids), "vec_id", "left_semi")
     return cosine_topk(cand, query_vec, k, exclude_id)
+
+
+# ---------------------------------------------------------------------------
+# random-projection (Johnson-Lindenstrauss) compressed tier
+# ---------------------------------------------------------------------------
+
+def rp_planes(dim: int, out_dim: int, seed: int = 11) -> np.ndarray:
+    """Deterministic sign-matrix projection (Achlioptas 2001): entries
+    +-1/sqrt(out_dim) — with out_dim a power of two the scale is
+    exactly representable, so every projected coordinate is a sum of
+    exactly-scaled float32 values and the SQL twin (literal plane
+    arrays into ``list_dot_product``) reproduces the doubles."""
+    rng = np.random.RandomState(seed)
+    signs = rng.randint(0, 2, size=(out_dim, dim)) * 2 - 1
+    return signs.astype(np.float64) / np.sqrt(float(out_dim))
+
+
+def rp_project_col(planes: np.ndarray, vec_col: str = "embedding"):
+    """array<double> column of per-plane dot products (JVM fold in
+    array order, mirrored by the oracle's list_dot_product)."""
+    return F.array(
+        *[_dot(F.col(vec_col), _lit_vec(p)) for p in planes]
+    )
+
+
+def rp_project_vec(planes: np.ndarray, vec: list[float]) -> list[float]:
+    """Driver-side projection of the query vector with a SEQUENTIAL
+    fold per plane — same accumulation order as the engine/oracle
+    folds, so all three agree bit-for-bit (np.dot's pairwise/BLAS
+    order would not)."""
+    out = []
+    for p in planes:
+        acc = 0.0
+        for a, b in zip(vec, p):
+            acc += float(a) * float(b)
+        out.append(acc)
+    return out
+
+
+def rp_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    out_dim: int = 16,
+    seed: int = 11,
+    dim: int = 64,
+    exclude_id=None,
+) -> DataFrame:
+    """Top-k by cosine in the PROJECTED space — the JL compressed
+    tier: a dim->out_dim sign projection preserves angles to
+    O(1/sqrt(out_dim)), so the coarse ranking runs on vectors 4x
+    smaller (here 64->16) before any exact re-rank a caller adds
+    (same coarse/re-rank split as the int8 tier; combine both for
+    16x cheaper scans).  Recall vs exact cosine is pytest-pinned and
+    driver-evaluated (`rp_recall`).
+
+    Scale shape: the projection is k_out literal-coefficient dot
+    products in whole-stage codegen — at 10^12 vectors materialize it
+    once with the same versioned-dir + atomic-meta contract as
+    build_int8_code_table and scan only the code table."""
+    planes = rp_planes(dim, out_dim, seed)
+    qp = rp_project_vec(planes, query_vec)
+    qn = float(np.sqrt(sum(x * x for x in qp)))
+    proj = rp_project_col(planes)
+    cos = _dot(proj, _lit_vec(qp)) / (_norm(proj) * F.lit(qn))
+    s = emb.select("vec_id", F.round(cos, 4).alias("cos"))
+    if exclude_id is not None:
+        s = s.filter(F.col("vec_id") != exclude_id)
+    return s.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def rp_ann_topk_rerank(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    out_dim: int = 32,
+    cand_k: int = 50,
+    seed: int = 11,
+    dim: int = 64,
+    exclude_id=None,
+) -> DataFrame:
+    """Coarse-then-exact over the JL tier: top ``cand_k`` in the
+    projected space, exact-cosine re-rank of those candidates only —
+    the production shape (the pure projected ranking,
+    :func:`rp_ann_topk`, reshuffles near-ties because sign-JL
+    distortion is ~1/sqrt(out_dim), larger than the neighbor gaps on
+    a weakly clustered corpus; the re-rank pays exact cost on cand_k
+    rows, not the corpus).  Recall@k vs brute force is what
+    `rp_recall` monitors — it is a DATA property (gap vs distortion),
+    which is exactly why the monitor query exists.
+
+    The candidate list is tiny, so the re-rank join broadcasts it
+    into the embeddings scan; at 10^12 vectors the coarse pass
+    reads a materialized projection table 2x (out_dim=32) to 4x
+    (16) smaller than the corpus, same versioned-dir contract as
+    build_int8_code_table."""
+    cand = rp_ann_topk(
+        emb, query_vec, cand_k, out_dim, seed, dim, exclude_id
+    ).select("vec_id")
+    pruned = emb.join(F.broadcast(cand), "vec_id")
+    return cosine_topk(pruned, query_vec, k, exclude_id=exclude_id)

@@ -1,0 +1,153 @@
+"""Deterministic cardinality / sampling sketches.
+
+Two estimators a 100 TB curation pass reaches for before paying a full
+shuffle, both built on the portable md5 hash law the dedup family
+already uses (operators/dedup.py module docstring) so a DuckDB oracle
+recomputes them bit-for-bit — unlike ``approx_count_distinct`` /
+``DataFrame.sample``, whose internals differ per engine and per
+partitioning:
+
+- :func:`kmv_distinct` — K-Minimum-Values distinct-count estimation
+  (Bar-Yossef et al. 2002): keep the k smallest DISTINCT hash values;
+  with hashes uniform on [0, 2^60), ``est = (k-1) * 2^60 / h_k``.
+  The estimate depends only on the GLOBAL k smallest distinct hashes,
+  so it is partitioning-independent by construction.  Scale shape:
+  an Arrow ``mapInPandas`` pre-prune keeps <= k candidate hashes per
+  input partition (no shuffle, numpy unique+partition per batch), so
+  the global merge sees O(k x partitions) rows instead of the corpus
+  — the mergeable-sketch topology, expressed as a pipeline.
+- :func:`priority_sample` — Priority Sampling (Duffield, Lund,
+  Thorup 2007): weighted sampling WITHOUT replacement with
+  Horvitz-Thompson-style weight estimates.  Each row draws
+  ``u = (h+1) / 2^60`` from its own md5 (reproducible at any
+  parallelism — ``DataFrame.sample`` is not), priority ``q = w / u``,
+  sample = top-k by q, and every sampled row's weight estimate is
+  ``max(w, tau)`` with ``tau`` = the (k+1)-th priority — an unbiased
+  estimator of any subset-sum over the original weights.  All
+  arithmetic is single correctly-rounded IEEE divisions of exactly
+  representable integers, so Spark and DuckDB produce identical
+  doubles; the cut is (q desc, id asc) — total, so the sample is
+  unique.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 60 bits of the md5 = the largest power-of-two prefix that stays
+# exactly representable through BIGINT and DOUBLE in both engines
+HASH_BITS = 60
+HASH_SPACE = float(1 << HASH_BITS)  # 2^60, exact as a double
+
+
+def hash60(col: Column) -> Column:
+    """The portable 60-bit hash: first 15 md5 hex nibbles as a BIGINT
+    (DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _kmv_prune(k: int):
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.Series | None = None
+        for pdf in batches:
+            h = pdf["h"] if best is None else pd.concat([best, pdf["h"]])
+            u = h.drop_duplicates().nsmallest(k)
+            best = u.reset_index(drop=True)
+        if best is not None:
+            yield pd.DataFrame({"h": best})
+
+    return prune
+
+
+def kmv_distinct(
+    df: DataFrame, col: str = "text", k: int = 128
+) -> DataFrame:
+    """One-row distinct-cardinality report:
+    (k_used, kth_hash, est_distinct, exact_distinct, rel_err).
+
+    ``exact_distinct`` (one countDistinct — the cost the sketch
+    avoids at scale) is included so the query doubles as the sketch's
+    own accuracy evaluation; production reads only ``est_distinct``.
+    If fewer than k distinct values exist the estimate IS the exact
+    count (the sketch saw everything)."""
+    hashed = df.select(hash60(F.col(col)).alias("h"))
+    pruned = hashed.mapInPandas(_kmv_prune(k), schema="h long")
+    smallest = pruned.distinct().orderBy("h").limit(k)
+    est = F.when(
+        F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+    ).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.max("h") + 0.5
+        ).cast("double")
+    )
+    sk = smallest.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("kth_hash"),
+        est.alias("est_distinct"),
+    )
+    exact = df.agg(
+        F.countDistinct(F.col(col)).alias("exact_distinct")
+    )
+    out = sk.crossJoin(exact)
+    return out.select(
+        "k_used",
+        "kth_hash",
+        F.col("est_distinct").cast("long").alias("est_distinct"),
+        "exact_distinct",
+        F.round(
+            (F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    k: int = 20,
+) -> DataFrame:
+    """Deterministic weighted sample of k rows + Horvitz-Thompson
+    weight estimates: (id, w, est_w) — ``sum(est_w)`` over the sample
+    is an unbiased estimate of ``sum(w)`` over the table (the module
+    docstring's law).  One TakeOrderedAndProject of (k+1) rows; the
+    window runs over those k+1 only."""
+    u = (hash60(F.col(id_col).cast("string")) + 1) / F.lit(HASH_SPACE)
+    q = weight.cast("double") / u
+    top = (
+        df.select(
+            F.col(id_col).alias("id"),
+            weight.cast("double").alias("w"),
+            q.alias("q"),
+        )
+        .orderBy(F.desc("q"), F.asc("id"))
+        .limit(k + 1)
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.orderBy(F.desc("q"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = top.select(
+        "id",
+        "w",
+        "q",
+        F.count(F.lit(1)).over(w_all).alias("n_top"),
+        F.min("q").over(w_all).alias("q_min"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("q"), F.asc("id")))
+        .alias("rn"),
+    )
+    tau = F.when(F.col("n_top") > k, F.col("q_min")).otherwise(F.lit(0.0))
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .select(
+            F.col("id"),
+            F.col("w"),
+            F.round(F.greatest("w", tau), 4).alias("est_w"),
+        )
+    )

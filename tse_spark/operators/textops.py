@@ -786,3 +786,151 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(int(k))
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (training/RAG window splitter)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunker — the pretraining/RAG splitter that cuts
+    each document into ``chunk_tokens``-token windows advancing by
+    ``chunk_tokens - overlap`` (so consecutive chunks share ``overlap``
+    tokens of context).  Chunk-start law: starts = 0, stride, 2*stride,
+    ... while the window still contributes NEW tokens (a start > 0 is
+    kept only if ``start < n_tok - overlap``; a final stub that lies
+    entirely inside the previous window is dropped).
+
+    Returns (doc_id, chunk_id, start_tok, n_tok, chunk_text) — one row
+    per window, ``chunk_id`` dense from 0 per doc, ``n_tok`` the actual
+    window length (< chunk_tokens only for the last window).
+
+    Scale shape: pure per-row codegen — split once, ``sequence`` +
+    ``explode`` for the starts, ``slice``/``array_join`` for the
+    window; NO shuffle anywhere and nothing leaves the row until the
+    explode multiplies it by its own chunk count (~n_tok/stride).  At
+    100 TB this runs at scan speed; compare seq-packing
+    (sampling.pack_sequences), which globally concatenates instead.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.octet_length(t) > 0,
+    )
+    n_tok = F.size("toks")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n_tok - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | (s < n_tok - overlap),
+    )
+    base = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    ex = base.select(
+        "doc_id",
+        F.size("toks").alias("doc_tok"),
+        "toks",
+        F.posexplode(starts).alias("chunk_id", "start_tok"),
+    )
+    window = F.slice(
+        F.col("toks"), F.col("start_tok") + 1, chunk_tokens
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(window).cast("long").alias("n_tok"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S-stemmer + automatic stopword mining
+# ---------------------------------------------------------------------------
+
+def s_stem_expr(term) -> Column:
+    """Harman's S-stemmer (1991) — the conservative plural stripper
+    used when a full Porter pass is too aggressive: for terms longer
+    than 3 chars, ``-ies -> -y`` (unless -eies/-aies), ``-es -> -e``-
+    less form (drop the s, unless -aes/-ees/-oes), ``-s`` dropped
+    (unless -us/-ss).  Unlike Porter this is a three-rule CASE over
+    suffixes, so it stays in whole-stage codegen AND has an exact SQL
+    twin — the property the oracle contract needs.
+
+    Rule order is first-match-stops (a word that matches a rule's
+    suffix but is one of its exceptions stays UNCHANGED — it does not
+    fall through to the next rule, per the original formulation);
+    length > 3 throughout."""
+    t = term if not isinstance(term, str) else F.col(term)
+    n = F.length(t)
+    end4 = F.substring(t, -4, 4)
+    end3 = F.substring(t, -3, 3)
+    end2 = F.substring(t, -2, 2)
+    end1 = F.substring(t, -1, 1)
+    return (
+        F.when(
+            (n > 3) & (end3 == "ies"),
+            F.when(
+                end4.isin("eies", "aies"), t
+            ).otherwise(F.concat(F.substring(t, 1, n - 3), F.lit("y"))),
+        )
+        .when(
+            (n > 3) & (end2 == "es"),
+            F.when(
+                end3.isin("aes", "ees", "oes"), t
+            ).otherwise(F.substring(t, 1, n - 1)),
+        )
+        .when(
+            (n > 3) & (end1 == "s"),
+            F.when(
+                end2.isin("us", "ss"), t
+            ).otherwise(F.substring(t, 1, n - 1)),
+        )
+        .otherwise(t)
+    )
+
+
+def stemmed_tf(tf: DataFrame) -> DataFrame:
+    """Re-key the (doc_id, term, tf) relation on the S-stem: one extra
+    hash aggregate folds plural/singular postings together (df and tf
+    merge; doclen is unchanged — same token count).  Feeding this into
+    the unchanged BM25 scorer gives stemmed retrieval: a query term
+    matches every inflection sharing its stem."""
+    return (
+        tf.select(
+            "doc_id", s_stem_expr("term").alias("term"), "tf"
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.sum("tf").alias("tf"))
+    )
+
+
+def auto_stopwords(
+    tf: DataFrame, n_docs: int, min_doc_frac: float = 0.5
+) -> DataFrame:
+    """Corpus-mined stopword list: terms appearing in at least
+    ``min_doc_frac`` of documents — (term, df, doc_frac).  The
+    data-driven twin of a hand-curated list (what "the"/"的" look
+    like in ANY language); downstream, dropping them is the classic
+    index-size/latency lever.  One vocabulary-sized hash agg; the
+    fraction test is exact integer math (df * 1 >= frac * n) so no
+    float boundary can flip membership between engines."""
+    thresh = float(min_doc_frac) * float(n_docs)
+    return (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").cast("double") >= F.lit(thresh))
+        .select(
+            "term",
+            "df",
+            F.round(F.col("df") / F.lit(float(n_docs)), 4).alias(
+                "doc_frac"
+            ),
+        )
+    )
