@@ -477,6 +477,62 @@ def _q_auto_stopwords(spark, sf):
     return textops.auto_stopwords(tf, n, 0.75)
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _q_cms_heavy_hitters(spark, sf):
+    """Count-min sketch accuracy report: the exact top-10 terms vs
+    their CMS estimates (depth 4 x width 256 — sketches.cms_sketch /
+    cms_estimates).  est >= exact always (the one-sided CMS law);
+    overcount shows the collision cost at this width."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import sketches
+
+    toks = ib.ws_token_stream(_t(spark, sf, "documents"))
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("term"))
+        .limit(10)
+    )
+    sk = sketches.cms_sketch(toks, CMS_DEPTH, CMS_WIDTH)
+    est = sketches.cms_estimates(sk, exact, CMS_DEPTH, CMS_WIDTH)
+    return exact.join(est, "term").select(
+        "term",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+PROBE_ITERS = 3
+PROBE_LR = 0.25
+
+
+def _q_quality_probe(spark, sf):
+    """Distributed linear-probe training (probe.probe_train): 3 batch
+    GD iterations on squared loss over codegen'd quality features —
+    one d+1-sum full-scan aggregate per iteration, O(d) driver bytes;
+    the fixed-point gradient law makes the weights bit-identical to
+    the oracle's unrolled SQL iterations."""
+    from tse_spark.operators import probe
+
+    feats = probe.quality_features(_t(spark, sf, "documents"))
+    w = probe.probe_train(feats, PROBE_ITERS, PROBE_LR)
+    return probe.probe_weights_df(spark, w)
+
+
+def _q_quality_probe_scores(spark, sf):
+    """The trained probe applied back to the corpus: per-doc score,
+    keep decision, and label agreement — the filter-audit table."""
+    from tse_spark.operators import probe
+
+    feats = probe.quality_features(_t(spark, sf, "documents"))
+    w = probe.probe_train(feats, PROBE_ITERS, PROBE_LR)
+    return probe.probe_scores(feats, w)
+
+
 def _q_distinct_estimate(spark, sf):
     """KMV distinct-cardinality sketch (sketches.kmv_distinct): the
     k=128 smallest distinct 60-bit md5 hashes estimate distinct(text)
@@ -2741,6 +2797,33 @@ def _q_bm25_pagerank(spark, sf):
     )
 
 
+MMR_LAM = 0.75
+MMR_CAND = 20
+
+
+def _q_search_mmr(spark, sf):
+    """MMR-diversified serving: greedy maximal-marginal-relevance over
+    the top-20 BM25 page, penalizing tf-cosine similarity to already
+    picked results (textops.mmr_diversify) — the anti-redundancy
+    rerank next to host-collapse (X23) and duplicate-collapse (X45).
+    Heavy work (ranking + candidate-pair sims) stays in Spark; the
+    greedy sweep is O(k*N) on the one collected page."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import textops
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(
+        tf.filter(F.col("term").isin(sorted(set(BM25_QUERY))))
+    )
+    n, avgdl = ib.corpus_stats(doclen)
+    top = ib.bm25_topk(
+        spark, tf, doclen, dfreq, n, avgdl, BM25_QUERY, MMR_CAND
+    ).select("doc_id", F.round("score", 4).alias("score"))
+    sims = textops.candidate_tf_sims(tf, top)
+    return textops.mmr_diversify(spark, top, sims, K, MMR_LAM)
+
+
 def _q_search_dedup(spark, sf):
     """Duplicate-collapsed serving: top-50 BM25 candidates → best
     result per content fingerprint (md5 of the first 16 chars — a
@@ -2827,6 +2910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": _q_mix_sample,
         "distinct_estimate": _q_distinct_estimate,
         "priority_sample": _q_priority_sample,
+        "quality_probe": _q_quality_probe,
+        "quality_probe_scores": _q_quality_probe_scores,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "doc_chunks": _q_doc_chunks,
         "bm25_stemmed": _q_bm25_stemmed,
         "auto_stopwords": _q_auto_stopwords,
@@ -2935,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_terms": _q_related_terms,
         "bm25_fresh": _q_bm25_fresh,
         "bm25_pagerank": _q_bm25_pagerank,
+        "search_mmr": _q_search_mmr,
         "search_dedup": _q_search_dedup,
         "wand_mlt": _q_wand_mlt,
         # rows-only engine path (no DuckDB equivalent; pytest-verified)
@@ -3580,6 +3667,89 @@ def _pagerank_oracle_sql(n_iter: int = 3, as_cte: bool = False) -> str:
     )
 
 
+def _probe_cte_sql(iters: int = PROBE_ITERS, lr: float = PROBE_LR) -> str:
+    """Unrolled batch-GD mirroring probe.probe_train: feature CTE
+    (same folds as probe.quality_features), then per iteration a
+    residual scan, fixed-point BIGINT gradient sums, and an exact
+    weight-update CTE.  Ends with weights ``w{iters}`` and the
+    feature CTE ``f`` in scope."""
+    step = float(lr) * 2.0
+    fp = 1048576.0
+    parts = [
+        """
+    f AS (
+      SELECT doc_id,
+             len(toks) / 100.0 AS x1,
+             len(list_distinct(toks))::DOUBLE / len(toks) AS x2,
+             (list_sum(list_transform(toks, t -> strlen(t)))::DOUBLE
+              / len(toks)) / 10.0 AS x3,
+             CASE WHEN list_contains(toks, 'spark') THEN 1.0
+                  ELSE 0.0 END AS y
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               t -> strlen(t) > 0) AS toks
+            FROM documents)
+      WHERE len(toks) > 0),
+    w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"""
+    r{t} AS (
+      SELECT f.*,
+             (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) - f.y AS r
+      FROM f CROSS JOIN w{p} w),
+    g{t} AS (
+      SELECT count(*) AS n,
+             sum(CAST(floor(1.0 * r * {fp} + 0.5) AS BIGINT)) AS g0,
+             sum(CAST(floor(x1 * r * {fp} + 0.5) AS BIGINT)) AS g1,
+             sum(CAST(floor(x2 * r * {fp} + 0.5) AS BIGINT)) AS g2,
+             sum(CAST(floor(x3 * r * {fp} + 0.5) AS BIGINT)) AS g3
+      FROM r{t}),
+    w{t} AS (
+      SELECT w.w0 - {step} * (CAST(g.g0 AS DOUBLE) / ({fp} * g.n)) AS w0,
+             w.w1 - {step} * (CAST(g.g1 AS DOUBLE) / ({fp} * g.n)) AS w1,
+             w.w2 - {step} * (CAST(g.g2 AS DOUBLE) / ({fp} * g.n)) AS w2,
+             w.w3 - {step} * (CAST(g.g3 AS DOUBLE) / ({fp} * g.n)) AS w3
+      FROM w{p} w CROSS JOIN g{t} g)"""
+        )
+    return ",".join(parts)
+
+
+def _quality_probe_oracle_sql() -> str:
+    return (
+        "WITH "
+        + _probe_cte_sql().lstrip()
+        + f"""
+    SELECT * FROM (
+      SELECT 0::BIGINT AS feature, round(w0, 6) AS weight
+        FROM w{PROBE_ITERS}
+      UNION ALL
+      SELECT 1, round(w1, 6) FROM w{PROBE_ITERS}
+      UNION ALL
+      SELECT 2, round(w2, 6) FROM w{PROBE_ITERS}
+      UNION ALL
+      SELECT 3, round(w3, 6) FROM w{PROBE_ITERS})"""
+    )
+
+
+def _quality_probe_scores_oracle_sql() -> str:
+    return (
+        "WITH "
+        + _probe_cte_sql().lstrip()
+        + f"""
+    SELECT f.doc_id,
+           round(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3, 4)
+             AS score,
+           round(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3, 4)
+             >= 0.5 AS keep,
+           (round(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3, 4)
+             >= 0.5) = (f.y >= 0.5) AS correct
+    FROM f CROSS JOIN w{PROBE_ITERS} w"""
+    )
+
+
 def _rp_ann_oracle_sql() -> str:
     """JL projected-space top-k: the sign-plane literals re-derived
     into SQL (same seed law as similarity.rp_planes); the query's
@@ -4090,6 +4260,39 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1 ELSE 0 END)
                      / count(*)::DOUBLE, 6) AS observed_rate
         FROM t GROUP BY source""",
+        # count-min sketch accuracy report: exact top-10 vs min-over-
+        # rows bucket counts; same salted md5 bucket law both engines
+        "cms_heavy_hitters": """
+        WITH tok0 AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+          FROM documents),
+        tok AS (SELECT doc_id, term FROM tok0
+                WHERE strlen(term) BETWEEN 2 AND 8),
+        ex AS (
+          SELECT term, count(*)::BIGINT AS exact_n
+          FROM tok GROUP BY 1
+          ORDER BY exact_n DESC, term LIMIT 10),
+        d AS (SELECT unnest(range(0, 4)) AS j),
+        sk AS (
+          SELECT d.j,
+                 ('0x' || substr(md5('cms' || d.j::VARCHAR || ':'
+                                     || tok.term), 1, 8))::BIGINT % 256
+                   AS bucket,
+                 count(*)::BIGINT AS n
+          FROM tok CROSS JOIN d
+          GROUP BY 1, 2),
+        est AS (
+          SELECT ex.term, min(sk.n) AS est_n
+          FROM ex CROSS JOIN d
+          JOIN sk ON sk.j = d.j
+                 AND sk.bucket = ('0x' || substr(md5('cms'
+                       || d.j::VARCHAR || ':' || ex.term), 1, 8))
+                       ::BIGINT % 256
+          GROUP BY 1)
+        SELECT ex.term, ex.exact_n, est.est_n,
+               (est.est_n - ex.exact_n)::BIGINT AS overcount
+        FROM ex JOIN est USING (term)""",
         # KMV sketch: k smallest distinct 60-bit hashes; est =
         # (k-1) * 2^60 / h_k, half-up — sketches.kmv_distinct verbatim
         "distinct_estimate": """
@@ -4547,6 +4750,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_neardup": _lsh_neardup_oracle_sql(),
         "lsh_ann": _lsh_ann_oracle_sql(),
         "rp_ann": _rp_ann_oracle_sql(),
+        "quality_probe": _quality_probe_oracle_sql(),
+        "quality_probe_scores": _quality_probe_scores_oracle_sql(),
         "kmeans_clusters": _kmeans_clusters_oracle_sql(),
         "kmeans_report": _kmeans_report_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
@@ -5448,6 +5653,62 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY round(c.score * (1.0 + n.n * round(r.r, 6)), 4) DESC,
              c.doc_id
     LIMIT {K}"""
+    )
+    # MMR diversified page: candidates + candidate-pair tf cosines,
+    # then the greedy sweep unrolled one (pick, selected-set) CTE pair
+    # per rank — the same first-match law as textops.mmr_rerank_py
+    mmr_steps = []
+    for t in range(1, K + 1):
+        p = t - 1
+        mmr_steps.append(
+            f"""
+    p{t} AS (
+      SELECT c.doc_id, c.rel,
+             {MMR_LAM} * c.rel - {1.0 - MMR_LAM} * coalesce((
+               SELECT max(s.sim) FROM sims s JOIN sel{p} q
+                 ON (s.doc_a = c.doc_id AND s.doc_b = q.doc_id)
+                 OR (s.doc_b = c.doc_id AND s.doc_a = q.doc_id)),
+               0.0) AS m
+      FROM cand c
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{p})),
+    pick{t} AS (SELECT doc_id, m FROM p{t}
+                ORDER BY m DESC, doc_id LIMIT 1),
+    sel{t} AS MATERIALIZED (
+      SELECT doc_id, rank, mmr FROM sel{p}
+      UNION ALL
+      SELECT doc_id, {t}::BIGINT, round(m, 4) FROM pick{t})"""
+        )
+    out["search_mmr"] = (
+        _TOK
+        + bm25_3
+        + f"""
+    , cand AS MATERIALIZED (
+      SELECT doc_id, round(sum(s), 4) AS rel
+      FROM perterm GROUP BY doc_id
+      ORDER BY sum(s) DESC, doc_id LIMIT {MMR_CAND}),
+    ptf AS (SELECT tf.* FROM tf JOIN cand USING (doc_id)),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(a.tf * b.tf)::BIGINT AS dot
+      FROM ptf a JOIN ptf b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    n2 AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2
+           FROM ptf GROUP BY 1),
+    sims AS MATERIALIZED (
+      SELECT d.doc_a, d.doc_b,
+             round(d.dot::DOUBLE
+                   / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 4)
+               AS sim
+      FROM dots d
+      JOIN n2 na ON na.doc_id = d.doc_a
+      JOIN n2 nb ON nb.doc_id = d.doc_b),
+    sel0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id,
+                    CAST(0 AS BIGINT) AS rank, 0.0 AS mmr
+             WHERE false),"""
+        + ",".join(mmr_steps)
+        + f"""
+    SELECT rank, doc_id, mmr FROM sel{K}"""
     )
     out["bm25_fresh"] = _TOK + bm25_3 + """
     , cand AS (

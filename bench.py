@@ -191,6 +191,20 @@ HEADLINE = [
     "incr_neardup",
     "hits_scores",
     "winnow_pairs",
+    # round-3 continuation, second session (same tail-first rule;
+    # cheap zero-shuffle members first)
+    "doc_chunks",
+    "distinct_estimate",
+    "priority_sample",
+    "auto_stopwords",
+    "kmeans_clusters",
+    "semantic_dedup",
+    "rp_ann",
+    "bm25_pagerank",
+    "bm25_stemmed",
+    "cms_heavy_hitters",
+    "quality_probe",
+    "search_mmr",
 ]
 
 RESULT: dict = {

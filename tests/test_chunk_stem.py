@@ -119,3 +119,47 @@ def test_auto_stopwords_threshold_exact(spark):
     }
     # hot: 4/4, warm: 3/4 == exactly the threshold -> included
     assert got == {"hot": (4, 1.0), "warm": (3, 0.75)}
+
+
+def test_mmr_rerank_greedy_law():
+    """Hand-checkable greedy: near-duplicate top results get demoted
+    in favor of a diverse lower-scored one."""
+    from tse_spark.operators.textops import mmr_rerank_py
+
+    rel = {1: 1.0, 2: 0.99, 3: 0.7, 4: 0.1}
+    sims = {(1, 2): 1.0, (1, 3): 0.0, (2, 3): 0.0, (1, 4): 0.0}
+    out = mmr_rerank_py(rel, sims, k=3, lam=0.75)
+    ranks = [d for _, d, _ in out]
+    # doc 2 (near-dup of 1) loses rank 2 to the diverse doc 3:
+    # 0.75*0.99 - 0.25*1.0 = 0.4925 < 0.75*0.7 = 0.525
+    assert ranks == [1, 3, 2]
+    assert out[0] == (1, 1, 0.75)
+    assert out[1] == (2, 3, 0.525)
+    assert out[2] == (3, 2, 0.4925)
+
+
+def test_mmr_diversify_matches_pure_python(spark):
+    """The DataFrame wrapper reproduces the pure sweep over real
+    candidates + real tf sims."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tf = ib.build_tf_ws(docs)
+    cand = (
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("score"))
+        .select("doc_id", (F.col("score") / 100.0).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(8)
+    )
+    sims = textops.candidate_tf_sims(tf, cand)
+    got = [
+        (r["rank"], r.doc_id, r.mmr)
+        for r in textops.mmr_diversify(spark, cand, sims, 5).collect()
+    ]
+    rel = {r.doc_id: float(r.score) for r in cand.collect()}
+    sim_map = {
+        (r.doc_a, r.doc_b): float(r.sim) for r in sims.collect()
+    }
+    assert got == textops.mmr_rerank_py(rel, sim_map, 5, 0.75)

@@ -125,3 +125,40 @@ def test_priority_sample_unbiased_over_hash_salts(spark):
         ests.append(got.agg(F.sum("est_w")).collect()[0][0])
     mean = float(np.mean(ests))
     assert abs(mean - total) / total < 0.15
+
+
+def test_cms_estimates_one_sided_and_tight(spark, docs):
+    """CMS law: est >= exact for every queried term; with 31 terms in
+    4x256 cells collisions are rare, so most estimates are exact."""
+    from tse_spark.operators import index_build as ib
+    from pyspark.sql import functions as F2
+
+    toks = ib.ws_token_stream(docs)
+    exact = (
+        toks.groupBy("term")
+        .agg(F2.count(F2.lit(1)).alias("exact_n"))
+    )
+    sketch = sk.cms_sketch(toks, 4, 256)
+    est = sk.cms_estimates(sketch, exact.select("term"), 4, 256)
+    j = exact.join(est, "term").collect()
+    assert len(j) == 30
+    assert all(r.est_n >= r.exact_n for r in j)
+    assert sum(1 for r in j if r.est_n == r.exact_n) >= 25
+
+
+def test_cms_sketch_mass_conservation(spark, docs):
+    """Every row of the sketch sums to the total occurrence count
+    (each occurrence lands in exactly one bucket per row)."""
+    from tse_spark.operators import index_build as ib
+    from pyspark.sql import functions as F2
+
+    toks = ib.ws_token_stream(docs)
+    total = toks.count()
+    per_row = (
+        sk.cms_sketch(toks, 4, 256)
+        .groupBy("row_j")
+        .agg(F2.sum("n").alias("mass"))
+        .collect()
+    )
+    assert len(per_row) == 4
+    assert all(r.mass == total for r in per_row)

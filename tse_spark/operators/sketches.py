@@ -151,3 +151,79 @@ def priority_sample(
             F.round(F.greatest("w", tau), 4).alias("est_w"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (frequency estimation)
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(term: Column, j: int, width: int) -> Column:
+    """Row-j bucket: 32-bit portable md5 of 'cms{j}:term' mod width —
+    the salted-hash family the mix-sampler already uses, so the DuckDB
+    twin is the same substring/cast."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{j}:"), term)), 1, 8), 16, 10
+    ).cast("long")
+    return h % width
+
+
+def cms_sketch(
+    toks: DataFrame, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of a (doc_id, term) occurrence stream:
+    (row_j, bucket, n) — depth x width cells, every occurrence counted
+    into one bucket per row.  The sketch is the streaming-friendly
+    frequency table: fixed size regardless of vocabulary, mergeable by
+    cell-wise addition (the partial aggregates ARE per-partition
+    sketches — Spark's map-side combine implements the merge), and
+    estimates are one-sided (never under the true count).
+
+    Scale shape: explode to depth rows per occurrence, one hash-agg
+    over depth*width cells; map-side partials absorb everything, the
+    exchange carries at most depth*width rows per task."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("row_j"),
+                _cms_bucket(F.col("term"), j, width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        toks.select(F.explode(entries).alias("e"))
+        .select("e.row_j", "e.bucket")
+        .groupBy("row_j", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimates(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point queries against the sketch: for each candidate term the
+    estimate is min over rows of its bucket's count (the CMS law;
+    >= the true count always, with overcount bounded by collisions).
+    The candidate set is tiny (a top-k list), so it broadcasts into
+    the 1024-cell sketch join."""
+    probes = candidates.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("row_j"),
+                        _cms_bucket(F.col("term"), j, width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select("term", "e.row_j", "e.bucket")
+    j = sketch.join(F.broadcast(probes), ["row_j", "bucket"])
+    return j.groupBy("term").agg(F.min("n").alias("est_n"))

@@ -934,3 +934,111 @@ def auto_stopwords(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank
+# ---------------------------------------------------------------------------
+
+def mmr_rerank_py(
+    rel: dict[int, float],
+    sims: dict[tuple[int, int], float],
+    k: int = 10,
+    lam: float = 0.75,
+) -> list[tuple[int, int, float]]:
+    """Greedy Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    over a candidate page: repeatedly pick
+    ``argmax lam*rel(d) - (1-lam)*max_{s in selected} sim(d, s)``,
+    ties doc-id-asc.  Pure driver arithmetic over <= N candidates —
+    the rerank-window altitude (the heavy work, BM25 top-N and the
+    candidate-pair similarities, stays in Spark; the greedy sweep is
+    O(k*N) on one page of results, exactly where a serving frontend
+    runs it).  lam = 0.75 is exactly representable, and rel/sims
+    arrive pre-rounded, so every comparison is deterministic and the
+    SQL oracle's unrolled greedy agrees step for step.
+
+    Returns [(rank, doc_id, mmr_score)] with rank from 1."""
+    remaining = dict(rel)
+    selected: list[int] = []
+    out = []
+    for rank in range(1, min(k, len(rel)) + 1):
+        best = None
+        for d, r in remaining.items():
+            worst = 0.0
+            for s in selected:
+                v = sims.get((min(d, s), max(d, s)), 0.0)
+                if v > worst:
+                    worst = v
+            score = lam * r - (1.0 - lam) * worst
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, score)
+        _, d, score = best
+        selected.append(d)
+        del remaining[d]
+        out.append((rank, d, round(score, 4)))
+    return out
+
+
+def candidate_tf_sims(
+    tf: DataFrame, cand: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_a < doc_b, sim) tf-vector cosines BETWEEN the candidates
+    only: tf is semi-join-pruned to the candidate ids first (broadcast
+    — the page is tiny), so the pair join touches N docs' vectors,
+    never the corpus (tf_cosine_pairs is the all-pairs batch variant).
+    Integer dots/norms make the rounded sim engine-identical."""
+    pruned = tf.join(
+        F.broadcast(cand.select(F.col(id_col).alias("doc_id"))),
+        "doc_id",
+        "left_semi",
+    )
+    a = pruned.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("tf").alias("tfa")
+    )
+    b = pruned.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("tf").alias("tfb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    norms = pruned.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb"))
+    sim = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na").cast("double"))
+           * F.sqrt(F.col("nb").cast("double"))),
+        4,
+    )
+    return (
+        dots.join(na, "doc_a").join(nb, "doc_b")
+        .select("doc_a", "doc_b", sim.alias("sim"))
+    )
+
+
+def mmr_diversify(
+    spark,
+    ranked: DataFrame,
+    sims: DataFrame,
+    k: int = 10,
+    lam: float = 0.75,
+) -> DataFrame:
+    """DataFrame wrapper: collect the candidate page (score pre-rounded
+    by the caller) + its pair sims, run the greedy sweep, return
+    (rank, doc_id, mmr) — the diversified page."""
+    rel = {
+        r["doc_id"]: float(r["score"]) for r in ranked.collect()
+    }
+    sim_map = {
+        (r["doc_a"], r["doc_b"]): float(r["sim"]) for r in sims.collect()
+    }
+    rows = mmr_rerank_py(rel, sim_map, k, lam)
+    return spark.createDataFrame(
+        rows, "rank int, doc_id long, mmr double"
+    ).select(F.col("rank").cast("long").alias("rank"), "doc_id", "mmr")
