@@ -2341,6 +2341,31 @@ def _q_hits(spark, sf):
     )
 
 
+def _q_click_distance(spark, sf):
+    """Click distance (min link hops from any seed page, 4 min-plus
+    rounds) over the same synthetic link graph as pagerank, seeds =
+    doc_id % 23 == 0 — the query-independent crawl-priority /
+    ranking feature next to PageRank.  Integer arithmetic end to
+    end, so the DuckDB oracle unrolls the identical recursion;
+    vertices unreached within 4 rounds report -1."""
+    from tse_spark.operators import linkrank
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n_df = docs.agg(F.count(F.lit(1)).alias("__n"))
+    base = docs.crossJoin(n_df)
+    i, n = F.col("doc_id"), F.col("__n")
+    e1 = base.select(i.alias("src"), ((i * 2 + 1) % n).alias("dst"))
+    e2 = base.select(i.alias("src"), ((i * 5 + 3) % n).alias("dst"))
+    e3 = base.filter(i % 3 == 0).select(
+        i.alias("src"), ((i * 11 + 7) % n).alias("dst")
+    )
+    edges = e1.union(e2).union(e3).filter(F.col("src") % 11 != 0)
+    seeds = docs.filter(F.col("doc_id") % 23 == 0)
+    return linkrank.click_distance(
+        docs, edges, seeds, n_iter=4, id_col="doc_id"
+    )
+
+
 def _q_dedup_components(spark, sf):
     """Near-dup clusters: the exact-cosine pairs (cosine_neardup query)
     closed into connected components via min-label propagation —
@@ -3009,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_neardup": _q_incr_neardup,
         "incr_novel": _q_incr_novel,
         "hits_scores": _q_hits,
+        "click_distance": _q_click_distance,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
@@ -3492,6 +3518,52 @@ def _hits_oracle_sql(n_iter: int = 2) -> str:
         + f"""
     SELECT id AS doc_id, round(auth, 6) AS auth, round(hub, 6) AS hub
     FROM s{n_iter}"""
+    )
+
+
+def _click_distance_oracle_sql(n_iter: int = 4) -> str:
+    """Unrolled min-plus label propagation — the same graph and seed
+    law as _q_click_distance (seeds doc_id % 23 == 0), one (relax,
+    least) CTE pair per round.  Pure BIGINT arithmetic, so the twin
+    is exact by construction."""
+    inf = 1 << 30
+    head = f"""
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    e0 AS (
+      SELECT doc_id AS src, (doc_id * 2 + 1) % nn.n AS dst
+      FROM documents, nn
+      UNION
+      SELECT doc_id, (doc_id * 5 + 3) % nn.n FROM documents, nn
+      UNION
+      SELECT doc_id, (doc_id * 11 + 7) % nn.n FROM documents, nn
+      WHERE doc_id % 3 = 0),
+    e AS (SELECT src, dst FROM e0 WHERE src % 11 <> 0),
+    v AS (SELECT doc_id AS id FROM documents),
+    d0 AS (
+      SELECT id,
+             CASE WHEN id % 23 = 0 THEN 0
+                  ELSE {inf} END::BIGINT AS d
+      FROM v)"""
+    its = []
+    for k in range(1, n_iter + 1):
+        j = k - 1
+        its.append(
+            f""",
+    nd{k} AS (
+      SELECT e.dst AS id, min(d{j}.d) + 1 AS nd
+      FROM e JOIN d{j} ON e.src = d{j}.id GROUP BY e.dst),
+    d{k} AS (
+      SELECT d{j}.id,
+             least(d{j}.d, coalesce(nd{k}.nd, {inf})) AS d
+      FROM d{j} LEFT JOIN nd{k} ON d{j}.id = nd{k}.id)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"""
+    SELECT id AS doc_id,
+           (CASE WHEN d >= {inf} THEN -1 ELSE d END)::BIGINT AS dist
+    FROM d{n_iter}"""
     )
 
 
@@ -5471,6 +5543,7 @@ def oracle_sql() -> dict[str, str]:
     # parquet written by the pure-Python twin (pages_bm25 pattern)
     out["incr_neardup"], out["incr_novel"] = _incr_oracle_sqls()
     out["hits_scores"] = _hits_oracle_sql()
+    out["click_distance"] = _click_distance_oracle_sql()
     _bpe_fx = _bpe_oracle_fixtures()
     if _bpe_fx:
         out["bpe_merges"] = f"""

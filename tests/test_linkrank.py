@@ -200,3 +200,36 @@ def test_hits_invariants_and_known_graph(spark):
     assert out[0][1] > out[3][1] > 0
     # pure authorities have zero hub score; pure hubs zero authority
     assert out[1][1] == 0.0 and out[0][0] == 0.0
+
+
+def test_click_distance_known_graph(spark):
+    # chain 0 -> 1 -> 2 -> 3 plus a shortcut 0 -> 2; 4 isolated;
+    # 5 reaches nothing and is reached by nothing but is a seed
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (5,)], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in linkrank.click_distance(
+            verts, edges, seeds, n_iter=4
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: -1, 5: 0}
+
+
+def test_click_distance_round_bound(spark):
+    # a 5-hop chain with only 2 rounds: nodes beyond hop 2 report -1
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in linkrank.click_distance(
+            verts, edges, seeds, n_iter=2
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: -1, 4: -1, 5: -1}

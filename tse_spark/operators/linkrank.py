@@ -415,3 +415,67 @@ def authority_boost(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+INF_DIST = 1 << 30
+
+
+def click_distance(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 4,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Click distance (min link hops from any seed page) — the classic
+    query-independent crawl/ranking feature next to PageRank (early
+    web rankers used distance-from-home-pages directly; crawl
+    schedulers still prioritize by it).  ``n_iter`` rounds of
+    min-plus label propagation:
+
+        dist_{t+1}(v) = min(dist_t(v), 1 + min_{u->v} dist_t(u))
+
+    Per round one join (dist onto edge sources) + one hash-agg (min
+    per destination) + one left join back — the same
+    edge-partitioned topology as :func:`pagerank`, state O(V), no
+    driver collects.  Vertices unreached within n_iter rounds report
+    -1 (at 10^12 pages you bound rounds anyway; web click distance
+    saturates in ~6).  Integer arithmetic end to end, so the SQL
+    oracle unrolls the identical recursion."""
+    verts = vertices.select(F.col(id_col).alias("id")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sd = seeds.select(F.col(id_col).alias("id")).distinct()
+    dist = verts.join(
+        sd.withColumn("__seed", F.lit(1)), "id", "left"
+    ).select(
+        "id",
+        F.when(F.col("__seed").isNotNull(), F.lit(0))
+        .otherwise(F.lit(INF_DIST))
+        .cast("long")
+        .alias("d"),
+    )
+    for _ in range(n_iter):
+        nd = (
+            e.join(dist.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg((F.min("d") + 1).alias("nd"))
+            .withColumnRenamed("dst", "id")
+        )
+        dist = (
+            dist.join(nd, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("d"), F.coalesce(F.col("nd"), F.lit(INF_DIST))
+                ).alias("d"),
+            )
+        )
+    return dist.select(
+        F.col("id").alias(id_col),
+        F.when(F.col("d") >= INF_DIST, F.lit(-1))
+        .otherwise(F.col("d"))
+        .cast("long")
+        .alias("dist"),
+    )
