@@ -2366,6 +2366,38 @@ def _q_click_distance(spark, sf):
     )
 
 
+BP_HEADER = "COOKIE NOTICE ACCEPT ALL"
+BP_FOOTER = "SUBSCRIBE TO OUR NEWSLETTER"
+
+
+def _q_strip_boilerplate(spark, sf):
+    """Boilerplate line removal (textops.strip_boilerplate_lines,
+    min_df=3) over a deterministically line-ified corpus: each doc's
+    tokens wrap into 12-token lines, docs % 3 == 0 gain a cookie-banner
+    header line and docs % 5 == 0 a subscribe-footer line — the
+    injected lines cross the df threshold and are stripped from every
+    doc, the organic 12-token lines survive.  Exact string/integer
+    law, so the oracle mirrors synthesis + strip verbatim."""
+    from tse_spark.operators import textops
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    body = F.expr(
+        "concat_ws('\\n', transform("
+        "sequence(0, (size(split(text, ' ')) - 1) div 12), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i * 12 + 1, 12))))"
+    )
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(BP_HEADER)),
+            body,
+            F.when(F.col("doc_id") % 5 == 0, F.lit(BP_FOOTER)),
+        ).alias("text"),
+    )
+    return textops.strip_boilerplate_lines(synth, min_df=3)
+
+
 def _q_dedup_components(spark, sf):
     """Near-dup clusters: the exact-cosine pairs (cosine_neardup query)
     closed into connected components via min-label propagation —
@@ -3035,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_novel": _q_incr_novel,
         "hits_scores": _q_hits,
         "click_distance": _q_click_distance,
+        "strip_boilerplate": _q_strip_boilerplate,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
@@ -5544,6 +5577,47 @@ def oracle_sql() -> dict[str, str]:
     out["incr_neardup"], out["incr_novel"] = _incr_oracle_sqls()
     out["hits_scores"] = _hits_oracle_sql()
     out["click_distance"] = _click_distance_oracle_sql()
+    # boilerplate strip: synthesis (12-token lines + injected
+    # header/footer) and the df>=3 line-strip law mirrored verbatim
+    out["strip_boilerplate"] = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    body AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(range(0, ((len(toks) - 1) // 12) + 1),
+                 i -> array_to_string(toks[i * 12 + 1 : i * 12 + 12],
+                                      ' ')),
+               chr(10)) AS b
+      FROM w),
+    synth AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               CASE WHEN doc_id % 3 = 0 THEN '{BP_HEADER}' END,
+               b,
+               CASE WHEN doc_id % 5 = 0 THEN '{BP_FOOTER}' END) AS t
+      FROM body),
+    lx AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM synth),
+    li AS (
+      SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS pos
+      FROM lx),
+    l2 AS (SELECT doc_id, pos, ls[pos] AS line FROM li),
+    bp AS (
+      SELECT line FROM l2 GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 3),
+    kept AS (
+      SELECT doc_id, pos, line FROM l2
+      WHERE line NOT IN (SELECT line FROM bp)),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM l2 GROUP BY doc_id),
+    rec AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT tot.doc_id,
+           coalesce(rec.clean_text, '') AS clean_text,
+           (tot.n_lines - coalesce(rec.n_kept, 0))::BIGINT AS n_removed
+    FROM tot LEFT JOIN rec ON tot.doc_id = rec.doc_id"""
     _bpe_fx = _bpe_oracle_fixtures()
     if _bpe_fx:
         out["bpe_merges"] = f"""

@@ -124,3 +124,40 @@ def test_domain_stats(spark):
     assert got["h1"]["n_langs"] == 2
     assert abs(got["h1"]["mean_chars"] - round(23 / 3.0, 4)) < 1e-9
     assert got["h2"]["n_docs"] == 1 and got["h2"]["n_unique"] == 1
+
+
+def test_strip_boilerplate_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique alpha\nFOOTER"),
+            (2, "COOKIE BANNER\nunique beta\nFOOTER"),
+            (3, "COOKIE BANNER\nunique gamma"),
+            (4, "all original\nnothing shared"),
+            (5, "COOKIE BANNER"),  # fully boilerplate -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in textops.strip_boilerplate_lines(docs, min_df=2).collect()
+    }
+    assert out[1] == ("unique alpha", 2)
+    assert out[2] == ("unique beta", 2)
+    assert out[3] == ("unique gamma", 1)
+    assert out[4] == ("all original\nnothing shared", 0)
+    assert out[5] == ("", 1)
+
+
+def test_strip_boilerplate_within_doc_repeat_kept(spark):
+    # a line repeated INSIDE one doc but in no other doc is not
+    # boilerplate (df counts distinct docs), and line ORDER survives
+    docs = spark.createDataFrame(
+        [(1, "x\ny\nx\nz"), (2, "z\nother")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in textops.strip_boilerplate_lines(docs, min_df=2).collect()
+    }
+    assert out[1] == "x\ny\nx"
+    assert out[2] == "other"

@@ -1042,3 +1042,52 @@ def mmr_diversify(
     return spark.createDataFrame(
         rows, "rank int, doc_id long, mmr double"
     ).select(F.col("rank").cast("long").alias("rank"), "doc_id", "mmr")
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame, min_df: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Boilerplate line removal (the CCNet / RefinedWeb curation step
+    the per-doc quality filters can't do): any LINE that appears in
+    >= ``min_df`` distinct documents — nav menus, cookie banners,
+    "subscribe" footers — is stripped from every document, and the
+    text is reconstructed from the surviving lines in order.
+
+    Scale shape: lines posexplode once; the df aggregate and the
+    membership anti-join key on ``md5(line)`` so the corpus-sized
+    shuffle moves 32-byte keys, never the line strings; the
+    boilerplate relation is df-filtered tiny (vocabulary of repeated
+    lines), so AQE broadcasts the anti-join; reconstruction is one
+    hash-agg per doc (array_sort by position — no window, no second
+    sort).  Exact integer/string law end to end, so the DuckDB twin
+    mirrors it verbatim.
+
+    Returns (doc_id, clean_text, n_removed); a fully-boilerplate doc
+    reports clean_text = ''.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lkey", F.md5(F.encode(F.col("line"), "UTF-8")))
+    bp = (
+        lines.groupBy("lkey")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= int(min_df))
+        .select("lkey")
+    )
+    kept = lines.join(bp, "lkey", "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("ls"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    total = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return total.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(
+            F.concat_ws("\n", F.expr("transform(ls, x -> x.line)")),
+            F.lit(""),
+        ).alias("clean_text"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
