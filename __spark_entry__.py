@@ -2398,6 +2398,54 @@ def _q_strip_boilerplate(spark, sf):
     return textops.strip_boilerplate_lines(synth, min_df=3)
 
 
+def _q_url_canonical(spark, sf):
+    """Canonical-URL dedup (crawl.canonical_dedup) over deterministic
+    messy variants: four decorations of the same base url per (doc_id
+    % 7, doc_id % 11) — uppercase authority, default :80 port,
+    fragment, tracking params (utm_*, gclid), shuffled param order —
+    all of which must fold into one canonical group.  Exact string
+    law in the Java-regex ∩ RE2 subset, mirrored in the oracle."""
+    from tse_spark.operators import crawl
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    h = (F.col("doc_id") % 7).cast("string")
+    p = (F.col("doc_id") % 11).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("http://site"), h, F.lit(".example.com/p/"), p,
+                F.lit("?b=2&a=1"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTP://SITE"), h, F.lit(".EXAMPLE.COM:80/p/"), p,
+                F.lit("?a=1&b=2&utm_source=news"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("http://site"), h, F.lit(".example.com/p/"), p,
+                F.lit("?a=1&utm_campaign=x&b=2#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://site"), h, F.lit(".example.com:80/p/"), p,
+                F.lit("?gclid=xyz&b=2&a=1"),
+            )
+        )
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return crawl.canonical_dedup(urls).select(
+        "doc_id", "url", "canon_url", "group_size", "keep"
+    )
+
+
 def _q_dedup_components(spark, sf):
     """Near-dup clusters: the exact-cosine pairs (cosine_neardup query)
     closed into connected components via min-label propagation —
@@ -3068,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _q_hits,
         "click_distance": _q_click_distance,
         "strip_boilerplate": _q_strip_boilerplate,
+        "url_canonical": _q_url_canonical,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
@@ -5618,6 +5667,55 @@ def oracle_sql() -> dict[str, str]:
            coalesce(rec.clean_text, '') AS clean_text,
            (tot.n_lines - coalesce(rec.n_kept, 0))::BIGINT AS n_removed
     FROM tot LEFT JOIN rec ON tot.doc_id = rec.doc_id"""
+    # canonical-URL dedup: variant synthesis + the canon law
+    # (fragment drop, authority lowercase, :80 strip, tracking-param
+    # filter, param sort) mirrored step for step
+    out["url_canonical"] = """
+    WITH s AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'http://site' || (doc_id % 7)::VARCHAR
+                 || '.example.com/p/' || (doc_id % 11)::VARCHAR
+                 || '?b=2&a=1'
+               WHEN 1 THEN 'HTTP://SITE' || (doc_id % 7)::VARCHAR
+                 || '.EXAMPLE.COM:80/p/' || (doc_id % 11)::VARCHAR
+                 || '?a=1&b=2&utm_source=news'
+               WHEN 2 THEN 'http://site' || (doc_id % 7)::VARCHAR
+                 || '.example.com/p/' || (doc_id % 11)::VARCHAR
+                 || '?a=1&utm_campaign=x&b=2#frag'
+               ELSE 'http://site' || (doc_id % 7)::VARCHAR
+                 || '.example.com:80/p/' || (doc_id % 11)::VARCHAR
+                 || '?gclid=xyz&b=2&a=1'
+             END AS url
+      FROM documents),
+    c1 AS (SELECT doc_id, url,
+                  regexp_replace(url, '#.*$', '') AS u FROM s),
+    c2 AS (SELECT *, regexp_extract(u, '^([^/]*//[^/]*)', 1) AS pre
+           FROM c1),
+    c3 AS (SELECT *, substr(u, length(pre) + 1) AS rest FROM c2),
+    c4 AS (SELECT *,
+                  regexp_replace(lower(pre), ':80$', '')
+                    || regexp_replace(rest, '\\?.*$', '') AS base,
+                  regexp_extract(rest, '\\?(.*)$', 1) AS qs
+           FROM c3),
+    c5 AS (SELECT *,
+                  list_sort(list_filter(string_split(qs, '&'),
+                    p -> p <> '' AND NOT (
+                      substr(p, 1, 4) IN ('utm_', 'ref=')
+                      OR substr(p, 1, 7) = 'fbclid='
+                      OR substr(p, 1, 6) = 'gclid='))) AS ps
+           FROM c4),
+    c6 AS (SELECT doc_id, url,
+                  CASE WHEN len(ps) > 0
+                       THEN base || '?' || array_to_string(ps, '&')
+                       ELSE base END AS canon_url
+           FROM c5),
+    g AS (SELECT canon_url, count(*)::BIGINT AS group_size,
+                 min(url) AS rep
+          FROM c6 GROUP BY canon_url)
+    SELECT c6.doc_id, c6.url, c6.canon_url, g.group_size,
+           (c6.url = g.rep)::BIGINT AS keep
+    FROM c6 JOIN g USING (canon_url)"""
     _bpe_fx = _bpe_oracle_fixtures()
     if _bpe_fx:
         out["bpe_merges"] = f"""

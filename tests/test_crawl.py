@@ -200,3 +200,47 @@ def test_anchor_text_agg(spark):
         ("http://t/", "home"): 2,
         ("http://t/", "start"): 1,
     }
+
+
+def test_canonical_url_law(spark):
+    from tse_spark.operators import crawl
+
+    rows = [
+        (1, "HTTP://WWW.Ex.COM:80/A/b?utm_source=x&b=2&a=1#frag"),
+        (2, "http://www.ex.com/A/b?a=1&b=2"),
+        (3, "http://www.ex.com/A/b?b=2&a=1&gclid=zz&ref=home"),
+        (4, "http://www.ex.com/other"),
+        (5, "http://www.ex.com:8080/A/b?a=1&b=2"),  # non-default port kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["doc_id"]: (r["canon_url"], r["group_size"], r["keep"])
+        for r in crawl.canonical_dedup(df).collect()
+    }
+    canon = "http://www.ex.com/A/b?a=1&b=2"
+    assert out[1][0] == canon and out[2][0] == canon
+    assert out[3][0] == canon
+    assert out[1][1] == 3 and out[2][1] == 3 and out[3][1] == 3
+    # path case preserved; only the authority folds
+    assert "/A/b" in out[1][0]
+    # survivor = lexicographically smallest raw url (doc 1's uppercase
+    # scheme sorts before 'http://...')
+    assert out[1][2] == 1 and out[2][2] == 0 and out[3][2] == 0
+    assert out[4] == ("http://www.ex.com/other", 1, 1)
+    assert out[5][0] == "http://www.ex.com:8080/A/b?a=1&b=2"
+    assert out[5][1] == 1
+
+
+def test_canonical_url_no_query_and_all_tracking(spark):
+    from tse_spark.operators import crawl
+
+    df = spark.createDataFrame(
+        [(1, "http://ex.com/p?utm_a=1&utm_b=2"), (2, "http://ex.com/p")],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: r["canon_url"]
+        for r in crawl.with_canonical_url(df).collect()
+    }
+    # a query that is ALL tracking params canonicalizes to no '?'
+    assert out[1] == "http://ex.com/p" and out[2] == "http://ex.com/p"

@@ -470,3 +470,73 @@ def gzip_compress_udf(mtime: int = 0):
         )
 
     return gz
+
+
+def with_canonical_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "canon_url"
+) -> DataFrame:
+    """Canonical-URL law — the web-pipeline URL reconciliation the
+    reference's C2 normalization stops short of: drop the fragment,
+    lowercase scheme://host, strip the default :80 port, drop
+    tracking query params (utm_*, ref, fbclid, gclid), and sort the
+    surviving params so param order can't split a group.  Pure
+    codegen string expressions (regexp + array ops on the one row),
+    zero shuffles; every step is in the Java-regex ∩ RE2 subset so
+    the DuckDB twin applies the identical law."""
+    d = (
+        df.withColumn(
+            "__u", F.regexp_replace(F.col(url_col), "#.*$", "")
+        )
+        .withColumn(
+            "__pre", F.regexp_extract("__u", "^([^/]*//[^/]*)", 1)
+        )
+        .withColumn("__rest", F.expr("substring(__u, length(__pre) + 1)"))
+        .withColumn(
+            "__base",
+            F.concat(
+                F.regexp_replace(F.lower("__pre"), ":80$", ""),
+                F.regexp_replace("__rest", r"\?.*$", ""),
+            ),
+        )
+        .withColumn("__qs", F.regexp_extract("__rest", r"\?(.*)$", 1))
+        .withColumn(
+            "__ps",
+            F.expr(
+                "array_sort(filter(split(__qs, '&'), p -> p <> '' "
+                "AND NOT (substr(p, 1, 4) IN ('utm_', 'ref=') "
+                "OR substr(p, 1, 7) = 'fbclid=' "
+                "OR substr(p, 1, 6) = 'gclid=')))"
+            ),
+        )
+    )
+    return d.withColumn(
+        out_col,
+        F.when(
+            F.size("__ps") > 0,
+            F.concat(
+                F.col("__base"), F.lit("?"), F.concat_ws("&", "__ps")
+            ),
+        ).otherwise(F.col("__base")),
+    ).drop("__u", "__pre", "__rest", "__base", "__qs", "__ps")
+
+
+def canonical_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonical-URL dedup groups: every row gains its canon_url, the
+    group's row count, and keep = 1 on the group's lexicographically
+    smallest raw url (the survivor a crawl store would retain).  One
+    hash-agg shuffle on the canonical key + one equi-join back; the
+    group relation is at most one row per distinct canonical url, so
+    AQE broadcasts it when the dup rate is high."""
+    d = with_canonical_url(df, url_col)
+    g = d.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min(url_col).alias("__rep"),
+    )
+    return (
+        d.join(g, "canon_url")
+        .withColumn(
+            "keep",
+            (F.col(url_col) == F.col("__rep")).cast("long"),
+        )
+        .drop("__rep")
+    )
