@@ -2398,6 +2398,32 @@ def _q_strip_boilerplate(spark, sf):
     return textops.strip_boilerplate_lines(synth, min_df=3)
 
 
+def _q_trustrank(spark, sf):
+    """TrustRank (linkrank.trustrank, 3 iterations, damping 0.85,
+    trusted seeds doc_id % 31 == 0) over the same synthetic link
+    graph as pagerank — teleport AND dangling mass land only on the
+    seeds, so link spam unreachable from the seed set scores exactly
+    0.  The oracle is the same unrolled iteration with the seeded
+    teleport vector."""
+    from tse_spark.operators import linkrank
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n_df = docs.agg(F.count(F.lit(1)).alias("__n"))
+    base = docs.crossJoin(n_df)
+    i, n = F.col("doc_id"), F.col("__n")
+    e1 = base.select(i.alias("src"), ((i * 2 + 1) % n).alias("dst"))
+    e2 = base.select(i.alias("src"), ((i * 5 + 3) % n).alias("dst"))
+    e3 = base.filter(i % 3 == 0).select(
+        i.alias("src"), ((i * 11 + 7) % n).alias("dst")
+    )
+    edges = e1.union(e2).union(e3).filter(F.col("src") % 11 != 0)
+    seeds = docs.filter(F.col("doc_id") % 31 == 0)
+    ranks = linkrank.trustrank(
+        docs, edges, seeds, n_iter=3, damping=0.85, id_col="doc_id"
+    )
+    return ranks.select("doc_id", F.round("rank", 6).alias("trust"))
+
+
 def _q_url_canonical(spark, sf):
     """Canonical-URL dedup (crawl.canonical_dedup) over deterministic
     messy variants: four decorations of the same base url per (doc_id
@@ -3117,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_distance": _q_click_distance,
         "strip_boilerplate": _q_strip_boilerplate,
         "url_canonical": _q_url_canonical,
+        "trustrank": _q_trustrank,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
@@ -3646,6 +3673,57 @@ def _click_distance_oracle_sql(n_iter: int = 4) -> str:
     SELECT id AS doc_id,
            (CASE WHEN d >= {inf} THEN -1 ELSE d END)::BIGINT AS dist
     FROM d{n_iter}"""
+    )
+
+
+def _trustrank_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled TrustRank — the pagerank oracle's graph law with the
+    teleport vector restricted to the seed set (doc_id % 31 == 0):
+    reset AND dangling mass scale by t(v) instead of 1/n."""
+    head = """
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    e0 AS (
+      SELECT doc_id AS src, (doc_id * 2 + 1) % nn.n AS dst
+      FROM documents, nn
+      UNION
+      SELECT doc_id, (doc_id * 5 + 3) % nn.n FROM documents, nn
+      UNION
+      SELECT doc_id, (doc_id * 11 + 7) % nn.n FROM documents, nn
+      WHERE doc_id % 3 = 0),
+    e AS (SELECT src, dst FROM e0 WHERE src % 11 <> 0),
+    deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+    v AS (SELECT doc_id AS id FROM documents),
+    ns AS (SELECT count(*)::DOUBLE AS ns FROM documents
+           WHERE doc_id % 31 = 0),
+    tl AS (SELECT v.id,
+                  CASE WHEN v.id % 31 = 0 THEN 1.0 / ns.ns
+                       ELSE 0.0 END AS t
+           FROM v CROSS JOIN ns),
+    r0 AS (SELECT id, t AS r FROM tl)"""
+    its = []
+    for k in range(1, n_iter + 1):
+        j = k - 1
+        its.append(
+            f""",
+    c{k} AS (
+      SELECT e.dst AS id, sum(r{j}.r / deg.deg) AS c
+      FROM e JOIN r{j} ON e.src = r{j}.id JOIN deg ON e.src = deg.src
+      GROUP BY e.dst),
+    d{k} AS (
+      SELECT coalesce(sum(r), 0.0) AS dm FROM r{j}
+      WHERE id NOT IN (SELECT src FROM deg)),
+    r{k} AS (
+      SELECT tl.id,
+             0.15 * tl.t
+               + 0.85 * (coalesce(c{k}.c, 0.0) + d{k}.dm * tl.t) AS r
+      FROM tl CROSS JOIN d{k}
+      LEFT JOIN c{k} ON tl.id = c{k}.id)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"""
+    SELECT id AS doc_id, round(r, 6) AS trust FROM r{n_iter}"""
     )
 
 
@@ -5626,6 +5704,7 @@ def oracle_sql() -> dict[str, str]:
     out["incr_neardup"], out["incr_novel"] = _incr_oracle_sqls()
     out["hits_scores"] = _hits_oracle_sql()
     out["click_distance"] = _click_distance_oracle_sql()
+    out["trustrank"] = _trustrank_oracle_sql()
     # boilerplate strip: synthesis (12-token lines + injected
     # header/footer) and the df>=3 line-strip law mirrored verbatim
     out["strip_boilerplate"] = f"""

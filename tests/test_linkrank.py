@@ -233,3 +233,52 @@ def test_click_distance_round_bound(spark):
         ).collect()
     }
     assert got == {0: 0, 1: 1, 2: 2, 3: -1, 4: -1, 5: -1}
+
+
+def ref_trustrank(verts, edges, seeds, n_iter, d=0.85):
+    """Reference iteration: teleport restricted to seeds, dangling
+    mass to seeds, same dedup/out-of-set edge handling."""
+    vs = sorted(set(verts))
+    idx = {v: i for i, v in enumerate(vs)}
+    es = {(s, t) for s, t in edges if s in idx and t in idx}
+    deg: dict = {}
+    for s, _ in es:
+        deg[s] = deg.get(s, 0) + 1
+    sset = [v for v in vs if v in set(seeds)]
+    t = np.zeros(len(vs))
+    for v in sset:
+        t[idx[v]] = 1.0 / len(sset)
+    r = t.copy()
+    for _ in range(n_iter):
+        dm = sum(r[idx[v]] for v in vs if v not in deg)
+        nr = (1.0 - d) * t + d * dm * t
+        for s, tt in es:
+            nr[idx[tt]] += d * r[idx[s]] / deg[s]
+        r = nr
+    return {v: r[idx[v]] for v in vs}
+
+
+def test_trustrank_matches_reference_and_demotes_spam(spark):
+    # seeds {0}; 0 -> 1 -> 2; spam cluster {8, 9} links only to itself
+    verts = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    edge_list = [(0, 1), (1, 2), (2, 0), (8, 9), (9, 8), (3, 8)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["id"]: r["rank"]
+        for r in linkrank.trustrank(
+            verts, edges, seeds, n_iter=4
+        ).collect()
+    }
+    want = ref_trustrank(range(10), edge_list, [0], n_iter=4)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
+    # mass conservation
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # pages unreachable from the seed score exactly 0 — including the
+    # spam cluster (3 -> 8 exists but 3 itself is unreachable)
+    for v in (3, 4, 5, 6, 7, 8, 9):
+        assert got[v] == 0.0
+    # every page reachable from the seed carries positive trust
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0

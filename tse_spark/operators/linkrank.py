@@ -479,3 +479,91 @@ def click_distance(
         .cast("long")
         .alias("dist"),
     )
+
+
+def trustrank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina, Pedersen 2004): PageRank
+    with the teleport vector restricted to a trusted seed set — the
+    classic link-spam demotion.  Both the (1-d) reset AND the
+    dangling-mass redistribution land on the seeds (uniformly), so
+    trust only flows ALONG links out of the seed set and a page
+    unreachable from every seed scores exactly 0:
+
+        r'(v) = (1-d)*t(v) + d*(sum_{u->v} r(u)/deg(u) + dangling*t(v))
+        t(v)  = 1/|S| if v in S else 0,   r0 = t
+
+    sum(rank) == 1 stays an invariant.  Same edge-partitioned
+    topology and declarative 1-row scalar subplans as
+    :func:`pagerank` (the teleport column is a corpus-partitioned
+    join computed once, never a broadcast of O(V)); the float64 law
+    unrolls exactly in the SQL oracle."""
+    verts = vertices.select(F.col(id_col).alias("id")).distinct()
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    e = (
+        e.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .persist()
+    )
+    sd = (
+        seeds.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(verts, "id", "left_semi")
+    )
+    ns_df = sd.agg(F.count(F.lit(1)).cast("double").alias("__ns"))
+    tele = (
+        verts.join(sd.withColumn("__s", F.lit(1)), "id", "left")
+        .crossJoin(ns_df)
+        .select(
+            "id",
+            F.when(
+                F.col("__s").isNotNull(), F.lit(1.0) / F.col("__ns")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("__t"),
+        )
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = tele.select("id", F.col("__t").alias("rank"))
+    for i in range(n_iter):
+        contrib = (
+            e.join(ranks, e.src == ranks.id)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__c"))
+        )
+        dangling = ranks.join(
+            deg, ranks.id == deg.src, "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        ranks = (
+            tele.crossJoin(dangling)
+            .join(contrib, tele.id == contrib.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.col("__t")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__c"), F.lit(0.0))
+                        + F.col("__dm") * F.col("__t")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
+            i + 1
+        ) < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.withColumnRenamed("id", id_col)
