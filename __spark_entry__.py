@@ -2424,6 +2424,36 @@ def _q_trustrank(spark, sf):
     return ranks.select("doc_id", F.round("rank", 6).alias("trust"))
 
 
+def _q_crawl_schedule(spark, sf):
+    """Crawl-wave scheduling (crawl.crawl_schedule): the frontier
+    decision composed from three verified operators — click distance
+    (seeds % 23, 4 rounds) gates reachability and orders first,
+    PageRank (3 iterations, rounded once to 6dp so the cut is
+    engine-reproducible) breaks ties, one url per host per wave
+    (politeness), global top-50.  Oracle: the pagerank and
+    click-distance unrolled CTEs share the graph law, then the same
+    window + cut in SQL."""
+    from tse_spark.operators import crawl
+
+    dist = _q_click_distance(spark, sf)
+    ranks = _q_pagerank(spark, sf)
+    d = _t(spark, sf, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    dom = (
+        F.when(doc % 4 == 0, ".example.cn")
+        .when(doc % 4 == 1, ".example.com")
+        .when(doc % 4 == 2, ".example.de")
+        .otherwise(".example.org")
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (doc % 97).cast("string"), dom
+        ).alias("host"),
+    )
+    return crawl.crawl_schedule(urls, dist, ranks, per_host=1, k=50)
+
+
 def _q_url_canonical(spark, sf):
     """Canonical-URL dedup (crawl.canonical_dedup) over deterministic
     messy variants: four decorations of the same base url per (doc_id
@@ -3144,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": _q_strip_boilerplate,
         "url_canonical": _q_url_canonical,
         "trustrank": _q_trustrank,
+        "crawl_schedule": _q_crawl_schedule,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
@@ -5705,6 +5736,46 @@ def oracle_sql() -> dict[str, str]:
     out["hits_scores"] = _hits_oracle_sql()
     out["click_distance"] = _click_distance_oracle_sql()
     out["trustrank"] = _trustrank_oracle_sql()
+    # crawl scheduling: pagerank + click-distance unrolled CTEs share
+    # one graph law (cd*/cnd* names keep the click recursion clear of
+    # the pagerank CTEs), then the politeness window + ordered cut
+    _inf = 1 << 30
+    _cd = ""
+    for _k in range(1, 5):
+        _j = _k - 1
+        _cd += f""",
+    cnd{_k} AS (
+      SELECT e.dst AS id, min(cd{_j}.d) + 1 AS nd
+      FROM e JOIN cd{_j} ON e.src = cd{_j}.id GROUP BY e.dst),
+    cd{_k} AS (
+      SELECT cd{_j}.id,
+             least(cd{_j}.d, coalesce(cnd{_k}.nd, {_inf})) AS d
+      FROM cd{_j} LEFT JOIN cnd{_k} ON cd{_j}.id = cnd{_k}.id)"""
+    out["crawl_schedule"] = f"""
+    WITH {_pagerank_oracle_sql(as_cte=True).lstrip()},
+    cd0 AS (
+      SELECT id, CASE WHEN id % 23 = 0 THEN 0
+                      ELSE {_inf} END::BIGINT AS d
+      FROM v){_cd},
+    u AS (
+      SELECT doc_id,
+             'site' || (doc_id % 97)::VARCHAR
+             || CASE doc_id % 4 WHEN 0 THEN '.example.cn'
+                                WHEN 1 THEN '.example.com'
+                                WHEN 2 THEN '.example.de'
+                                ELSE '.example.org' END AS host
+      FROM documents),
+    jj AS (
+      SELECT u.doc_id, u.host, cd4.d AS dist, round(r3.r, 6) AS rank
+      FROM u JOIN cd4 ON u.doc_id = cd4.id JOIN r3 ON u.doc_id = r3.id
+      WHERE cd4.d < {_inf}),
+    s AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY host ORDER BY dist, rank DESC, doc_id) AS slot
+      FROM jj)
+    SELECT doc_id, host, dist, rank, slot FROM s
+    WHERE slot <= 1
+    ORDER BY dist, rank DESC, doc_id LIMIT 50"""
     # boilerplate strip: synthesis (12-token lines + injected
     # header/footer) and the df>=3 line-strip law mirrored verbatim
     out["strip_boilerplate"] = f"""

@@ -244,3 +244,30 @@ def test_canonical_url_no_query_and_all_tracking(spark):
     }
     # a query that is ALL tracking params canonicalizes to no '?'
     assert out[1] == "http://ex.com/p" and out[2] == "http://ex.com/p"
+
+
+def test_crawl_schedule_politeness_and_order(spark):
+    from tse_spark.operators import crawl
+
+    urls = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")],
+        "doc_id long, host string",
+    )
+    dist = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 2), (4, -1), (5, 1)],
+        "doc_id long, dist long",
+    )
+    ranks = spark.createDataFrame(
+        [(1, 0.5), (2, 0.1), (3, 0.9), (4, 0.9), (5, 0.5)],
+        "doc_id long, rank double",
+    )
+    out = [
+        (r["doc_id"], r["slot"])
+        for r in crawl.crawl_schedule(
+            urls, dist, ranks, per_host=1, k=10
+        ).collect()
+    ]
+    # doc 4 dropped (unreachable); host a admits only doc 2 this wave
+    # (dist 0 outranks doc 1's dist 1 despite the lower pagerank);
+    # global order = dist asc, rank desc, doc_id
+    assert out == [(2, 1), (5, 1), (3, 1)]

@@ -540,3 +540,42 @@ def canonical_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
         )
         .drop("__rep")
     )
+
+
+def crawl_schedule(
+    urls: DataFrame,
+    dist: DataFrame,
+    ranks: DataFrame,
+    per_host: int = 1,
+    k: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frontier prioritization — the scheduling decision C12's
+    host-keyed multimap made implicitly, composed from the two
+    query-independent link signals: fetch reachable pages (click
+    distance != -1) in (dist asc, rank desc, id) order, at most
+    ``per_host`` urls per host this wave (politeness), global top-k.
+
+    ``urls``: (id, host); ``dist``: (id, dist) from
+    :func:`click_distance`; ``ranks``: (id, rank) from
+    :func:`pagerank` / :func:`trustrank` — pass ranks PRE-ROUNDED if
+    an external twin must reproduce the cut (round-then-order law).
+    Two broadcast-sized equi-joins on id, one window per host, one
+    TakeOrderedAndProject — the frontier never shuffles more than
+    once."""
+    from pyspark.sql import Window
+
+    j = (
+        urls.join(dist, id_col)
+        .join(ranks, id_col)
+        .filter(F.col("dist") >= 0)
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.asc("dist"), F.desc("rank"), F.asc(id_col)
+    )
+    return (
+        j.withColumn("slot", F.row_number().over(w))
+        .filter(F.col("slot") <= int(per_host))
+        .orderBy(F.asc("dist"), F.desc("rank"), F.asc(id_col))
+        .limit(int(k))
+    )
