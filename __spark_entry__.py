@@ -2454,6 +2454,30 @@ def _q_crawl_schedule(spark, sf):
     return crawl.crawl_schedule(urls, dist, ranks, per_host=1, k=50)
 
 
+def _q_bloom_seen(spark, sf):
+    """URL-seen bloom filter (sketches.bloom_build/bloom_contains,
+    m=4096 bits, k=4): even doc_ids' urls are inserted, every url is
+    probed — one-sided membership (inserted urls always answer 1;
+    novel urls answer 1 only on a hash collision, and the oracle
+    rebuilds the identical words so even false positives match).
+    The `seen` ground-truth column makes the fp rate auditable in
+    the result itself."""
+    from tse_spark.operators import sketches as sk
+
+    urls = _synth_urls(spark, sf)
+    seen = urls.filter(F.col("doc_id") % 2 == 0).select("url")
+    bloom = sk.bloom_build(seen, m_bits=4096, k_hashes=4)
+    out = sk.bloom_contains(
+        urls.select("doc_id", "url"), bloom, m_bits=4096, k_hashes=4
+    )
+    return out.select(
+        "doc_id",
+        "url",
+        "in_bloom",
+        (F.col("doc_id") % 2 == 0).cast("long").alias("seen"),
+    )
+
+
 def _q_url_canonical(spark, sf):
     """Canonical-URL dedup (crawl.canonical_dedup) over deterministic
     messy variants: four decorations of the same base url per (doc_id
@@ -3175,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "trustrank": _q_trustrank,
         "crawl_schedule": _q_crawl_schedule,
+        "bloom_seen": _q_bloom_seen,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
@@ -5776,6 +5801,37 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, host, dist, rank, slot FROM s
     WHERE slot <= 1
     ORDER BY dist, rank DESC, doc_id LIMIT 50"""
+    # bloom filter: identical hash law (md5('bloom{i}:'||url) 60-bit
+    # prefix mod m), 32-bit words via bit_or, all-k-bits membership
+    out["bloom_seen"] = (
+        _SYNTH_URLS_SQL.rstrip()
+        + """,
+    pe AS (SELECT url, unnest([0, 1, 2, 3]) AS i FROM synth
+           WHERE doc_id % 2 = 0),
+    pos AS (
+      SELECT ('0x' || substr(md5('bloom' || i::VARCHAR || ':' || url),
+                             1, 15))::BIGINT % 4096 AS p
+      FROM pe),
+    words AS (
+      SELECT p // 32 AS word_idx,
+             bit_or((1::BIGINT << (p % 32))::BIGINT) AS bits
+      FROM pos GROUP BY 1),
+    qe AS (SELECT doc_id, url, unnest([0, 1, 2, 3]) AS i FROM synth),
+    qp AS (
+      SELECT doc_id, url,
+             ('0x' || substr(md5('bloom' || i::VARCHAR || ':' || url),
+                             1, 15))::BIGINT % 4096 AS p
+      FROM qe),
+    hit AS (
+      SELECT qp.doc_id, qp.url,
+             (sum(CASE WHEN (coalesce(w.bits, 0)
+                             & (1::BIGINT << (qp.p % 32))) <> 0
+                       THEN 1 ELSE 0 END) = 4)::BIGINT AS in_bloom
+      FROM qp LEFT JOIN words w ON qp.p // 32 = w.word_idx
+      GROUP BY qp.doc_id, qp.url)
+    SELECT doc_id, url, in_bloom, (doc_id % 2 = 0)::BIGINT AS seen
+    FROM hit"""
+    )
     # boilerplate strip: synthesis (12-token lines + injected
     # header/footer) and the df>=3 line-strip law mirrored verbatim
     out["strip_boilerplate"] = f"""

@@ -162,3 +162,48 @@ def test_cms_sketch_mass_conservation(spark, docs):
     )
     assert len(per_row) == 4
     assert all(r.mass == total for r in per_row)
+
+
+def test_bloom_no_false_negatives_and_bounded(spark):
+    from tse_spark.operators import sketches as sk
+
+    seen = spark.createDataFrame(
+        [(f"http://ex.com/{i}",) for i in range(200)], "url string"
+    )
+    bloom = sk.bloom_build(seen, m_bits=4096, k_hashes=4)
+    rows = bloom.collect()
+    # bounded: at most m/32 words, every mask a positive 32-bit value
+    assert len(rows) <= 4096 // 32
+    assert all(0 < r["bits"] < (1 << 32) for r in rows)
+    probes = spark.createDataFrame(
+        [(f"http://ex.com/{i}",) for i in range(250)], "url string"
+    )
+    out = {
+        r["url"]: r["in_bloom"]
+        for r in sk.bloom_contains(
+            probes, bloom, m_bits=4096, k_hashes=4
+        ).collect()
+    }
+    # one-sided: every inserted key answers present
+    for i in range(200):
+        assert out[f"http://ex.com/{i}"] == 1
+    # the 50 novel keys are mostly absent (fp rate ~(800/4096)^4)
+    novel_hits = sum(out[f"http://ex.com/{i}"] for i in range(200, 250))
+    assert novel_hits <= 3
+
+
+def test_bloom_merge_is_bitwise_or(spark):
+    from pyspark.sql import functions as F
+    from tse_spark.operators import sketches as sk
+
+    a = spark.createDataFrame([("a1",), ("a2",)], "url string")
+    b = spark.createDataFrame([("b1",), ("b2",)], "url string")
+    merged = (
+        sk.bloom_build(a).unionAll(sk.bloom_build(b))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = sk.bloom_build(a.unionAll(b))
+    got = {(r["word_idx"], r["bits"]) for r in merged.collect()}
+    want = {(r["word_idx"], r["bits"]) for r in direct.collect()}
+    assert got == want

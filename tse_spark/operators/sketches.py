@@ -227,3 +227,101 @@ def cms_estimates(
     ).select("term", "e.row_j", "e.bucket")
     j = sketch.join(F.broadcast(probes), ["row_j", "bucket"])
     return j.groupBy("term").agg(F.min("n").alias("est_n"))
+
+
+def _bloom_pos(key: Column, i: int, m_bits: int) -> Column:
+    """Hash i's bit position: portable md5 of 'bloom{i}:key' mod m —
+    DuckDB twin ``('0x' || substr(md5('bloom{i}:' || key), 1, 15))
+    ::BIGINT % m``."""
+    return hash60(F.concat(F.lit(f"bloom{i}:"), key)) % F.lit(
+        int(m_bits)
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str = "url",
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom filter over a key column — the bounded-space URL-seen
+    membership structure that replaces the crawl frontier's
+    anti-join against the full visited table at 10^12-url scale
+    (the reference held setVisitedUrlMD5 in RAM, Crawl.cpp:14-17;
+    a bloom is its constant-memory heir).
+
+    The filter is (word_idx, bits) rows — m_bits/32 of them — built
+    by ONE hash-agg: per key, k portable-md5 bit positions explode
+    map-side, bit_or folds masks into 32-bit words (partial
+    aggregation absorbs the fan-out, merge = bit_or, the mergeable-
+    sketch topology CMS uses).  32-bit words keep every mask an
+    exactly-representable positive BIGINT in both engines (bit 63
+    sign wrap never arises).  Deterministic by construction, so the
+    DuckDB oracle rebuilds the identical words."""
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(
+            *[_bloom_pos(key, i, m_bits) for i in range(int(k_hashes))]
+        )
+    ).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 32 AS int))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_contains(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "url",
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Membership probe: a key is (probably) present iff ALL k of its
+    bit positions are set.  Probe positions explode, the tiny word
+    table joins in broadcast (m_bits/32 rows regardless of corpus
+    size), and the verdict is one hash-agg counting satisfied
+    positions — one-sided by construction (false positives possible,
+    false negatives never; both engines agree exactly because the
+    hash law is shared).  Returns the probe rows + ``in_bloom``
+    (0/1)."""
+    key = F.col(key_col)
+    pos = probes.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos(key, i, m_bits)
+                    for i in range(int(k_hashes))
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        key_col,
+        (F.col("pos") / 32).cast("long").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(pos % 32 AS int))").alias("mask"),
+    )
+    hit = (
+        pos.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "ok",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+                    F.col("mask")
+                )
+                != 0
+            ).cast("int"),
+        )
+        .groupBy(key_col)
+        .agg(
+            (F.sum("ok") == F.lit(int(k_hashes)))
+            .cast("long")
+            .alias("in_bloom")
+        )
+    )
+    return probes.join(hit, key_col)
