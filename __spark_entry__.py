@@ -288,6 +288,31 @@ def _q_bm25_page2(spark, sf):
     )
 
 
+def _q_bm25_after(spark, sf):
+    """Keyset (search_after) pagination (textops.keyset_page): page 2
+    of the bm25_topk ranking served by CURSOR, not offset — the page-1
+    tail (score, doc_id) broadcasts into the scored set, the resume
+    predicate filters before the top-k, and the page is one
+    TakeOrderedAndProject of k rows at ANY depth (offset paging — Q9 /
+    bm25_page2 — materializes (page+1)*k).  Scores round to 4 decimals
+    BEFORE the cut so the cursor's equality leg is engine-portable;
+    ordering is (score desc, doc_id asc) throughout."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import textops as tx
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(
+        tf.filter(F.col("term").isin(list(set(BM25_QUERY))))
+    )
+    n, avgdl = ib.corpus_stats(doclen)
+    scored = ib.bm25_scores(
+        spark, tf, doclen, dfreq, n, avgdl, BM25_QUERY
+    ).select("doc_id", F.round("score", 4).alias("score"))
+    page1 = tx.keyset_page(scored, K)
+    return tx.keyset_page(scored, K, after=tx.page_tail(page1))
+
+
 def _q_postings_strings(spark, sf):
     tf = _tf_ws(spark, sf)
     return tf.groupBy("term").agg(
@@ -3076,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms": _q_bm25_synonyms,
         "wand_synonyms": _q_wand_synonyms,
         "bm25_page2": _q_bm25_page2,
+        "bm25_after": _q_bm25_after,
         "wand_topk": _q_wand_topk,
         "wand_conjunctive": _q_wand_conjunctive,
         "wand_sharedcache": _q_wand_sharedcache,
@@ -4370,6 +4396,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(sum(s), 4) AS score
         FROM perterm GROUP BY doc_id
         ORDER BY sum(s) DESC, doc_id LIMIT 10 OFFSET 10""",
+        # keyset pagination: rounded-score law, cursor = page-1 tail,
+        # resume predicate mirrors textops.keyset_page exactly
+        "bm25_after": _TOK
+        + bm25_3
+        + f"""
+        , scored AS (
+          SELECT doc_id, round(sum(s), 4) AS score
+          FROM perterm GROUP BY doc_id
+        ),
+        p1 AS (SELECT * FROM scored
+               ORDER BY score DESC, doc_id LIMIT {K}),
+        cur AS (SELECT score AS cs, doc_id AS cd FROM p1
+                ORDER BY score ASC, doc_id DESC LIMIT 1)
+        SELECT s.doc_id, s.score
+        FROM scored s, cur
+        WHERE s.score < cur.cs
+           OR (s.score = cur.cs AND s.doc_id > cur.cd)
+        ORDER BY s.score DESC, s.doc_id LIMIT {K}""",
         "bm25_boolean": bool_sql,
         "wand_boolean": bool_sql,
         "bm25_synonyms": syn_sql,

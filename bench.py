@@ -205,6 +205,16 @@ HEADLINE = [
     "cms_heavy_hitters",
     "quality_probe",
     "search_mmr",
+    # round-3 continuation, third session (tail-first rule as above;
+    # all synth-table crawl/link ops are cheap, bm25_after reuses the
+    # cached tf the earlier bm25 members built)
+    "bm25_after",
+    "bloom_seen",
+    "url_canonical",
+    "strip_boilerplate",
+    "click_distance",
+    "trustrank",
+    "crawl_schedule",
 ]
 
 RESULT: dict = {

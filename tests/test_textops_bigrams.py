@@ -162,3 +162,41 @@ def test_doc_keywords_tfidf_ranking(spark):
     assert got[(3, 1)] == ("table", s(3, 2))
     # every doc has exactly k rows
     assert len(got) == 6
+
+
+def test_keyset_page_partitions_ranking(spark):
+    """Keyset pages tile the ranking exactly like offset paging —
+    page1 + page2(after=page1 tail) == ordered top-2k, disjoint —
+    including resume INSIDE a score tie (several rows share score)."""
+    from pyspark.sql import functions as F
+
+    from tse_spark.operators import textops as tx
+
+    rows = [(i, float(s)) for i, s in enumerate([9, 7, 7, 7, 7, 5, 5, 3, 2, 1])]
+    scored = spark.createDataFrame(rows, "doc_id long, score double")
+    k = 3
+    p1 = tx.keyset_page(scored, k)
+    p2 = tx.keyset_page(scored, k, after=tx.page_tail(p1))
+    got1 = [(r.doc_id, r.score) for r in p1.collect()]
+    got2 = [(r.doc_id, r.score) for r in p2.collect()]
+    want = [
+        (r.doc_id, r.score)
+        for r in scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(2 * k)
+        .collect()
+    ]
+    assert got1 == want[:k]
+    assert got2 == want[k : 2 * k]
+    assert not set(d for d, _ in got1) & set(d for d, _ in got2)
+
+
+def test_keyset_page_deep_cursor_empty_past_end(spark):
+    """A cursor at the ranking's last row yields an empty page —
+    termination is data-driven, no offset arithmetic."""
+    from tse_spark.operators import textops as tx
+
+    scored = spark.createDataFrame(
+        [(1, 2.0), (2, 1.0)], "doc_id long, score double"
+    )
+    last = tx.page_tail(tx.keyset_page(scored, 2))
+    assert tx.keyset_page(scored, 2, after=last).count() == 0

@@ -1091,3 +1091,59 @@ def strip_boilerplate_lines(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def page_tail(
+    page: DataFrame, score_col: str = "score", id_col: str = "doc_id"
+) -> DataFrame:
+    """The keyset cursor a page hands to the client: its LAST row under
+    the serving order (score desc, id asc), as a one-row
+    (score_col, id_col) DataFrame for :func:`keyset_page`."""
+    return (
+        page.orderBy(F.asc(score_col), F.desc(id_col))
+        .limit(1)
+        .select(score_col, id_col)
+    )
+
+
+def keyset_page(
+    scored: DataFrame,
+    k: int,
+    after: DataFrame | None = None,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyset (cursor / search_after) pagination — the deep-paging form
+    that stays O(k) at any page depth, vs the reference's offset
+    re-rank (TSESearch re-scores and slices per page,
+    tse/TSESearch.cpp:186-214) and our own `bm25_page2` offset path,
+    both of which materialize (page+1)*k rows.
+
+    ``after`` is the previous page's last row ((score, id), one row —
+    :func:`page_tail`); pages order by (score desc, id asc) and the
+    cursor predicate ``score < cs OR (score = cs AND id > cd)`` resumes
+    exactly after it.  Page 1 is ``after=None``.
+
+    Scale shape: the cursor broadcasts (one row) into the scored scan,
+    the predicate filters BEFORE the top-k, and the page is a single
+    TakeOrderedAndProject of k rows — page 1000 costs the same as
+    page 1, while offset paging degrades linearly and (on a sharded
+    serving tier) forces every shard to return offset+k rows.  The
+    equality leg of the predicate is exact because serving scores are
+    rounded to 4 decimals first (the engine-portable score law every
+    bm25 query here already hash-matches on)."""
+    s, d = F.col(score_col), F.col(id_col)
+    base = scored
+    if after is not None:
+        cur = after.select(
+            F.col(score_col).alias("__cs"), F.col(id_col).alias("__cd")
+        )
+        base = (
+            scored.join(F.broadcast(cur))
+            .filter(
+                (s < F.col("__cs"))
+                | ((s == F.col("__cs")) & (d > F.col("__cd")))
+            )
+            .drop("__cs", "__cd")
+        )
+    return base.orderBy(s.desc(), d.asc()).limit(int(k))
