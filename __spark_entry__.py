@@ -2479,6 +2479,41 @@ def _q_crawl_schedule(spark, sf):
     return crawl.crawl_schedule(urls, dist, ranks, per_host=1, k=50)
 
 
+_RECRAWL_NOW = 1136073600 + 120 * 3600  # fixed 'now' for the synth history
+
+
+def _q_recrawl_priority(spark, sf):
+    """Change-rate recrawl scheduling (crawl.recrawl_priority): Cho &
+    Garcia-Molina Poisson-rate estimate over a deterministic synthetic
+    crawl history — per url, n_obs = 2 + doc_id%4 observations spaced
+    6+doc_id%7 hours, content version rolling every 1+doc_id%3
+    observations — then priority = lambda_hat * staleness (expected
+    changes missed since the last crawl).  Oracle rebuilds the
+    identical history and estimator in SQL."""
+    from tse_spark.operators import crawl
+
+    d = F.col("doc_id")
+    hist = (
+        _synth_urls(spark, sf)
+        .withColumn(
+            "i",
+            F.explode(F.sequence(F.lit(0), (d % 4 + 1).cast("int"))),
+        )
+        .select(
+            "url",
+            (
+                F.lit(1136073600)
+                + F.col("i") * (d % 7 + 6) * F.lit(3600)
+            ).cast("long").alias("ts_s"),
+            F.concat(
+                F.lit("v"),
+                F.floor(F.col("i") / (d % 3 + 1)).cast("string"),
+            ).alias("fingerprint"),
+        )
+    )
+    return crawl.recrawl_priority(hist, _RECRAWL_NOW)
+
+
 def _q_bloom_seen(spark, sf):
     """URL-seen bloom filter (sketches.bloom_build/bloom_contains,
     m=4096 bits, k=4): even doc_ids' urls are inserted, every url is
@@ -3226,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": _q_trustrank,
         "crawl_schedule": _q_crawl_schedule,
         "bloom_seen": _q_bloom_seen,
+        "recrawl_priority": _q_recrawl_priority,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
@@ -5875,6 +5911,41 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY qp.doc_id, qp.url)
     SELECT doc_id, url, in_bloom, (doc_id % 2 = 0)::BIGINT AS seen
     FROM hit"""
+    )
+    # recrawl scheduling: identical synthetic history + the Cho &
+    # Garcia-Molina estimator re-derived in SQL (window lag -> change
+    # flags -> per-url aggregate -> smoothed -ln rate)
+    out["recrawl_priority"] = (
+        _SYNTH_URLS_SQL.rstrip()
+        + f""",
+    h AS (SELECT url, doc_id, unnest(range(0, 2 + doc_id % 4)) AS i
+          FROM synth),
+    obs AS (
+      SELECT url,
+             (1136073600 + i * (6 + doc_id % 7) * 3600)::BIGINT AS ts_s,
+             'v' || (i // (1 + doc_id % 3))::VARCHAR AS fp
+      FROM h),
+    fl AS (
+      SELECT url, ts_s, fp,
+             CASE WHEN fp <> lag(fp) OVER
+                       (PARTITION BY url ORDER BY ts_s)
+                  THEN 1 ELSE 0 END AS chg
+      FROM obs),
+    agg AS (
+      SELECT url, count(*)::BIGINT AS n_obs,
+             sum(chg)::BIGINT AS n_changes,
+             min(ts_s) AS f, max(ts_s) AS l
+      FROM fl GROUP BY url),
+    calc AS (
+      SELECT url, n_obs, n_changes,
+             -ln((n_obs - 1 - n_changes + 0.5) / (n_obs - 1 + 0.5))
+               / ((l - f) / 3600.0 / (n_obs - 1)) AS lam,
+             ({_RECRAWL_NOW} - l) / 3600.0 AS stale
+      FROM agg)
+    SELECT url, n_obs, n_changes, round(lam, 6) AS change_rate,
+           round(stale, 4) AS staleness_h,
+           round(lam * stale, 4) AS priority
+    FROM calc"""
     )
     # boilerplate strip: synthesis (12-token lines + injected
     # header/footer) and the df>=3 line-strip law mirrored verbatim

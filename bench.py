@@ -215,6 +215,7 @@ HEADLINE = [
     "click_distance",
     "trustrank",
     "crawl_schedule",
+    "recrawl_priority",
 ]
 
 RESULT: dict = {

@@ -271,3 +271,43 @@ def test_crawl_schedule_politeness_and_order(spark):
     # (dist 0 outranks doc 1's dist 1 despite the lower pagerank);
     # global order = dist asc, rank desc, doc_id
     assert out == [(2, 1), (5, 1), (3, 1)]
+
+
+def test_recrawl_priority_cho_estimator(spark):
+    """Hand-computed Cho & Garcia-Molina law: 4 obs 10h apart,
+    fingerprints a,a,b,b -> n=3 intervals, X=1 change,
+    lambda = ln(3.5/2.5)/10 per hour; priority = lambda * staleness."""
+    import math
+
+    from tse_spark.operators import crawl
+
+    hist = spark.createDataFrame(
+        [("u", i * 36000, fp) for i, fp in enumerate(["a", "a", "b", "b"])],
+        "url string, ts_s long, fingerprint string",
+    )
+    now = 108000 + 72 * 3600
+    r = crawl.recrawl_priority(hist, now).collect()[0]
+    lam = math.log(3.5 / 2.5) / 10.0
+    assert r.n_obs == 4 and r.n_changes == 1
+    assert r.change_rate == round(lam, 6)
+    assert r.staleness_h == 72.0
+    assert r.priority == round(lam * 72.0, 4)
+
+
+def test_recrawl_priority_single_obs_is_null(spark):
+    """One observation = no interval evidence: change_rate / priority
+    NULL (cold-start policy belongs to the caller), staleness still
+    reported; nulls sort last."""
+    from tse_spark.operators import crawl
+
+    hist = spark.createDataFrame(
+        [("a", 0, "x"), ("b", 0, "x"), ("b", 3600, "y")],
+        "url string, ts_s long, fingerprint string",
+    )
+    rows = crawl.recrawl_priority(hist, 7200).collect()
+    by_url = {r.url: r for r in rows}
+    assert by_url["a"].change_rate is None
+    assert by_url["a"].priority is None
+    assert by_url["a"].staleness_h == 2.0
+    assert by_url["b"].priority is not None
+    assert [r.url for r in rows] == ["b", "a"]

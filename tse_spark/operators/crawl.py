@@ -579,3 +579,80 @@ def crawl_schedule(
         .orderBy(F.asc("dist"), F.desc("rank"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+def recrawl_priority(
+    history: DataFrame,
+    now_s: int,
+    url_col: str = "url",
+    ts_col: str = "ts_s",
+    fp_col: str = "fingerprint",
+    k: int | None = None,
+) -> DataFrame:
+    """Change-rate recrawl scheduling — the freshness half of the crawl
+    loop the reference never had (tse/Crawl.cpp crawls each url once;
+    our recrawl upsert X54 INGESTS re-fetches but nothing decides WHEN
+    to re-fetch).  From the crawl history (url, epoch-seconds ts,
+    content fingerprint) estimate each url's Poisson change rate with
+    the Cho & Garcia-Molina estimator (ACM TOIT 3(3) 2003, eq. for
+    repeated accesses with unknown change times):
+
+        lambda_hat = -ln((n - X + 0.5) / (n + 0.5)) / avg_interval_h
+
+    where n = observation intervals, X = intervals whose fingerprint
+    differed from the previous one (the +0.5 terms are the
+    bias-correcting smoothing from the paper, keeping the estimator
+    finite at X == n).  The schedule key is
+
+        priority = lambda_hat * staleness_h
+
+    — the expected number of changes missed since the last crawl, so
+    a fast-changing page just crawled ranks below a slow page not seen
+    for months exactly when their expected misses say so.
+
+    Scale shape: ONE shuffle by url serves both the lag window (change
+    flags) and the per-url aggregate; everything downstream is
+    arithmetic on the corpus-sized per-url relation, and ``k`` cuts via
+    TakeOrderedAndProject.  At 10^12 urls the history table is
+    partitioned by url hash, so the window/agg co-partition with it
+    and nothing re-shuffles.
+
+    Urls with a single observation have no interval evidence: their
+    change_rate / priority are NULL (the caller's cold-start policy —
+    e.g. crawl_schedule's wave order — owns them).
+
+    Returns (url, n_obs, n_changes, change_rate, staleness_h,
+    priority), priority-desc."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    flagged = history.withColumn(
+        "__chg",
+        F.coalesce(
+            (F.col(fp_col) != F.lag(fp_col).over(w)).cast("long"),
+            F.lit(0),
+        ),
+    )
+    per_url = flagged.groupBy(url_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("__chg").alias("n_changes"),
+        F.min(ts_col).alias("__first"),
+        F.max(ts_col).alias("__last"),
+    )
+    n_int = (F.col("n_obs") - 1).cast("double")
+    avg_h = (F.col("__last") - F.col("__first")) / F.lit(3600.0) / n_int
+    lam = -F.log(
+        (n_int - F.col("n_changes") + F.lit(0.5)) / (n_int + F.lit(0.5))
+    ) / avg_h
+    stale_h = (F.lit(int(now_s)) - F.col("__last")) / F.lit(3600.0)
+    out = per_url.select(
+        url_col,
+        "n_obs",
+        "n_changes",
+        F.when(F.col("n_obs") >= 2, F.round(lam, 6)).alias("change_rate"),
+        F.round(stale_h, 4).alias("staleness_h"),
+        F.when(F.col("n_obs") >= 2, F.round(lam * stale_h, 4)).alias(
+            "priority"
+        ),
+    ).orderBy(F.desc_nulls_last("priority"), F.asc(url_col))
+    return out.limit(int(k)) if k is not None else out
