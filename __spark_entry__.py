@@ -2480,6 +2480,102 @@ def _q_crawl_schedule(spark, sf):
 
 
 _RECRAWL_NOW = 1136073600 + 120 * 3600  # fixed 'now' for the synth history
+_SITEMAP_FREQS = ["always", "hourly", "daily", "weekly", "monthly", "yearly"]
+_SITEMAP_NOW_DATE = "2006-05-01"  # fixed 'today' for hint staleness
+
+
+def _synth_sitemaps(spark, sf):
+    """One sitemap.xml per synth host: each url contributes a <url>
+    block with lastmod 2006-01-(1+doc_id%28), changefreq by doc_id%6,
+    priority 0.(doc_id%10); blocks concatenate in doc_id order inside
+    the host's <urlset>.  The oracle never re-parses — it derives the
+    expected parse output straight from this law, so the query proves
+    the generate->parse round trip."""
+    d = F.col("doc_id")
+    entries = _synth_urls(spark, sf).select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.concat(
+            F.lit("<url><loc>"),
+            F.col("url"),
+            F.lit("</loc><lastmod>2006-01-"),
+            F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod><changefreq>"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in _SITEMAP_FREQS]),
+                (d % 6 + 1).cast("int"),
+            ),
+            F.lit("</changefreq><priority>0."),
+            (d % 10).cast("string"),
+            F.lit("</priority></url>"),
+        ).alias("entry"),
+    )
+    return (
+        entries.groupBy("host")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "entry"))
+            ).alias("es")
+        )
+        .select(
+            F.concat(
+                F.lit("http://"), F.col("host"), F.lit("/sitemap.xml")
+            ).alias("sitemap_url"),
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.expr("transform(es, x -> x.entry)"), ""
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+
+
+def _q_sitemap_entries(spark, sf):
+    """Sitemap ingestion (crawl.parse_sitemaps): per-host <urlset>
+    documents built from the synth-url law, parsed back into (loc,
+    lastmod, changefreq, priority) rows by the JVM regexp pipeline —
+    zero shuffle, zero Python.  Oracle derives the expected rows
+    directly from the synthesis law (round-trip proof)."""
+    from tse_spark.operators import crawl
+
+    return crawl.parse_sitemaps(_synth_sitemaps(spark, sf))
+
+
+def _q_recrawl_hinted(spark, sf):
+    """Cold-start-complete recrawl schedule
+    (crawl.recrawl_priority_with_hints): even-doc_id urls carry crawl
+    history and score by the observed Cho & Garcia-Molina rate; odd
+    urls have only sitemap changefreq/lastmod hints and score by the
+    publisher prior — one rate*staleness scale, one ordered list."""
+    from tse_spark.operators import crawl
+
+    d = F.col("doc_id")
+    hist = (
+        _synth_urls(spark, sf)
+        .filter(d % 2 == 0)
+        .withColumn(
+            "i",
+            F.explode(F.sequence(F.lit(0), (d % 4 + 1).cast("int"))),
+        )
+        .select(
+            "url",
+            (
+                F.lit(1136073600)
+                + F.col("i") * (d % 7 + 6) * F.lit(3600)
+            ).cast("long").alias("ts_s"),
+            F.concat(
+                F.lit("v"),
+                F.floor(F.col("i") / (d % 3 + 1)).cast("string"),
+            ).alias("fingerprint"),
+        )
+    )
+    hints = crawl.sitemap_recrawl_hints(
+        crawl.parse_sitemaps(_synth_sitemaps(spark, sf)),
+        _SITEMAP_NOW_DATE,
+    )
+    return crawl.recrawl_priority_with_hints(hist, hints, _RECRAWL_NOW)
 
 
 def _q_recrawl_priority(spark, sf):
@@ -3262,6 +3358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": _q_crawl_schedule,
         "bloom_seen": _q_bloom_seen,
         "recrawl_priority": _q_recrawl_priority,
+        "sitemap_entries": _q_sitemap_entries,
+        "recrawl_hinted": _q_recrawl_hinted,
         "batch_metrics": _q_batch_metrics,
         "prune_recall": _q_prune_recall,
         "pages_asof": _q_pages_asof,
@@ -5946,6 +6044,81 @@ def oracle_sql() -> dict[str, str]:
            round(stale, 4) AS staleness_h,
            round(lam * stale, 4) AS priority
     FROM calc"""
+    )
+    # sitemap parse: the oracle never re-parses XML — it derives the
+    # expected (loc, lastmod, changefreq, priority) rows straight from
+    # the synthesis law, so a hash match proves the generate->parse
+    # round trip through the JVM regexp pipeline
+    out["sitemap_entries"] = (
+        _SYNTH_URLS_SQL.rstrip()
+        + """
+    SELECT 'http://' || host || '/sitemap.xml' AS sitemap_url,
+           url,
+           '2006-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+             AS lastmod,
+           CASE doc_id % 6
+             WHEN 0 THEN 'always' WHEN 1 THEN 'hourly'
+             WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly'
+             WHEN 4 THEN 'monthly' ELSE 'yearly' END AS changefreq,
+           ('0.' || (doc_id % 10)::VARCHAR)::DOUBLE AS priority
+    FROM synth"""
+    )
+    # hinted recrawl: observed urls (even doc_ids) re-derive the Cho &
+    # Garcia-Molina estimate; hint-only urls score by the sitemap
+    # changefreq->rate prior aged by lastmod; full outer join merges
+    # both onto one rate*staleness scale (mirrors
+    # crawl.recrawl_priority_with_hints rounding exactly: rate
+    # pre-rounded to 6, staleness to 4 on the observed side only,
+    # priority = round(rate*stale, 4) over the rounded inputs)
+    out["recrawl_hinted"] = (
+        _SYNTH_URLS_SQL.rstrip()
+        + f""",
+    h AS (SELECT url, doc_id, unnest(range(0, 2 + doc_id % 4)) AS i
+          FROM synth WHERE doc_id % 2 = 0),
+    obs0 AS (
+      SELECT url,
+             (1136073600 + i * (6 + doc_id % 7) * 3600)::BIGINT AS ts_s,
+             'v' || (i // (1 + doc_id % 3))::VARCHAR AS fp
+      FROM h),
+    fl AS (
+      SELECT url, ts_s, fp,
+             CASE WHEN fp <> lag(fp) OVER
+                       (PARTITION BY url ORDER BY ts_s)
+                  THEN 1 ELSE 0 END AS chg
+      FROM obs0),
+    agg AS (
+      SELECT url, count(*)::BIGINT AS n_obs,
+             sum(chg)::BIGINT AS n_changes,
+             min(ts_s) AS f, max(ts_s) AS l
+      FROM fl GROUP BY url),
+    obs AS (
+      SELECT url,
+             round(-ln((n_obs - 1 - n_changes + 0.5) / (n_obs - 1 + 0.5))
+                   / ((l - f) / 3600.0 / (n_obs - 1)), 6) AS change_rate,
+             round(({_RECRAWL_NOW} - l) / 3600.0, 4) AS staleness_h
+      FROM agg),
+    hint AS (
+      SELECT url,
+             round(CASE doc_id % 6
+               WHEN 0 THEN 1.0 WHEN 1 THEN 1.0
+               WHEN 2 THEN 1.0/24 WHEN 3 THEN 1.0/168
+               WHEN 4 THEN 1.0/720 ELSE 1.0/8760 END, 6) AS hint_rate,
+             (DATE '2006-05-01'
+              - ('2006-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                )::DATE) * 24.0 AS hint_age_h
+      FROM synth),
+    j AS (
+      SELECT coalesce(obs.url, hint.url) AS url,
+             CASE WHEN obs.change_rate IS NOT NULL THEN 'observed'
+                  WHEN hint.hint_rate IS NOT NULL THEN 'hint'
+                  ELSE 'none' END AS source,
+             coalesce(obs.change_rate, hint.hint_rate) AS rate,
+             CASE WHEN obs.change_rate IS NOT NULL THEN obs.staleness_h
+                  ELSE hint.hint_age_h END AS staleness_h
+      FROM obs FULL OUTER JOIN hint ON obs.url = hint.url)
+    SELECT url, source, rate, staleness_h,
+           round(rate * staleness_h, 4) AS priority
+    FROM j"""
     )
     # boilerplate strip: synthesis (12-token lines + injected
     # header/footer) and the df>=3 line-strip law mirrored verbatim

@@ -311,3 +311,111 @@ def test_recrawl_priority_single_obs_is_null(spark):
     assert by_url["a"].staleness_h == 2.0
     assert by_url["b"].priority is not None
     assert [r.url for r in rows] == ["b", "a"]
+
+
+def test_parse_sitemaps_defaults_and_invalid(spark):
+    """Protocol edges: absent <priority> defaults to 0.5, absent
+    lastmod/changefreq surface as empty strings, a block without <loc>
+    is dropped, changefreq is lowercased, whitespace inside tags is
+    trimmed."""
+    from tse_spark.operators import crawl
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> http://a/1 </loc><lastmod>2006-02-03</lastmod>"
+        "<changefreq>Daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>http://a/2</loc></url>"
+        "<url><lastmod>2006-01-01</lastmod></url>"
+        "</urlset>"
+    )
+    sm = spark.createDataFrame(
+        [("http://a/sitemap.xml", xml)], "sitemap_url string, xml string"
+    )
+    rows = {r.url: r for r in crawl.parse_sitemaps(sm).collect()}
+    assert set(rows) == {"http://a/1", "http://a/2"}
+    r1 = rows["http://a/1"]
+    assert (r1.lastmod, r1.changefreq, r1.priority) == (
+        "2006-02-03", "daily", 0.8,
+    )
+    r2 = rows["http://a/2"]
+    assert (r2.lastmod, r2.changefreq, r2.priority) == ("", "", 0.5)
+
+
+def test_sitemap_index_children(spark):
+    from tse_spark.operators import crawl
+
+    xml = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://a/s1.xml</loc></sitemap>"
+        "<sitemap><loc>http://a/s2.xml</loc><lastmod>x</lastmod></sitemap>"
+        "<sitemap></sitemap>"
+        "</sitemapindex>"
+    )
+    sm = spark.createDataFrame(
+        [("http://a/sitemap.xml", xml)], "sitemap_url string, xml string"
+    )
+    kids = [r.child_url for r in crawl.sitemap_index_children(sm).collect()]
+    assert sorted(kids) == ["http://a/s1.xml", "http://a/s2.xml"]
+
+
+def test_sitemap_recrawl_hints_fallbacks(spark):
+    """Unknown/absent changefreq falls back to the daily rate; absent
+    lastmod yields NULL age and NULL priority; 'never' pins rate 0."""
+    from tse_spark.operators import crawl
+
+    entries = spark.createDataFrame(
+        [
+            ("u1", "2006-04-30", "hourly", 0.5),
+            ("u2", "2006-04-29", "bogus", 0.5),
+            ("u3", "", "weekly", 0.5),
+            ("u4", "2006-01-01", "never", 0.5),
+        ],
+        "url string, lastmod string, changefreq string, priority double",
+    )
+    got = {
+        r.url: r
+        for r in crawl.sitemap_recrawl_hints(entries, "2006-05-01").collect()
+    }
+    assert got["u1"].hint_rate == 1.0 and got["u1"].hint_age_h == 24.0
+    assert got["u1"].hint_priority == 24.0
+    assert got["u2"].hint_rate == round(1 / 24.0, 6)  # daily fallback
+    assert got["u2"].hint_age_h == 48.0
+    assert got["u3"].hint_age_h is None and got["u3"].hint_priority is None
+    assert got["u4"].hint_rate == 0.0 and got["u4"].hint_priority == 0.0
+
+
+def test_recrawl_priority_with_hints_merges_scales(spark):
+    """Observed urls keep the Cho estimate; sitemap-only urls rank by
+    the publisher prior on the SAME rate*staleness scale; urls on both
+    sides prefer the observation."""
+    import math
+
+    from tse_spark.operators import crawl
+
+    hist = spark.createDataFrame(
+        [("u", i * 36000, fp) for i, fp in enumerate(["a", "a", "b", "b"])],
+        "url string, ts_s long, fingerprint string",
+    )
+    now = 108000 + 72 * 3600
+    hints = spark.createDataFrame(
+        [
+            ("u", "2006-04-30", "always", 0.5),   # also observed
+            ("cold", "2006-04-28", "daily", 0.5), # hint only
+        ],
+        "url string, lastmod string, changefreq string, priority double",
+    )
+    out = {
+        r.url: r
+        for r in crawl.recrawl_priority_with_hints(
+            hist, crawl.sitemap_recrawl_hints(hints, "2006-05-01"), now
+        ).collect()
+    }
+    lam = round(math.log(3.5 / 2.5) / 10.0, 6)
+    u = out["u"]
+    assert u.source == "observed"
+    assert u.rate == lam and u.staleness_h == 72.0
+    assert u.priority == round(lam * 72.0, 4)
+    c = out["cold"]
+    assert c.source == "hint"
+    assert c.rate == round(1 / 24.0, 6) and c.staleness_h == 72.0
+    assert c.priority == round(c.rate * 72.0, 4)

@@ -656,3 +656,172 @@ def recrawl_priority(
         ),
     ).orderBy(F.desc_nulls_last("priority"), F.asc(url_col))
     return out.limit(int(k)) if k is not None else out
+
+
+# changefreq -> expected changes per HOUR (sitemaps.org vocabulary);
+# 'always' is served as hourly (the protocol's "changes on every
+# access" has no finite rate), 'never' as zero.  Shared with the
+# DuckDB oracle as plain division literals.
+SITEMAP_FREQ_PER_H: dict[str, float] = {
+    "always": 1.0,
+    "hourly": 1.0,
+    "daily": 1.0 / 24.0,
+    "weekly": 1.0 / 168.0,
+    "monthly": 1.0 / 720.0,
+    "yearly": 1.0 / 8760.0,
+    "never": 0.0,
+}
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+    sitemap_col: str = "sitemap_url",
+) -> DataFrame:
+    """Sitemap ingestion (sitemaps.org XML) — the publisher-declared
+    side of crawl scheduling the reference never consumed (tse/
+    Crawl.cpp discovers urls only from <a href>; sitemaps hand the
+    crawler urls it can't reach by links plus lastmod/changefreq
+    hints).
+
+    Parses <urlset> documents: one row per <url> block with loc,
+    lastmod (string, as published), changefreq (lowercased), and
+    priority (double, protocol default 0.5 when absent); blocks
+    without a <loc> are dropped (protocol-invalid).  <sitemapindex>
+    child references are NOT expanded here — fetching is the crawl
+    loop's job — but surface as rows of :func:`sitemap_index_children`.
+
+    Scale shape: pure JVM regexp over each xml blob (regexp_extract_all
+    block split + per-field extract on the exploded block — whole-stage
+    codegen, no Python), embarrassingly parallel over the sitemap
+    table, no shuffle at all."""
+    block = F.explode(
+        F.regexp_extract_all(
+            F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), 1
+        )
+    ).alias("block")
+    rows = sitemaps.select(sitemap_col, block)
+    loc = F.regexp_extract("block", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(
+        "block", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
+    )
+    freq = F.lower(
+        F.regexp_extract(
+            "block", r"(?s)<changefreq>\s*(.*?)\s*</changefreq>", 1
+        )
+    )
+    prio = F.regexp_extract(
+        "block", r"(?s)<priority>\s*(.*?)\s*</priority>", 1
+    )
+    return (
+        rows.select(
+            sitemap_col,
+            loc.alias("url"),
+            lastmod.alias("lastmod"),
+            freq.alias("changefreq"),
+            F.coalesce(
+                F.nullif(prio, F.lit("")).cast("double"), F.lit(0.5)
+            ).alias("priority"),
+        )
+        .filter(F.col("url") != "")
+    )
+
+
+def sitemap_index_children(
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+    sitemap_col: str = "sitemap_url",
+) -> DataFrame:
+    """<sitemapindex> expansion list: (sitemap_url, child_url) rows to
+    feed back into the fetch frontier.  Same zero-shuffle regexp
+    shape as :func:`parse_sitemaps`."""
+    child = F.explode(
+        F.regexp_extract_all(
+            F.col(xml_col), F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), 1
+        )
+    ).alias("block")
+    return (
+        sitemaps.select(sitemap_col, child)
+        .select(
+            sitemap_col,
+            F.regexp_extract(
+                "block", r"(?s)<loc>\s*(.*?)\s*</loc>", 1
+            ).alias("child_url"),
+        )
+        .filter(F.col("child_url") != "")
+    )
+
+
+def sitemap_recrawl_hints(
+    entries: DataFrame, now_date: str
+) -> DataFrame:
+    """Publisher hints -> the recrawl scheduler's cold-start prior:
+    changefreq maps to an expected change rate per hour
+    (SITEMAP_FREQ_PER_H), age = days since lastmod (date arithmetic —
+    timezone-free in every engine), and
+
+        hint_priority = rate * age_h
+
+    the same expected-missed-changes law :func:`recrawl_priority`
+    scores observed urls with, so the two rankings merge on one scale
+    (:func:`recrawl_priority_with_hints`).  Unknown/absent changefreq
+    falls back to 'daily' (the protocol has no default; daily is the
+    conservative crawl-scheduler convention); absent lastmod yields
+    NULL age and NULL priority (no evidence at all — the caller's
+    frontier order owns those).  Zero shuffle: row-local arithmetic."""
+    rate = F.coalesce(
+        *[
+            F.when(F.col("changefreq") == k, F.lit(v))
+            for k, v in SITEMAP_FREQ_PER_H.items()
+        ],
+        F.lit(SITEMAP_FREQ_PER_H["daily"]),
+    )
+    age_h = (
+        F.datediff(
+            F.lit(now_date).cast("date"),
+            F.col("lastmod").try_cast("date"),
+        )
+        * F.lit(24.0)
+    )
+    return entries.select(
+        "url",
+        F.round(rate, 6).alias("hint_rate"),
+        age_h.alias("hint_age_h"),
+        F.round(rate * age_h, 4).alias("hint_priority"),
+    )
+
+
+def recrawl_priority_with_hints(
+    history: DataFrame,
+    hints: DataFrame,
+    now_s: int,
+    k: int | None = None,
+) -> DataFrame:
+    """The full recrawl schedule: urls WITH crawl history score by the
+    observed Cho & Garcia-Molina rate (:func:`recrawl_priority`), urls
+    the sitemap declares but we never crawled (or crawled once — no
+    interval evidence) fall back to the publisher-hint prior
+    (:func:`sitemap_recrawl_hints`); both sides share the
+    rate*staleness scale so ONE ordered list drives the fetcher.
+    ``source`` says which law produced each row.
+
+    Scale shape: full outer join on url (both sides corpus-sized,
+    co-partitioned by the join), then row-local coalesce; the optional
+    k cut is a TakeOrderedAndProject."""
+    obs = recrawl_priority(history, now_s)
+    j = obs.join(hints, "url", "full_outer")
+    rate = F.coalesce(F.col("change_rate"), F.col("hint_rate"))
+    stale = F.when(
+        F.col("change_rate").isNotNull(), F.col("staleness_h")
+    ).otherwise(F.col("hint_age_h"))
+    out = j.select(
+        "url",
+        F.when(F.col("change_rate").isNotNull(), F.lit("observed"))
+        .when(F.col("hint_rate").isNotNull(), F.lit("hint"))
+        .otherwise(F.lit("none"))
+        .alias("source"),
+        rate.alias("rate"),
+        stale.alias("staleness_h"),
+        F.round(rate * stale, 4).alias("priority"),
+    ).orderBy(F.desc_nulls_last("priority"), F.asc("url"))
+    return out.limit(int(k)) if k is not None else out
