@@ -355,6 +355,31 @@ def _q_replica_groups(spark, sf):
     return dedup.exact_dup_groups(_t(spark, sf, "documents"))
 
 
+def _q_mirror_hosts(spark, sf):
+    """Host-level mirror detection (dedup.mirror_hosts): the synth
+    corpus plus a deterministic mirror — every even doc_id is also
+    served at host m{doc_id%97}.example.net — so each .cn/.de synth
+    host (whose docs are all even: doc_id%4 in {0,2}) is fully
+    contained in its m-host twin (overlap 1.0) while .com/.org hosts
+    (odd docs) share nothing.  The oracle rebuilds the mirror law and
+    the containment-overlap join in SQL."""
+    from tse_spark.operators import dedup
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    orig = docs.join(_synth_urls(spark, sf), "doc_id").select("url", "text")
+    d = F.col("doc_id")
+    mirror = docs.filter(d % 2 == 0).select(
+        F.concat(
+            F.lit("http://m"),
+            (d % 97).cast("string"),
+            F.lit(".example.net/p/"),
+            d.cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    return dedup.mirror_hosts(orig.unionByName(mirror))
+
+
 def _q_doc_fingerprint(spark, sf):
     from tse_spark.operators import textops
 
@@ -3241,6 +3266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_search": _q_scan_search,
         "snippet": _q_snippet,
         "replica_groups": _q_replica_groups,
+        "mirror_hosts": _q_mirror_hosts,
         "doc_fingerprint": _q_doc_fingerprint,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
@@ -4640,6 +4666,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT md5(text) AS fp, count(*)::BIGINT AS n_docs,
                min(doc_id) AS keeper
         FROM documents GROUP BY 1 HAVING count(*) > 1""",
+        # mirror hosts: mirror-law synthesis + the Bharat-Broder
+        # containment join (distinct per-host fingerprints, hot-fp cap
+        # 256, overlap = shared/min sizes) mirrored exactly
+        "mirror_hosts": (
+            _SYNTH_URLS_SQL.rstrip()
+            + """,
+        pages AS (
+          SELECT s.url, d.text
+          FROM synth s JOIN documents d USING (doc_id)
+          UNION ALL
+          SELECT 'http://m' || (doc_id % 97)::VARCHAR
+                 || '.example.net/p/' || doc_id::VARCHAR, text
+          FROM documents WHERE doc_id % 2 = 0),
+        hf AS (
+          SELECT DISTINCT
+                 regexp_extract(url, 'http://([^/]+)/', 1) AS h,
+                 md5(text) AS fp
+          FROM pages),
+        sizes AS (SELECT h, count(*)::BIGINT AS n_fp FROM hf GROUP BY h),
+        hfc AS (
+          SELECT * FROM hf
+          WHERE fp IN (SELECT fp FROM hf GROUP BY fp
+                       HAVING count(*) <= 256)),
+        pairs AS (
+          SELECT a.h AS host_a, b.h AS host_b, count(*)::BIGINT AS shared
+          FROM hfc a JOIN hfc b ON a.fp = b.fp AND a.h < b.h
+          GROUP BY 1, 2),
+        j AS (
+          SELECT host_a, host_b, shared,
+                 sa.n_fp AS size_a, sb.n_fp AS size_b,
+                 round(shared / least(sa.n_fp, sb.n_fp), 6) AS overlap
+          FROM pairs
+          JOIN sizes sa ON sa.h = pairs.host_a
+          JOIN sizes sb ON sb.h = pairs.host_b)
+        SELECT host_a, host_b, shared, size_a, size_b, overlap
+        FROM j WHERE shared >= 1 AND overlap >= 0.5"""
+        ),
         "doc_fingerprint": """
         SELECT doc_id, md5(lower(text)) AS fp FROM documents""",
         "token_count": _TOK_ALL

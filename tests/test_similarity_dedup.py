@@ -350,3 +350,41 @@ def test_rp_projection_preserves_neighbors(spark, emb):
     )[:10]
     assert [r.vec_id for r in got] == want_ids
     assert all(r.cos == exact_all[r.vec_id] for r in got)
+
+
+def test_mirror_hosts_containment_and_cap(spark):
+    """Hand-built mirror law: host b mirrors 2 of a's 4 pages
+    (overlap = 2/2 = 1.0 by containment — min side is b); host c
+    shares 1 of its 5 with a (0.2 < 0.5, filtered); a fingerprint on
+    EVERY host is hot-capped out and must not create pairs, but still
+    counts toward host sizes."""
+    from tse_spark.operators import dedup
+
+    rows = []
+    for i in range(4):
+        rows.append((f"http://a.example/p{i}", f"content-{i}"))
+    rows += [
+        ("http://b.example/x0", "content-0"),
+        ("http://b.example/x1", "content-1"),
+        ("http://c.example/y0", "content-3"),
+        ("http://c.example/y1", "other-1"),
+        ("http://c.example/y2", "other-2"),
+        ("http://c.example/y3", "other-3"),
+    ]
+    # boilerplate shell on all three hosts -> hot at cap 2
+    rows += [
+        ("http://a.example/empty", "shell"),
+        ("http://b.example/empty", "shell"),
+        ("http://c.example/empty", "shell"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        (r.host_a, r.host_b): r
+        for r in dedup.mirror_hosts(pages, max_fp_hosts=2).collect()
+    }
+    assert set(got) == {("a.example", "b.example")}
+    r = got[("a.example", "b.example")]
+    # sizes include the capped shell fingerprint (5 and 3), shared
+    # counts only cold fingerprints (2)
+    assert (r.shared, r.size_a, r.size_b) == (2, 5, 3)
+    assert r.overlap == round(2 / 3, 6)

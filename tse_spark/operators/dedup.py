@@ -793,3 +793,96 @@ def novel_docs(new_docs: DataFrame, matches: DataFrame) -> DataFrame:
         "doc_id",
         "left_anti",
     )
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    fp_col: str | None = None,
+    min_shared: int = 1,
+    min_overlap: float = 0.5,
+    max_fp_hosts: int | None = 256,
+) -> DataFrame:
+    """Host-level mirror detection (Bharat & Broder, WWW8 1999) — the
+    crawl-bandwidth half of dedup the page-level replica groups
+    (C7, :func:`exact_dup_groups`) can't see: two HOSTS serving
+    largely the same content should be crawled once, not twice, and
+    the reference's md5 page-dedup (tse/Crawl.cpp:523-545) only
+    discovers that after fetching both copies.
+
+    Per host, content is the DISTINCT set of page fingerprints
+    (md5(text) unless ``fp_col`` is given); a candidate mirror pair is
+    any two hosts sharing a fingerprint, scored by
+
+        overlap = |A ∩ B| / min(|A|, |B|)
+
+    (the containment form — a small mirror of a big site still scores
+    1.0).  Pairs with ``shared >= min_shared`` and ``overlap >=
+    min_overlap`` survive, ordered (host_a < host_b) so each pair
+    appears once.
+
+    Scale shape: ONE shuffle on the fingerprint key produces the
+    candidate pairs — only hosts that actually share content ever
+    meet, never an all-pairs host join.  ``max_fp_hosts`` drops
+    fingerprints present on more hosts than the cap (empty pages,
+    boilerplate-only shells) — the same hot-key law as the shingle
+    join, bounding the per-key pair blowup at cap² — and host sizes
+    are computed BEFORE the cap so overlap stays a fraction of the
+    host's true corpus."""
+    fp = (
+        F.col(fp_col)
+        if fp_col
+        else F.md5(F.encode(F.col(text_col), "utf-8"))
+    )
+    hf = (
+        pages.select(
+            F.parse_url(F.col(url_col), F.lit("HOST")).alias("host"),
+            fp.alias("fp"),
+        )
+        .distinct()
+    )
+    sizes = hf.groupBy("host").agg(F.count(F.lit(1)).alias("n_fp"))
+    capped = _drop_hot_keys(hf, "fp", max_fp_hosts)
+    # rename before the self-join: aliased same-lineage columns can
+    # misresolve the a.host < b.host predicate to one side
+    left = capped.select(F.col("host").alias("host_a"), "fp")
+    right = capped.select(F.col("host").alias("host_b"), "fp")
+    shared = (
+        left.join(right, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    # sizes is host-cardinality (orders smaller than the page scan) —
+    # broadcast it so the overlap join never reshuffles the pair set
+    out = (
+        shared.join(
+            F.broadcast(
+                sizes.withColumnRenamed("host", "host_a").withColumnRenamed(
+                    "n_fp", "size_a"
+                )
+            ),
+            "host_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("host", "host_b").withColumnRenamed(
+                    "n_fp", "size_b"
+                )
+            ),
+            "host_b",
+        )
+        .withColumn(
+            "overlap",
+            F.round(
+                F.col("shared") / F.least("size_a", "size_b"), 6
+            ),
+        )
+        .filter(
+            (F.col("shared") >= int(min_shared))
+            & (F.col("overlap") >= float(min_overlap))
+        )
+        .select("host_a", "host_b", "shared", "size_a", "size_b", "overlap")
+    )
+    return out
