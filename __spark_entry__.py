@@ -2365,6 +2365,47 @@ def _q_pagerank(spark, sf):
     return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
 
 
+def _q_host_pagerank(spark, sf):
+    """Host-graph PageRank (linkrank.host_pagerank, 3 iterations):
+    the SAME synthetic page link graph as `pagerank` collapsed to the
+    synth hosts — intra-host edges vanish, parallel host edges dedupe,
+    the vertex set is the full host universe (so linkless hosts keep
+    teleport + dangling mass).  Oracle rebuilds the collapse and the
+    unrolled power iteration over hosts in SQL."""
+    from tse_spark.operators import linkrank
+
+    urls = _synth_urls(spark, sf)
+    n_df = urls.agg(F.count(F.lit(1)).alias("__n"))
+    base = urls.select("doc_id").crossJoin(n_df)
+    i, n = F.col("doc_id"), F.col("__n")
+    e1 = base.select(i.alias("s"), ((i * 2 + 1) % n).alias("t"))
+    e2 = base.select(i.alias("s"), ((i * 5 + 3) % n).alias("t"))
+    e3 = base.filter(i % 3 == 0).select(
+        i.alias("s"), ((i * 11 + 7) % n).alias("t")
+    )
+    ids = e1.union(e2).union(e3).filter(F.col("s") % 11 != 0)
+    edges = (
+        ids.join(
+            urls.select(
+                F.col("doc_id").alias("s"), F.col("url").alias("src_url")
+            ),
+            "s",
+        )
+        .join(
+            urls.select(
+                F.col("doc_id").alias("t"), F.col("url").alias("dst_url")
+            ),
+            "t",
+        )
+        .select("src_url", "dst_url")
+    )
+    hosts = urls.select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    ).distinct()
+    ranks = linkrank.host_pagerank(edges, vertices=hosts, n_iter=3)
+    return ranks.select("host", F.round("rank", 6).alias("rank"))
+
+
 def _q_hits(spark, sf):
     """HITS hubs & authorities (linkrank.hits, 2 rounds) over the same
     synthetic link graph as pagerank — the mutual-reinforcement link
@@ -3336,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_appended": _q_lsh_ann_appended,
         "ivf_ann_indexed": _q_ivf_ann_indexed,
         "pagerank": _q_pagerank,
+        "host_pagerank": _q_host_pagerank,
         "dedup_components": _q_dedup_components,
         "dedup_components_lsh": _q_dedup_components_lsh,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -4138,6 +4180,61 @@ def _pagerank_oracle_sql(n_iter: int = 3, as_cte: bool = False) -> str:
         + body.lstrip()
         + f"""
     SELECT id AS doc_id, round(r, 6) AS rank FROM r{n_iter}"""
+    )
+
+
+def _host_pagerank_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled host-graph power iteration: the pagerank oracle's page
+    law collapsed to synth hosts (intra-host edges dropped, distinct),
+    vertex universe = every synth host, then the identical rank update
+    per iteration."""
+    head = (
+        _SYNTH_URLS_SQL.rstrip()
+        + """,
+    nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    pe0 AS (
+      SELECT doc_id AS s, (doc_id * 2 + 1) % nn.n AS t
+      FROM documents, nn
+      UNION
+      SELECT doc_id, (doc_id * 5 + 3) % nn.n FROM documents, nn
+      UNION
+      SELECT doc_id, (doc_id * 11 + 7) % nn.n FROM documents, nn
+      WHERE doc_id % 3 = 0),
+    pe AS (SELECT s, t FROM pe0 WHERE s % 11 <> 0),
+    e AS (
+      SELECT DISTINCT a.host AS src, b.host AS dst
+      FROM pe JOIN synth a ON pe.s = a.doc_id
+              JOIN synth b ON pe.t = b.doc_id
+      WHERE a.host <> b.host),
+    deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+    v AS (SELECT DISTINCT host AS id FROM synth),
+    n AS (SELECT count(DISTINCT host)::DOUBLE AS n FROM synth),
+    r0 AS (SELECT v.id, 1.0 / n.n AS r FROM v CROSS JOIN n)"""
+    )
+    its = []
+    for k in range(1, n_iter + 1):
+        j = k - 1
+        its.append(
+            f""",
+    c{k} AS (
+      SELECT e.dst AS id, sum(r{j}.r / deg.deg) AS c
+      FROM e JOIN r{j} ON e.src = r{j}.id JOIN deg ON e.src = deg.src
+      GROUP BY e.dst),
+    d{k} AS (
+      SELECT coalesce(sum(r), 0.0) AS dm FROM r{j}
+      WHERE id NOT IN (SELECT src FROM deg)),
+    r{k} AS (
+      SELECT v.id,
+             0.15 / n.n + 0.85 * (coalesce(c{k}.c, 0.0) + d{k}.dm / n.n)
+               AS r
+      FROM v CROSS JOIN n CROSS JOIN d{k}
+      LEFT JOIN c{k} ON v.id = c{k}.id)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"""
+    SELECT id AS host, round(r, 6) AS rank FROM r{n_iter}"""
     )
 
 
@@ -5272,6 +5369,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents""",
         "minhash_neardup": _minhash_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        "host_pagerank": _host_pagerank_oracle_sql(),
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         "dedup_components_lsh": _dedup_components_lsh_oracle_sql(),
         "dedup_keep_one": _DEDUP_KEEP_ONE_SQL,

@@ -282,3 +282,55 @@ def test_trustrank_matches_reference_and_demotes_spam(spark):
         assert got[v] == 0.0
     # every page reachable from the seed carries positive trust
     assert got[0] > 0 and got[1] > 0 and got[2] > 0
+
+
+def test_host_graph_collapse_laws(spark):
+    """Intra-host links vanish, parallel page edges dedupe to one host
+    edge, direction survives."""
+    from tse_spark.operators import linkrank
+
+    edges = spark.createDataFrame(
+        [
+            ("http://a.example/1", "http://b.example/x"),
+            ("http://a.example/2", "http://b.example/y"),  # parallel
+            ("http://a.example/1", "http://a.example/2"),  # intra-host
+            ("http://b.example/x", "http://a.example/1"),  # reverse
+        ],
+        "src_url string, dst_url string",
+    )
+    got = {
+        (r.src, r.dst) for r in linkrank.host_graph(edges).collect()
+    }
+    assert got == {("a.example", "b.example"), ("b.example", "a.example")}
+
+
+def test_host_pagerank_mass_and_linkless_host(spark):
+    """sum(rank) == 1 over the host universe; a host with no inter-host
+    edges still gets teleport + dangling mass; an all-intra-host site
+    is dangling (its only edges collapse away)."""
+    from tse_spark.operators import linkrank
+
+    edges = spark.createDataFrame(
+        [
+            ("http://a.example/1", "http://b.example/x"),
+            ("http://c.example/1", "http://c.example/2"),  # intra only
+        ],
+        "src_url string, dst_url string",
+    )
+    hosts = spark.createDataFrame(
+        [("a.example",), ("b.example",), ("c.example",), ("d.example",)],
+        "host string",
+    )
+    rows = {
+        r.host: r.rank
+        for r in linkrank.host_pagerank(
+            edges, vertices=hosts, n_iter=3
+        ).collect()
+    }
+    assert set(rows) == {"a.example", "b.example", "c.example", "d.example"}
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-9)
+    # b receives a's full contribution: strictly the largest
+    assert rows["b.example"] == max(rows.values())
+    # c and d are structurally identical (no in- or out-edges)
+    assert rows["c.example"] == pytest.approx(rows["d.example"], abs=1e-12)
+    assert all(v > 0 for v in rows.values())

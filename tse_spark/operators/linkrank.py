@@ -567,3 +567,64 @@ def trustrank(
         ) < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.withColumnRenamed("id", id_col)
+
+
+def host_graph(
+    edges: DataFrame,
+    src: str = "src_url",
+    dst: str = "dst_url",
+) -> DataFrame:
+    """Collapse page-level link edges to the HOST graph: endpoints map
+    to their url hosts, intra-host links vanish (the standard host-
+    graph construction — a site linking to itself carries no external
+    endorsement, and nepotistic on-site nav links are the bulk of all
+    web edges), parallel edges dedupe.  Returns distinct (src, dst)
+    host rows.
+
+    Scale shape: one projection + one distinct-shuffle; the output is
+    orders of magnitude smaller than the page graph (~10^12 page edges
+    -> ~10^8 host edges), which is the whole point — see
+    :func:`host_pagerank`."""
+    h = lambda c: F.parse_url(F.col(c), F.lit("HOST"))
+    return (
+        edges.select(h(src).alias("src"), h(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def host_pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src_url",
+    dst: str = "dst_url",
+) -> DataFrame:
+    """PageRank on the host graph (Kamvar et al.'s BlockRank insight,
+    and the granularity TrustRank seed selection actually works at):
+    collapse the page graph to hosts (:func:`host_graph`), then run
+    the same power iteration as :func:`pagerank` over the host nodes.
+
+    Why at 100 TB: the page graph's rank join shuffles O(edges) rows
+    per iteration; the host graph is ~10^4x smaller, so host authority
+    converges in seconds, and page priors derive as host_rank spread
+    over the host's pages — the cheap web-scale authority signal when
+    full-page PageRank is too expensive to re-run per crawl.
+
+    ``vertices``: optional one-column (``host``) DataFrame naming the
+    full host universe (hosts with no inter-host links still receive
+    teleport + dangling mass); defaults to hosts appearing in the
+    collapsed edge set.  Returns (host, rank), sum(rank) == 1."""
+    he = host_graph(edges, src=src, dst=dst)
+    if vertices is None:
+        verts = (
+            he.select(F.col("src").alias("host"))
+            .union(he.select(F.col("dst").alias("host")))
+            .distinct()
+        )
+    else:
+        verts = vertices.select("host")
+    return pagerank(
+        verts, he, n_iter=n_iter, damping=damping, id_col="host"
+    )
