@@ -1302,6 +1302,46 @@ def _q_wand_federated(spark, sf):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _q_wand_selective(spark, sf):
+    """Shard-selected federation (FederatedIndex.search_selective):
+    documents split 3 ways by doc_id % 3 into url-disjoint members;
+    members rank by query-term df mass and zero-mass members are
+    skipped before any posting block is read.  Selection only DROPS
+    candidates (global stats always span all members), so with the
+    min_score=1 cut the ranking must equal the single-index
+    full-corpus BM25 — the wand_topk oracle."""
+    import hashlib
+    import os as _os
+
+    from tse_spark.plans import federate as fe
+    from tse_spark.plans import pipeline as pl
+
+    key = "fedsel:" + sf
+    if key not in _INDEX_CACHE:
+        outs = []
+        for part in (0, 1, 2):
+            out = (
+                f"/tmp/tse_ws_fedsel{part}_"
+                + hashlib.md5(sf.encode()).hexdigest()[:8]
+            )
+            if not _os.path.exists(_os.path.join(out, "meta.json")):
+                pl.IndexPipeline(
+                    spark, out, tokenizer="ws",
+                    num_shards=4, block_size=128,
+                ).run_from_docs(
+                    _t(spark, sf, "documents")
+                    .filter(F.col("doc_id") % 3 == part)
+                    .select("doc_id", "text"),
+                    input_key=f"fedsel{part}:{sf}",
+                    resume=True,
+                )
+            outs.append(out)
+        _INDEX_CACHE[key] = fe.FederatedIndex(spark, outs)
+    f = _INDEX_CACHE[key]
+    out = f.search_selective(" ".join(BM25_QUERY), K, min_score=1)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_wand_snapshot(spark, sf):
     """Time-travel serving (plans/snapshots.py): the tombstoned index's
     commit log holds v1 = the pre-delete build, and load_index_at
@@ -3404,6 +3444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_storage": _q_index_storage,
         "wand_snapshot": _q_wand_snapshot,
         "wand_federated": _q_wand_federated,
+        "wand_selective": _q_wand_selective,
         "bm25_rm3": _q_bm25_rm3,
         "batch_search": _q_batch_search,
         "ltr_features": _q_ltr_features,
@@ -6429,6 +6470,9 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, round(sum(s), 4) AS score
     FROM perterm GROUP BY doc_id
     ORDER BY sum(s) DESC, doc_id LIMIT {K}"""
+    # shard-selected federation with the zero-mass-only cut equals the
+    # full federation, which equals the full-corpus ranking
+    out["wand_selective"] = out["wand_federated"]
     # time-travel read of the tombstoned index's v1 (pre-delete) state:
     # must equal the full-corpus ranking exactly
     out["wand_snapshot"] = _TOK + bm25_3 + f"""

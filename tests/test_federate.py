@@ -207,3 +207,67 @@ def test_rm3_expansion_changes_and_stays_sound(setup, spark):
         (d, round(s, 6)) for d, s in wand_mod.topk_from_scored(runs, 10)
     ]
     assert out == want
+
+
+@pytest.fixture(scope="module")
+def sel_setup(tmp_path_factory, spark):
+    """Three members: two carrying the corpus, one whose docs share NO
+    terms with the probe query — the shard selection must skip it."""
+    outs = []
+    rows_sets = [
+        [(0, "alpha beta gamma web search"), (1, "web search spark")],
+        [(10, "spark data web"), (11, "beta data search")],
+        [(20, "zzz yyy xxx"), (21, "qqq rrr sss")],
+    ]
+    for i, rows in enumerate(rows_sets):
+        out = str(tmp_path_factory.mktemp(f"sel_{i}"))
+        pl.IndexPipeline(
+            spark, out, tokenizer="ws", num_shards=2, block_size=32,
+        ).run_from_docs(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            input_key=f"sel{i}", resume=False,
+        )
+        outs.append(out)
+    return fed.FederatedIndex(spark, outs).warm()
+
+
+def test_member_scores_df_mass(sel_setup):
+    """score(m) = sum of the member's df over query terms; the no-term
+    member scores 0; ordering is score desc, member asc."""
+    got = sel_setup.member_scores("web search")
+    # member 0: web df 2 + search df 2 = 4; member 1: 1 + 1 = 2
+    assert got == [(0, 4), (1, 2), (2, 0)]
+
+
+def test_search_selective_skips_zero_mass_exactly(sel_setup):
+    """min_score=1 drops only the zero-df member, and the ranking is
+    row-identical to the full federation (selection never re-scores:
+    global stats still span all three members)."""
+    full = [
+        (r.member, r.doc_id, r.score)
+        for r in sel_setup.search("web search", 10).collect()
+    ]
+    sel = [
+        (r.member, r.doc_id, r.score)
+        for r in sel_setup.search_selective("web search", 10).collect()
+    ]
+    assert sel == full and len(full) == 4
+
+
+def test_search_selective_top1_subset(sel_setup):
+    """An aggressive n_members=1 cut serves only the highest-mass
+    member; its rows appear with UNCHANGED scores (a subset of the
+    full ranking, the documented recall tradeoff)."""
+    full = {
+        (r.member, r.doc_id): r.score
+        for r in sel_setup.search("web search", 10).collect()
+    }
+    sel = [
+        (r.member, r.doc_id, r.score)
+        for r in sel_setup.search_selective(
+            "web search", 10, n_members=1
+        ).collect()
+    ]
+    assert sel and all(m == 0 for m, _, _ in sel)
+    for m, d, s in sel:
+        assert full[(m, d)] == s

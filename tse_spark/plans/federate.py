@@ -106,18 +106,32 @@ class FederatedIndex:
             if df > 0
         }
 
-    def search(self, query: str, k: int = 10, conjunctive: bool = False) -> DataFrame:
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        conjunctive: bool = False,
+        members: list[int] | None = None,
+    ) -> DataFrame:
         """Distributed federated top-k: per-member per-shard WAND with
         the global stats injected, union, global order.  Returns
-        (member, doc_id, score) — doc ids are member-local."""
+        (member, doc_id, score) — doc ids are member-local.
+        ``members`` restricts execution to a subset of member indexes
+        (resource selection — see :meth:`search_selective`); global
+        statistics ALWAYS come from every member, so a restricted run
+        scores identically and can only drop candidates."""
         terms = self.handles[0].engine.query_terms(query)
         if not terms:
             return self.spark.createDataFrame([], FED_SCHEMA)
         idf = self._global_idf(terms)
         if not idf or (conjunctive and len(idf) < len(terms)):
             return self.spark.createDataFrame([], FED_SCHEMA)
+        picked = (
+            range(len(self.handles)) if members is None else members
+        )
         out = None
-        for mi, h in enumerate(self.handles):
+        for mi in picked:
+            h = self.handles[mi]
             part = h.engine.search(
                 query, k, conjunctive,
                 idf_override=idf, avgdl_override=self.avgdl,
@@ -125,9 +139,58 @@ class FederatedIndex:
                 F.lit(mi).cast("int").alias("member"), "doc_id", "score"
             )
             out = part if out is None else out.unionByName(part)
+        if out is None:
+            return self.spark.createDataFrame([], FED_SCHEMA)
         return out.orderBy(
             F.desc("score"), F.asc("member"), F.asc("doc_id")
         ).limit(k)
+
+    def member_scores(self, query: str) -> list[tuple[int, int]]:
+        """Resource-selection score per member (ReDDE with full member
+        statistics in hand): score(m) = sum over query terms of the
+        member's df — the exact count of (term, doc) postings the
+        member can contribute, i.e. ReDDE's sample-based relevant-doc
+        estimate with the sample == the whole member.  Costs one
+        pruned stats-only term fetch per member (never posting blobs).
+        Returns [(member, score)] sorted score-desc, ties by member."""
+        terms = self.handles[0].engine.query_terms(query)
+        out = []
+        for mi, h in enumerate(self.handles):
+            dfm = h.engine._df_map(terms) if terms else {}
+            out.append((mi, sum(int(v) for v in dfm.values())))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out
+
+    def search_selective(
+        self,
+        query: str,
+        k: int = 10,
+        n_members: int | None = None,
+        min_score: int = 1,
+        conjunctive: bool = False,
+    ) -> DataFrame:
+        """Shard-selected federated search: rank members by
+        :meth:`member_scores`, run the query only on the top
+        ``n_members`` (all, if None) whose score >= ``min_score``, with
+        GLOBAL statistics still aggregated from every member.
+
+        Scores are therefore identical to the full federation —
+        selection drops candidates, never re-scores them — so when the
+        skipped members' selection score is 0 (no query-term postings
+        at all) the result EQUALS :meth:`search` exactly; with an
+        aggressive ``n_members`` cut it is the standard
+        selection-recall tradeoff (skipped mass is known: the scores).
+
+        Why at 10^12 docs: a query fans out to every member index
+        otherwise; df-mass selection answers 'which members can even
+        contribute' from per-member term stats (integers, cached)
+        before any posting block is read."""
+        ranked = self.member_scores(query)
+        cut = ranked if n_members is None else ranked[: int(n_members)]
+        picked = sorted(mi for mi, s in cut if s >= int(min_score))
+        return self.search(
+            query, k, conjunctive=conjunctive, members=picked
+        )
 
     def search_local(
         self, query: str, k: int = 10
