@@ -94,6 +94,30 @@ _SHM = "/dev/shm/tse_bench"
 SCRATCH = _SHM if os.path.isdir("/dev/shm") else "/tmp"
 os.makedirs(SCRATCH, exist_ok=True)
 
+
+def _round_no() -> int:
+    """Round number inferred from the driver's BENCH_r{N}.json trail
+    (this run becomes round N+1), overridable via SPARK_GRAFT_ROUND.
+    Drives the deterministic battery rotation below so the rotation is
+    stable within a round and flips between rounds."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return len(glob.glob(os.path.join(here, "BENCH_r*.json"))) + 1
+
+
+ROUND = _round_no()
+
+# Full battery membership (order here is NOT the run order — see
+# BATTERY below).  HEADLINE lists every timed member; the run order is
+# FIXED_HEAD first (always-on cross-round comparables), then the two
+# halves of the remainder in round-parity order, so every member gets
+# timed at least once every 2 rounds even when the budget truncates
+# the tail (VERDICT r03 #3: 59 members went untimed in the final r3
+# run because the order was static).
 HEADLINE = [
     "bm25_topk",
     "bm25f_anchor",
@@ -216,7 +240,34 @@ HEADLINE = [
     "trustrank",
     "crawl_schedule",
     "recrawl_priority",
+    # round-4 additions
+    "pagerank_warm",
 ]
+
+# Always-on core: the cross-round-comparable members (bm25/wand serving
+# paths, the canonical dedup/ANN representatives, and pagerank — the
+# most expensive headline, kept always-on so its quiet-vs-contended
+# reading accrues history every round).
+FIXED_HEAD = [
+    "bm25_topk",
+    "bm25f_anchor",
+    "wand_topk",
+    "wand_pruned_topk",
+    "tf_table",
+    "bm25_boolean",
+    "simhash",
+    "minhash_neardup",
+    "lsh_ann",
+    "pagerank",
+]
+
+_ROTATING = [m for m in HEADLINE if m not in FIXED_HEAD]
+_HALF = (len(_ROTATING) + 1) // 2
+_A, _B = _ROTATING[:_HALF], _ROTATING[_HALF:]
+# even round: A leads; odd round: B leads.  Budget truncation eats the
+# trailing half, so across any two consecutive rounds both halves lead
+# once and every member is timed at least once.
+BATTERY = FIXED_HEAD + (_A + _B if ROUND % 2 == 0 else _B + _A)
 
 RESULT: dict = {
     "metric": "index-build docs/sec (N vs 4N cores) + BM25 top-10 p50"
@@ -615,14 +666,30 @@ def run_headline(spark) -> None:
         RESULT["facet_index_build_s"] = f"error: {e}"[:200]
     times: dict[str, float] = {}
     RESULT["queries"] = times
+    RESULT["battery_rotation"] = {
+        "round": ROUND,
+        "fixed_head": len(FIXED_HEAD),
+        "order": "A+B" if ROUND % 2 == 0 else "B+A",
+        "members": len(BATTERY),
+    }
+    # per-query contention evidence (VERDICT r03 #4): every reading
+    # carries a steal bracket; slow (>5 s) or steal-suspect readings
+    # additionally get a spin-mref sample vs the host's best-known
+    # floor so a 19.9 s pagerank vs a 6.1 s quiet reading is
+    # auto-labeled noise-or-real in the JSON itself.
+    from tse_spark.bench_build import _spin_mref
+
+    evidence: dict[str, dict] = {}
+    RESULT["query_evidence"] = evidence
+    mref_floor = _host_mref_floor()
     # the battery runs LAST of the fixed phases (serving_pruned records
     # before it) and is the adaptive budget consumer: members degrade
-    # tail-first in list order down to a flat 15 s floor
-    for name in HEADLINE:
+    # tail-first in rotation order down to a flat 15 s floor
+    for name in BATTERY:
         if left() < 15.0:
             RESULT["headline_note"] = (
                 f"budget: stopped before {name} "
-                f"({len(HEADLINE) - len(times)} queries skipped)"
+                f"({len(BATTERY) - len(times)} queries skipped)"
             )
             break
         fn = qs[name]
@@ -638,6 +705,7 @@ def run_headline(spark) -> None:
         sc.setJobGroup(gid, name, interruptOnCancel=True)
         timer = threading.Timer(cap_s, lambda: sc.cancelJobGroup(gid))
         timer.start()
+        b0, s0 = _cpu_stat()
         try:
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -648,6 +716,24 @@ def run_headline(spark) -> None:
         finally:
             timer.cancel()
             sc.setJobGroup("", "")
+        b1, s1 = _cpu_stat()
+        dt = time.time() - t0
+        steal = (s1 - s0) / max(1.0, (b1 - b0) + (s1 - s0))
+        if steal > 0.05 or dt > 5.0:
+            # suspicious reading: add same-VM contention evidence
+            # (steal_frac is hypervisor-only; a co-tenant process on
+            # THIS vm shows up as a depressed spin-mref instead)
+            mref = _spin_mref(0.2)
+            ratio = round(mref / mref_floor, 3) if mref_floor else None
+            evidence[name] = {
+                "steal": round(steal, 3),
+                "mref_ratio": ratio,
+                "contended": bool(
+                    steal > 0.05 or (ratio is not None and ratio < 0.8)
+                ),
+            }
+        elif steal > 0.0:
+            evidence[name] = {"steal": round(steal, 3), "contended": False}
         RESULT["value"] = round(sum(t for t in times.values() if t > 0), 3)
         flush()
     flush()

@@ -53,6 +53,92 @@ def test_pagerank_matches_reference(spark):
         assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_pagerank_warm_start_continues_cold_trajectory(spark):
+    """Seeding with the k-iteration ranks and running m more gives
+    exactly the (k+m)-iteration cold result — the Markov property the
+    pagerank_warm driver oracle relies on."""
+    verts = [0, 1, 2, 3, 4, 5]
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0), (2, 3)]
+    vdf = spark.createDataFrame([(v,) for v in verts], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    prior = linkrank.pagerank(vdf, edf, n_iter=2)
+    warm = linkrank.pagerank(vdf, edf, n_iter=3, prior=prior)
+    cold = _run_pr(spark, verts, edges, 5)
+    got = {r["id"]: r["rank"] for r in warm.collect()}
+    for v in verts:
+        assert got[v] == pytest.approx(cold[v], abs=1e-12)
+
+
+def test_pagerank_warm_start_fewer_iterations_to_fixpoint(spark):
+    """From a converged prior, re-convergence after a small graph
+    change takes fewer iterations than a cold start — the live-index
+    append loop's payoff.  Iteration counts are measured against the
+    numpy reference (same formula) for speed; the Spark operator's
+    conformance to that reference is pinned above."""
+    rng = np.random.RandomState(7)
+    n = 60
+    edges = {(int(rng.randint(n)), int(rng.randint(n))) for _ in range(180)}
+    verts = list(range(n))
+
+    def iters_to_fixpoint(seed_vec, es):
+        vs = sorted(verts)
+        idx = {v: i for i, v in enumerate(vs)}
+        ess = {(s, t) for s, t in es if s in idx and t in idx}
+        deg: dict = {}
+        for s, _ in ess:
+            deg[s] = deg.get(s, 0) + 1
+        r = seed_vec / seed_vec.sum()
+        for k in range(1, 200):
+            dm = sum(r[idx[v]] for v in vs if v not in deg)
+            nr = np.full(n, 0.15 / n + 0.85 * dm / n)
+            for s, t in ess:
+                nr[idx[t]] += 0.85 * r[idx[s]] / deg[s]
+            if np.abs(nr - r).sum() < 1e-10:
+                return k
+            r = nr
+        return 200
+
+    # converge on the base graph, then append a few edges
+    base = {v: r for v, r in ref_pagerank(verts, edges, 60).items()}
+    changed = edges | {(0, 59), (59, 1), (30, 0)}
+    warm_seed = np.array([base[v] for v in sorted(verts)])
+    cold_seed = np.full(n, 1.0 / n)
+    warm_iters = iters_to_fixpoint(warm_seed, changed)
+    cold_iters = iters_to_fixpoint(cold_seed, changed)
+    assert warm_iters < cold_iters
+
+    # and the Spark warm path lands on the same fixpoint as cold
+    vdf = spark.createDataFrame([(v,) for v in verts], "id long")
+    edf = spark.createDataFrame(sorted(changed), "src long, dst long")
+    pdf = spark.createDataFrame(
+        [(v, float(base[v])) for v in verts], "id long, rank double"
+    )
+    warm = linkrank.pagerank(vdf, edf, n_iter=warm_iters + 2, prior=pdf)
+    got = {r["id"]: r["rank"] for r in warm.collect()}
+    want = ref_pagerank(verts, changed, cold_iters + 5)
+    for v in verts:
+        assert got[v] == pytest.approx(want[v], abs=1e-8)
+
+
+def test_pagerank_warm_start_absent_vertices_renormalize(spark):
+    """A stale prior (missing newly appended vertices, arbitrary total
+    mass) still yields sum(rank) == 1 after one iteration."""
+    verts = [0, 1, 2, 3]
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    vdf = spark.createDataFrame([(v,) for v in verts], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    # prior covers only vertices 0..1 and is unnormalized
+    pdf = spark.createDataFrame(
+        [(0, 3.0), (1, 1.0)], "id long, rank double"
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in linkrank.pagerank(vdf, edf, n_iter=1, prior=pdf).collect()
+    }
+    assert set(got) == set(verts)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
 def test_pagerank_all_dangling_stays_uniform(spark):
     got = _run_pr(spark, [1, 2, 3], [], 4)
     for v in (1, 2, 3):

@@ -45,6 +45,8 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 5,
+    prior: DataFrame | None = None,
+    prior_rank_col: str = "rank",
 ) -> DataFrame:
     """PageRank after ``n_iter`` power iterations.
 
@@ -64,6 +66,19 @@ def pagerank(
     back in (Spark plans these as broadcast nested loops over one row).
     ``checkpoint_every`` bounds lineage via ``localCheckpoint`` so deep
     iteration counts do not stack a quadratic plan.
+
+    Warm start: ``prior`` (``id_col``, ``prior_rank_col``) seeds the
+    iteration instead of the uniform vector — the live-index loop
+    (append a crawl wave, re-rank) re-converges from the previous
+    generation's ranks in a fraction of the iterations a cold start
+    needs.  Power iteration is Markovian, so continuing from a prior
+    IS the cold trajectory: seed = r_k gives exactly r_{k+n_iter}
+    (pinned in tests and the ``pagerank_warm`` driver oracle).
+    Vertices absent from the prior (newly appended docs) seed at the
+    uniform 1/n share; the seed is then renormalized to sum 1 so the
+    invariant holds regardless of how stale the prior is.  The prior
+    joins on the vertex key (one hash shuffle) and the normalizer is a
+    1-row cross join — same no-collect discipline as the loop body.
     """
     verts = vertices.select(F.col(id_col).alias("id")).distinct()
     e = edges.select(
@@ -80,9 +95,29 @@ def pagerank(
     n_df = verts.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
 
-    ranks = verts.crossJoin(n_df).select(
-        "id", (F.lit(1.0) / F.col("__n")).alias("rank")
-    )
+    if prior is None:
+        ranks = verts.crossJoin(n_df).select(
+            "id", (F.lit(1.0) / F.col("__n")).alias("rank")
+        )
+    else:
+        p = prior.select(
+            F.col(id_col).alias("id"),
+            F.col(prior_rank_col).cast("double").alias("__p"),
+        )
+        seeded = (
+            verts.join(p, "id", "left")
+            .crossJoin(n_df)
+            .select(
+                "id",
+                F.coalesce(
+                    F.col("__p"), F.lit(1.0) / F.col("__n")
+                ).alias("__s"),
+            )
+        )
+        tot = seeded.agg(F.sum("__s").alias("__tot"))
+        ranks = seeded.crossJoin(tot).select(
+            "id", (F.col("__s") / F.col("__tot")).alias("rank")
+        )
     for i in range(n_iter):
         contrib = (
             e.join(ranks, e.src == ranks.id)
