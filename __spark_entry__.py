@@ -1923,6 +1923,50 @@ def _q_media_gif_roundtrip(spark, sf):
     )
 
 
+def _q_media_jpeg_roundtrip(spark, sf):
+    """REAL baseline-JPEG bytes through the driver gate: block-aligned
+    piecewise-flat gray images are DCT/quantize/Huffman-encoded into
+    actual JFIF payloads inside the task (operators/jpeg.encode_jpeg,
+    quality 75 — luminance DC quantizer exactly 8, so flat blocks
+    survive the lossy codec bit-exactly), then decode_image_features
+    with the stdlib backend Huffman-decodes + IDCTs them back.  The
+    oracle recomputes the pixel law's exact mean/std, so any drift in
+    either codec direction hash-mismatches.  400 rows at every sf
+    (coverage, not throughput — same stance as media_gif_roundtrip)."""
+    from tse_spark.operators import multimodal as mm
+
+    out = mm.decode_image_features(
+        mm.jpeg_media_df(spark, 400), decode_backend="stdlib"
+    )
+    return out.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round("mean_px", 4).alias("mean_px"),
+        F.round("std_px", 4).alias("std_px"),
+    )
+
+
+def _q_media_mixed_roundtrip(spark, sf):
+    """Mixed PNG/GIF/JPEG corpus through ONE decode_image_features
+    pass: the stdlib router byte-sniffs each payload (PNG signature,
+    GIF8, FFD8FF) and decodes with the matching real codec.  PNG and
+    GIF rows carry the gif pixel law (PNG is lossless), JPEG rows the
+    flat-halves law; the oracle unions the per-format feature laws."""
+    from tse_spark.operators import multimodal as mm
+
+    out = mm.decode_image_features(
+        mm.mixed_media_df(spark, 300), decode_backend="stdlib"
+    )
+    return out.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round("mean_px", 4).alias("mean_px"),
+        F.round("std_px", 4).alias("std_px"),
+    )
+
+
 def _q_media_audio_features(spark, sf):
     from tse_spark.operators import multimodal as mm
 
@@ -3422,6 +3466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         # -- still never-sampled after the r4 head-50: next round's head --
         "pagerank_warm": _q_pagerank_warm,
+        "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
+        "media_mixed_roundtrip": _q_media_mixed_roundtrip,
         "ann_int8": _q_ann_int8,
         "ann_int8_indexed": _q_ann_int8_indexed,
         "lsh_ann_appended": _q_lsh_ann_appended,
@@ -5379,6 +5425,54 @@ def oracle_sql() -> dict[str, str]:
                  list_avg(list_transform(l, x -> x * x))
                    - list_avg(l) * list_avg(l), 0)), 4) AS std_px
         FROM px""",
+        # real-JPEG round trip: the flat-halves law is exactly
+        # preserved by the quality-75 codec (DC quantizer 8, flat
+        # 8x8 blocks), so mean = (v1+v2)/2 and std = |v1-v2|/2 exactly
+        "media_jpeg_roundtrip": """
+        WITH m AS (
+          SELECT media_id,
+                 16 * (1 + (media_id // 3) % 3) AS w,
+                 5 + (media_id * 11) % 12 AS h,
+                 CAST((media_id * 37 + 11) % 256 AS DOUBLE) AS v1,
+                 CAST((media_id * 73 + 97) % 256 AS DOUBLE) AS v2
+          FROM range(400) t(media_id))
+        SELECT media_id, w AS width, h AS height,
+               round((v1 + v2) / 2, 4) AS mean_px,
+               round(abs(v1 - v2) / 2, 4) AS std_px
+        FROM m""",
+        # mixed-format router: PNG/GIF rows reuse the gif pixel law
+        # (PNG lossless), JPEG rows the flat-halves law
+        "media_mixed_roundtrip": """
+        WITH ids AS (SELECT media_id FROM range(300) t(media_id)),
+        pg AS (
+          SELECT media_id, 4 + (media_id * 7) % 13 AS w,
+                 3 + (media_id * 11) % 9 AS h
+          FROM ids WHERE media_id % 3 <> 2),
+        pgf AS (
+          SELECT media_id, w, h,
+                 list_transform(range(w * h),
+                   p -> CAST((media_id * 131 + p * 7) % 256 AS DOUBLE)) AS l
+          FROM pg),
+        pngif AS (
+          SELECT media_id, w AS width, h AS height,
+                 round(list_avg(l), 4) AS mean_px,
+                 round(sqrt(greatest(
+                   list_avg(list_transform(l, x -> x * x))
+                     - list_avg(l) * list_avg(l), 0)), 4) AS std_px
+          FROM pgf),
+        jp AS (
+          SELECT media_id,
+                 16 * (1 + (media_id // 3) % 3) AS width,
+                 5 + (media_id * 11) % 12 AS height,
+                 CAST((media_id * 37 + 11) % 256 AS DOUBLE) AS v1,
+                 CAST((media_id * 73 + 97) % 256 AS DOUBLE) AS v2
+          FROM ids WHERE media_id % 3 = 2)
+        SELECT media_id, width, height, mean_px, std_px FROM pngif
+        UNION ALL
+        SELECT media_id, width, height,
+               round((v1 + v2) / 2, 4) AS mean_px,
+               round(abs(v1 - v2) / 2, 4) AS std_px
+        FROM jp""",
         "media_audio_features": _MEDIA_AUDIO_SQL,
         "media_frame_sample": _MEDIA_FRAMES_SQL,
         "snapshot_by_url": f"""

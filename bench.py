@@ -242,6 +242,8 @@ HEADLINE = [
     "recrawl_priority",
     # round-4 additions
     "pagerank_warm",
+    "media_jpeg_roundtrip",
+    "media_mixed_roundtrip",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving

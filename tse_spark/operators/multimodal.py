@@ -12,8 +12,10 @@ the byte decoder:
   mode the driver correctness gate uses);
 - ``"stdlib"``: REAL byte decoding with no third-party deps —
   :func:`decode_png` (8-bit gray/RGB PNG: zlib inflate + all five
-  scanline filters incl. Paeth) and :func:`decode_wav` (RIFF/PCM via
-  the ``wave`` module), pytest-verified on real encoded blobs;
+  scanline filters incl. Paeth), baseline JPEG (SOF0 JFIF — DCT,
+  quality-scaled quantization, spec Huffman tables; operators/jpeg.py)
+  and :func:`decode_wav` (RIFF/PCM via the ``wave`` module),
+  pytest-verified on real encoded blobs;
 - ``"pillow"``: PIL-backed image decode for arbitrary formats —
   activates when pillow is importable, otherwise raises
   NotImplementedError EAGERLY (at operator build, not inside tasks);
@@ -511,17 +513,100 @@ def gif_media_df(spark, n_rows: int) -> DataFrame:
     )
 
 
+def _jpeg_flat_halves(i: int) -> np.ndarray:
+    """Deterministic block-aligned piecewise-flat gray image for id i:
+    w = 16 * (1 + (i//3) % 3), h = 5 + (i*11) % 12, left half
+    v1 = (i*37 + 11) % 256, right half v2 = (i*73 + 97) % 256.  The
+    halves split on a multiple of 8, so every 8x8 block is flat and the
+    quality-75 encode (luminance DC quantizer exactly 8) round-trips
+    bit-exactly — the SQL-checkable corner of a lossy codec."""
+    w = 16 * (1 + (i // 3) % 3)
+    h = 5 + (i * 11) % 12
+    v1 = (i * 37 + 11) % 256
+    v2 = (i * 73 + 97) % 256
+    px = np.full((h, w), v1, dtype=np.uint8)
+    px[:, w // 2:] = v2
+    return px
+
+
+def jpeg_media_df(spark, n_rows: int) -> DataFrame:
+    """Media table whose payloads are REAL baseline JPEG bytes: the
+    :func:`_jpeg_flat_halves` image per id, encoded by
+    operators/jpeg.encode_jpeg at quality 75 inside the task.  The
+    pixel law survives the lossy codec exactly (see the helper), so a
+    DuckDB oracle verifies the full DCT/quantize/Huffman encode ->
+    store -> decode loop."""
+    from tse_spark.operators.jpeg import encode_jpeg
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rows.append(
+                    ("image", i, encode_jpeg(_jpeg_flat_halves(i),
+                                             quality=75))
+                )
+            yield pd.DataFrame(
+                rows, columns=["kind", "media_id", "payload"]
+            )
+
+    return spark.range(n_rows).mapInPandas(
+        gen, "kind string, media_id long, payload binary"
+    )
+
+
+def mixed_media_df(spark, n_rows: int) -> DataFrame:
+    """Mixed-format corpus exercising the stdlib router's sniffing:
+    id % 3 == 0 -> PNG, 1 -> GIF (both carrying the gif_media_df pixel
+    law — PNG is lossless so the features match the same SQL), 2 ->
+    JPEG (the flat-halves law).  One decode_image_features pass over
+    this table proves all three byte decoders against one oracle."""
+    from tse_spark.operators.jpeg import encode_jpeg
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                f = i % 3
+                if f == 2:
+                    payload = encode_jpeg(_jpeg_flat_halves(i), quality=75)
+                else:
+                    w, h = 4 + (i * 7) % 13, 3 + (i * 11) % 9
+                    p = np.arange(w * h, dtype=np.int64)
+                    px = ((i * 131 + p * 7) % 256).astype(
+                        np.uint8
+                    ).reshape(h, w)
+                    payload = encode_png(px) if f == 0 else encode_gif(px)
+                rows.append(("image", i, payload))
+            yield pd.DataFrame(
+                rows, columns=["kind", "media_id", "payload"]
+            )
+
+    return spark.range(n_rows).mapInPandas(
+        gen, "kind string, media_id long, payload binary"
+    )
+
+
 def decode_image_stdlib(data: bytes) -> np.ndarray:
-    """Signature-sniffing stdlib image decode: PNG (8-bit gray/RGB) or
-    GIF (87a/89a, non-interlaced) — the two formats the no-dependency
-    backend handles; anything else routes to pillow."""
+    """Signature-sniffing stdlib image decode: PNG (8-bit gray/RGB),
+    GIF (87a/89a, non-interlaced), or baseline JPEG (SOF0 JFIF/EXIF —
+    operators/jpeg.py; progressive raises with the pillow hint) — the
+    formats the no-dependency backend handles; anything else routes to
+    pillow."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:4] == b"GIF8":
         return decode_gif(data)
+    if data[:3] == b"\xff\xd8\xff":
+        from tse_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError(
         "unsupported image format for decode_backend='stdlib' "
-        "(PNG and GIF supported) — use decode_backend='pillow'"
+        "(PNG, GIF and baseline JPEG supported) — use "
+        "decode_backend='pillow'"
     )
 
 
