@@ -2032,6 +2032,123 @@ def _q_url_classify(spark, sf):
     )
 
 
+def _q_tianwang_ingest(spark, sf):
+    """Raw-page-store roundtrip through REAL Tianwang framing (the
+    reference's native record file, tse/TianwangFile.cpp:36-58): docs
+    are serialized into multi-record blobs inside the task (one blob
+    per 50 docs, the per-thread-file shape), then
+    sources/rawfiles.parse_tianwang re-scans them with the reference's
+    marker + length framing (index/DocIndex.cpp:53-79).  The oracle
+    recomputes every field — url/date/ip laws, the length arithmetic
+    (header + body + 1), and the reference's md5-over-length-bytes
+    checksum — so a single byte of framing drift hash-mismatches."""
+    from tse_spark.sources import rawfiles as rf
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    urls = _synth_urls(spark, sf)
+    src = docs.join(urls, "doc_id").withColumn(
+        "blob_id", (F.col("doc_id") / 50).cast("long")
+    )
+
+    def per_blob(pdf):
+        pdf = pdf.sort_values("doc_id")
+        blob = b"".join(
+            rf.format_tianwang_record(
+                r.url,
+                rf.rfc1123(rf.synth_date(r.doc_id)),
+                rf.synth_ip(r.doc_id),
+                rf.HEADER,
+                str(r.text).encode("utf-8"),
+            )
+            for r in pdf.itertuples()
+        )
+        recs = rf.parse_tianwang(blob)
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {
+                "url": [r["url"] for r in recs],
+                "date": [r["date"] for r in recs],
+                "ip": [r["ip"] for r in recs],
+                "length": [r["length"] for r in recs],
+                "checksum": [r["checksum"] for r in recs],
+            }
+        )
+
+    return src.groupBy("blob_id").applyInPandas(
+        per_blob,
+        "url string, date string, ip string, length long, checksum string",
+    )
+
+
+def _q_warc_ingest(spark, sf):
+    """Common-Crawl-container roundtrip: the same docs serialized as
+    WARC/1.0 response records in per-record gzip members (the CC
+    layout), with a request record interleaved per blob that the
+    parser must skip, then parse_warc unwraps the members and frames
+    by Content-Length.  Oracle recomputes url/date/record-id laws, the
+    content length, and md5 of the body bytes."""
+    from tse_spark.sources import rawfiles as rf
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    urls = _synth_urls(spark, sf)
+    src = docs.join(urls, "doc_id").withColumn(
+        "blob_id", (F.col("doc_id") / 50).cast("long")
+    )
+
+    def per_blob(pdf):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        pdf = pdf.sort_values("doc_id")
+        parts = []
+        for k, r in enumerate(pdf.itertuples()):
+            if k == 0:  # a non-response record the parser must skip
+                import gzip as _gz
+                import io as _io
+
+                plain = rf.format_warc_record(
+                    r.url,
+                    rf.iso8601(rf.synth_date(r.doc_id)),
+                    b"GET / HTTP/1.1\r\n\r\n",
+                    b"",
+                    f"urn:uuid:{int(r.doc_id):032x}",
+                    gzip_member=False,
+                ).replace(b"WARC-Type: response", b"WARC-Type: request")
+                buf = _io.BytesIO()
+                with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                    g.write(plain)
+                parts.append(buf.getvalue())
+            parts.append(
+                rf.format_warc_record(
+                    r.url,
+                    rf.iso8601(rf.synth_date(r.doc_id)),
+                    rf.HEADER,
+                    str(r.text).encode("utf-8"),
+                    f"urn:uuid:{int(r.doc_id):032x}",
+                )
+            )
+        recs = rf.parse_warc(b"".join(parts))
+        return _pd.DataFrame(
+            {
+                "url": [r["url"] for r in recs],
+                "date": [r["date"] for r in recs],
+                "record_id": [r["record_id"] for r in recs],
+                "content_length": [r["content_length"] for r in recs],
+                "body_md5": [
+                    _hl.md5(r["body"]).hexdigest() for r in recs
+                ],
+            }
+        )
+
+    return src.groupBy("blob_id").applyInPandas(
+        per_blob,
+        "url string, date string, record_id string, "
+        "content_length long, body_md5 string",
+    )
+
+
 def _q_frontier_wave(spark, sf):
     from tse_spark.operators import crawl
 
@@ -3468,6 +3585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm": _q_pagerank_warm,
         "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
         "media_mixed_roundtrip": _q_media_mixed_roundtrip,
+        "tianwang_ingest": _q_tianwang_ingest,
+        "warc_ingest": _q_warc_ingest,
         "ann_int8": _q_ann_int8,
         "ann_int8_indexed": _q_ann_int8_indexed,
         "lsh_ann_appended": _q_lsh_ann_appended,
@@ -5473,6 +5592,34 @@ def oracle_sql() -> dict[str, str]:
                round((v1 + v2) / 2, 4) AS mean_px,
                round(abs(v1 - v2) / 2, 4) AS std_px
         FROM jp""",
+        # raw crawl-file ingest roundtrips: every field recomputed from
+        # the deterministic laws (sources/rawfiles.py), incl. the
+        # reference's length arithmetic (header+body+1) and its
+        # md5-over-length-bytes checksum (index/DocIndex.cpp:76-79)
+        "tianwang_ingest": f"""
+        WITH p AS (
+          SELECT doc_id, {_SYNTH_URL_EXPR} AS url, text FROM documents)
+        SELECT url,
+          strftime(TIMESTAMP '2004-06-01 00:00:00'
+                     + doc_id * 7 * (INTERVAL 1 SECOND),
+                   '%a, %d %b %Y %H:%M:%S GMT') AS date,
+          '10.0.' || (doc_id % 250)::VARCHAR || '.1' AS ip,
+          45 + octet_length(encode(text)) AS length,
+          md5('HTTP/1.1 200 OK' || chr(13) || chr(10)
+              || 'Content-Type: text/html' || chr(13) || chr(10)
+              || chr(13) || chr(10) || chr(10) || text) AS checksum
+        FROM p""",
+        "warc_ingest": f"""
+        WITH p AS (
+          SELECT doc_id, {_SYNTH_URL_EXPR} AS url, text FROM documents)
+        SELECT url,
+          strftime(TIMESTAMP '2004-06-01 00:00:00'
+                     + doc_id * 7 * (INTERVAL 1 SECOND),
+                   '%Y-%m-%dT%H:%M:%SZ') AS date,
+          printf('urn:uuid:%032x', doc_id) AS record_id,
+          44 + octet_length(encode(text)) AS content_length,
+          md5(text) AS body_md5
+        FROM p""",
         "media_audio_features": _MEDIA_AUDIO_SQL,
         "media_frame_sample": _MEDIA_FRAMES_SQL,
         "snapshot_by_url": f"""

@@ -244,6 +244,8 @@ HEADLINE = [
     "pagerank_warm",
     "media_jpeg_roundtrip",
     "media_mixed_roundtrip",
+    "tianwang_ingest",
+    "warc_ingest",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving
