@@ -327,6 +327,61 @@ def _q_postings_strings(spark, sf):
     )
 
 
+def _q_postings_codec(spark, sf):
+    """Alternative posting codecs through the driver gate: every
+    posting list of the bench vocabulary is re-encoded inside the task
+    with Simple8b (on doc-id gaps) AND Elias-Fano (on absolute ids,
+    operators/intcodec.py), decoded back, and emitted as the joined id
+    string per codec — the oracle recomputes the true posting from the
+    tf law, so one wrong id at any position in either codec
+    hash-mismatches."""
+    from pyspark.sql import types as T
+
+    tf = _tf_ws(spark, sf)
+    grouped = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("docs"),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("df", T.LongType()),
+            T.StructField("posting_s8b", T.StringType()),
+            T.StructField("posting_ef", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from tse_spark.operators import intcodec as ic
+
+        for pdf in batches:
+            recs = []
+            for r in pdf.itertuples():
+                ids = _np.asarray(list(r.docs), dtype=_np.uint64)
+                gaps = _np.diff(_np.concatenate([[0], ids]))
+                s8b = ic.simple8b_decode_bytes(
+                    ic.simple8b_encode_bytes(gaps)
+                ).cumsum()
+                ef = ic.elias_fano_decode(ic.elias_fano_encode(ids))
+                recs.append(
+                    (
+                        r.term,
+                        int(r.df),
+                        ",".join(str(int(x)) for x in s8b),
+                        ",".join(str(int(x)) for x in ef),
+                    )
+                )
+            yield _pd.DataFrame(
+                recs, columns=["term", "df", "posting_s8b", "posting_ef"]
+            )
+
+    return grouped.mapInPandas(run, schema=schema)
+
+
 def _q_top_terms(spark, sf):
     tf = _tf_ws(spark, sf)
     return (
@@ -3587,6 +3642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mixed_roundtrip": _q_media_mixed_roundtrip,
         "tianwang_ingest": _q_tianwang_ingest,
         "warc_ingest": _q_warc_ingest,
+        "postings_codec": _q_postings_codec,
         "ann_int8": _q_ann_int8,
         "ann_int8_indexed": _q_ann_int8_indexed,
         "lsh_ann_appended": _q_lsh_ann_appended,
@@ -5001,6 +5057,15 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT term, count(*)::BIGINT AS df,
                string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS posting
+        FROM tf GROUP BY term""",
+        # both codec columns must equal the true posting list
+        "postings_codec": _TOK
+        + """
+        SELECT term, count(*)::BIGINT AS df,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                 AS posting_s8b,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                 AS posting_ef
         FROM tf GROUP BY term""",
         "top_terms": _TOK
         + """

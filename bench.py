@@ -246,6 +246,7 @@ HEADLINE = [
     "media_mixed_roundtrip",
     "tianwang_ingest",
     "warc_ingest",
+    "postings_codec",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving
