@@ -327,6 +327,36 @@ def _q_postings_strings(spark, sf):
     )
 
 
+def _q_vocab_growth(spark, sf):
+    """Heaps-law raw material: cumulative (docs, tokens, vocab) per
+    corpus decile (operators/corpuslaws.py).  Decile boundaries use
+    integer arithmetic on both engines so there is no float-boundary
+    drift; a term counts toward the decile of its FIRST occurrence."""
+    from tse_spark.operators import corpuslaws as cl
+
+    n = _n_docs(spark, sf)
+    return cl.vocab_growth(_tf_ws_cached(spark, sf), n)
+
+
+def _q_heaps_fit(spark, sf):
+    """V = k * T^beta fitted by ln-ln least squares over the decile
+    growth points — the dictionary-size forecast used to size shard
+    counts before a corpus-scale jump."""
+    from tse_spark.operators import corpuslaws as cl
+
+    n = _n_docs(spark, sf)
+    return cl.heaps_fit(cl.vocab_growth(_tf_ws_cached(spark, sf), n))
+
+
+def _q_zipf_slope(spark, sf):
+    """Zipf rank-frequency slope over the top-100 terms (ties broken by
+    term) — the posting-skew forecast behind the salted (term, shard)
+    shuffle sizing."""
+    from tse_spark.operators import corpuslaws as cl
+
+    return cl.zipf_slope(_tf_ws_cached(spark, sf), top_n=100)
+
+
 def _q_postings_codec(spark, sf):
     """Alternative posting codecs through the driver gate: every
     posting list of the bench vocabulary is re-encoded inside the task
@@ -3643,6 +3673,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tianwang_ingest": _q_tianwang_ingest,
         "warc_ingest": _q_warc_ingest,
         "postings_codec": _q_postings_codec,
+        "vocab_growth": _q_vocab_growth,
+        "heaps_fit": _q_heaps_fit,
+        "zipf_slope": _q_zipf_slope,
         "ann_int8": _q_ann_int8,
         "ann_int8_indexed": _q_ann_int8_indexed,
         "lsh_ann_appended": _q_lsh_ann_appended,
@@ -5058,6 +5091,72 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, count(*)::BIGINT AS df,
                string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS posting
         FROM tf GROUP BY term""",
+        # corpus laws: integer decile arithmetic + closed-form ln-ln
+        # least squares, identical aggregates on both engines
+        "vocab_growth": _TOK
+        + """,
+        n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        first AS (SELECT term, min(doc_id) AS fd FROM tf GROUP BY term),
+        ks AS (SELECT unnest(range(1, 11)) AS decile),
+        vper AS (
+          SELECT (fd * 10 // n.n) + 1 AS d, count(*)::BIGINT AS c
+          FROM first, n GROUP BY 1),
+        tper AS (
+          SELECT (doc_id * 10 // n.n) + 1 AS d, sum(tf)::BIGINT AS c
+          FROM tf, n GROUP BY 1)
+        SELECT ks.decile,
+          (ks.decile * n.n + 9) // 10 AS docs_prefix,
+          (SELECT coalesce(sum(c), 0) FROM tper
+           WHERE d <= ks.decile)::BIGINT AS tokens_prefix,
+          (SELECT coalesce(sum(c), 0) FROM vper
+           WHERE d <= ks.decile)::BIGINT AS vocab_prefix
+        FROM ks, n""",
+        "heaps_fit": _TOK
+        + """,
+        n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        first AS (SELECT term, min(doc_id) AS fd FROM tf GROUP BY term),
+        ks AS (SELECT unnest(range(1, 11)) AS decile),
+        vper AS (
+          SELECT (fd * 10 // n.n) + 1 AS d, count(*)::BIGINT AS c
+          FROM first, n GROUP BY 1),
+        tper AS (
+          SELECT (doc_id * 10 // n.n) + 1 AS d, sum(tf)::BIGINT AS c
+          FROM tf, n GROUP BY 1),
+        g AS (
+          SELECT
+            (SELECT coalesce(sum(c), 0) FROM tper WHERE d <= ks.decile)
+              AS t,
+            (SELECT coalesce(sum(c), 0) FROM vper WHERE d <= ks.decile)
+              AS v
+          FROM ks),
+        pts AS (
+          SELECT ln(t::DOUBLE) AS lx, ln(v::DOUBLE) AS ly
+          FROM g WHERE t > 0 AND v > 0),
+        a AS (
+          SELECT count(*)::DOUBLE AS m, sum(lx) AS sx, sum(ly) AS sy,
+                 sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+          FROM pts)
+        SELECT
+          round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4)
+            AS heaps_beta,
+          round(exp((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx)
+                     * sx) / m), 4) AS heaps_k
+        FROM a""",
+        "zipf_slope": _TOK
+        + """,
+        cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+        rk AS (
+          SELECT cf, row_number() OVER (ORDER BY cf DESC, term) AS rank
+          FROM cf QUALIFY rank <= 100),
+        pts AS (
+          SELECT ln(rank::DOUBLE) AS lx, ln(cf::DOUBLE) AS ly FROM rk),
+        a AS (
+          SELECT count(*)::DOUBLE AS m, sum(lx) AS sx, sum(ly) AS sy,
+                 sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+          FROM pts)
+        SELECT round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4)
+          AS zipf_slope
+        FROM a""",
         # both codec columns must equal the true posting list
         "postings_codec": _TOK
         + """

@@ -247,6 +247,9 @@ HEADLINE = [
     "tianwang_ingest",
     "warc_ingest",
     "postings_codec",
+    "vocab_growth",
+    "heaps_fit",
+    "zipf_slope",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving
