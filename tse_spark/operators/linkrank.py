@@ -358,6 +358,12 @@ def hits(
                 "hub",
             )
         )
+        # each normalize references `scores` TWICE (norm aggregate +
+        # crossJoin input); without a lineage cut every half-step
+        # doubles the recompute of everything upstream — 2 iterations
+        # = 4 doublings = a 16x plan.  localCheckpoint materializes
+        # the half-step once.
+        scores = scores.localCheckpoint(eager=False)
         an = scores.agg(
             F.sqrt(F.sum(F.col("auth") * F.col("auth"))).alias("__an")
         )
@@ -384,6 +390,7 @@ def hits(
                 F.coalesce(F.col("__h"), F.lit(0.0)).alias("hub"),
             )
         )
+        scores = scores.localCheckpoint(eager=False)  # same cut as auth
         hn = scores.agg(
             F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("__hn")
         )
