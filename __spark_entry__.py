@@ -864,6 +864,16 @@ def _q_wand_topk(spark, sf):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _q_maxscore_topk(spark, sf):
+    """MaxScore (Turtle & Flood) over the same compressed shards as
+    wand_topk — a second dynamic-pruning algorithm, exact under the
+    same scoring, so it shares wand_topk's exhaustive-BM25 oracle and
+    a pytest pins it rank-identical (incl. tie-breaks) to WAND."""
+    h = _ws_index(spark, sf)
+    out = h.engine.search(" ".join(BM25_QUERY), K, algo="maxscore")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_wand_conjunctive(spark, sf):
     h = _ws_index(spark, sf)
     out = h.engine.search(" ".join(BM25_CONJ_QUERY), K, conjunctive=True)
@@ -3691,6 +3701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": _q_vocab_growth,
         "heaps_fit": _q_heaps_fit,
         "zipf_slope": _q_zipf_slope,
+        "maxscore_topk": _q_maxscore_topk,
         "ann_int8": _q_ann_int8,
         "ann_int8_indexed": _q_ann_int8_indexed,
         "lsh_ann_appended": _q_lsh_ann_appended,
@@ -5089,6 +5100,14 @@ def oracle_sql() -> dict[str, str]:
         WHERE rn <= 2 ORDER BY score DESC, doc_id LIMIT 10""",
         # WAND over compressed shards must reproduce exhaustive BM25
         "wand_topk": _TOK
+        + bm25_3
+        + """
+        SELECT doc_id, round(sum(s), 4) AS score
+        FROM perterm GROUP BY doc_id
+        ORDER BY sum(s) DESC, doc_id LIMIT 10""",
+        # MaxScore is a different pruning algorithm over the same
+        # shards — exact, so the oracle is the same exhaustive BM25
+        "maxscore_topk": _TOK
         + bm25_3
         + """
         SELECT doc_id, round(sum(s), 4) AS score

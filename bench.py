@@ -250,6 +250,7 @@ HEADLINE = [
     "vocab_growth",
     "heaps_fit",
     "zipf_slope",
+    "maxscore_topk",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving

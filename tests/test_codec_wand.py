@@ -144,6 +144,74 @@ def test_blockmax_vectorized_equals_exhaustive(py_engine, k):
             assert gs == pytest.approx(ws, abs=1e-9)
 
 
+@pytest.mark.parametrize("k", [1, 5, 10, 50])
+def test_maxscore_equals_exhaustive(py_engine, k):
+    """MaxScore (the second dynamic-pruning algorithm) must reproduce
+    exhaustive BM25 exactly — same contract as WAND, independent
+    pruning proof."""
+    for qid, query, _ in fixtures.gen_queries():
+        qb = query.encode(GB)
+        terms = sorted(set(py_engine.query_terms(qb)))
+        runs = _mk_runs(py_engine, terms)
+        got = wand.maxscore_topk_local(runs, py_engine.avgdl, k)
+        want = py_engine.search(qb, k)
+        assert [d for d, _ in got] == [d for d, _ in want], f"q={query!r} k={k}"
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_maxscore_equals_wand_random_postings():
+    """Adversarial synthetic runs (uniform scores force tie-heavy
+    top-ks): MaxScore and WAND must agree doc-for-doc, score-for-score,
+    including doc-asc tie-breaks."""
+    rng = np.random.RandomState(5)
+    avgdl = 20.0
+    for trial in range(30):
+        n_terms = rng.randint(1, 5)
+        runs = []
+        for _ in range(n_terms):
+            nd = rng.randint(1, 120)
+            docs = np.unique(rng.randint(0, 400, nd)).astype(np.int64)
+            tfs = rng.randint(1, 4, len(docs)).astype(np.int64)
+            dls = np.full(len(docs), 20, dtype=np.int64)  # uniform: ties
+            blocks, _ = codec.encode_postings(
+                docs, tfs, dls, avgdl, block_size=16
+            )
+            runs.append((float(rng.uniform(0.5, 3.0)), blocks))
+        for k in (1, 3, 10, 100):
+            a = wand.wand_topk_local(runs, avgdl, k)
+            b = wand.maxscore_topk_local(runs, avgdl, k)
+            # the two algorithms sum a doc's term scores in different
+            # orders, so scores can differ in the last ulp — and an
+            # ulp at a tie can legally swap doc order.  Compare at the
+            # serving contract's precision: re-sort both by
+            # (round(score, 9) desc, doc asc).
+            norm = lambda r: sorted(  # noqa: E731
+                ((d, round(s, 9)) for d, s in r),
+                key=lambda x: (-x[1], x[0]),
+            )
+            assert norm(a) == norm(b), (trial, k, a[:5], b[:5])
+
+
+def test_maxscore_excluded_tombstones(py_engine):
+    """Excluded ids never appear and never suppress surviving docs."""
+    qb = fixtures.gen_queries()[0][1].encode(GB)
+    terms = sorted(set(py_engine.query_terms(qb)))
+    runs = _mk_runs(py_engine, terms)
+    base = wand.maxscore_topk_local(runs, py_engine.avgdl, 10)
+    assert base
+    ex = np.array(sorted(d for d, _ in base[:3]), dtype=np.int64)
+    got = wand.maxscore_topk_local(
+        runs, py_engine.avgdl, 10, excluded=ex
+    )
+    got_ids = {d for d, _ in got}
+    assert not (got_ids & set(ex.tolist()))
+    # survivors keep their exact scores
+    want = [x for x in wand.maxscore_topk_local(runs, py_engine.avgdl, 13)
+            if x[0] not in set(ex.tolist())][:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
 def test_intersect_vec_equals_conjunctive(py_engine):
     for qid, query, _ in fixtures.gen_queries():
         qb = query.encode(GB)

@@ -267,6 +267,7 @@ class SearchEngine:
         self, query: str, k: int = 10, conjunctive: bool = False,
         idf_override: dict | None = None,
         avgdl_override: float | None = None,
+        algo: str = "wand",
     ) -> DataFrame:
         """Distributed WAND: per-shard Arrow UDF -> global top-k.
 
@@ -308,6 +309,12 @@ class SearchEngine:
                 if len(runs) < n_terms:
                     return pd.DataFrame({"doc_id": [], "score": []})
                 res = wand_mod.intersect_topk_vec(runs, avgdl, k, ex)
+            elif algo == "maxscore":
+                # second dynamic-pruning algorithm; exact under the
+                # same scoring, must return identical results to wand
+                res = wand_mod.maxscore_topk_local(
+                    runs, avgdl, k, bound_scale=bscale, excluded=ex
+                )
             else:
                 res = wand_mod.blockmax_topk_local(
                     runs, avgdl, k, bound_scale=bscale, excluded=ex

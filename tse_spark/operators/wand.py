@@ -215,6 +215,88 @@ def wand_topk_local(
     return top.result()
 
 
+def maxscore_topk_local(
+    term_runs: list[tuple[float, bytes]],
+    avgdl: float,
+    k: int,
+    initial_threshold: float = float("-inf"),
+    bound_scale: float = 1.0,
+    excluded: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """MaxScore (Turtle & Flood 1995) top-k BM25 over one shard — the
+    second classic dynamic-pruning algorithm next to WAND, exact under
+    the same scoring, so the two must return IDENTICAL results
+    (including doc-asc tie-breaks) on any input: a strong cross-check
+    of both pruning soundness proofs, pinned in tests and by the
+    ``maxscore_topk`` driver query sharing wand_topk's oracle.
+
+    Terms sort by upper bound ascending; the low-bound prefix whose
+    cumulative bound is < theta is NON-ESSENTIAL — a doc appearing
+    only there cannot make the top-k, so candidates are generated DAAT
+    from the essential lists alone, and non-essential terms are probed
+    per-candidate in descending-bound order with early abandonment.
+    All pruning comparisons are STRICT (<) so a candidate that ties
+    theta is still evaluated — it can win the k-th slot on doc-asc
+    order, which keeps MaxScore bit-identical to exhaustive scoring.
+
+    ``excluded`` (sorted unique tombstoned ids) are never offered;
+    their cursors advance normally so pruning state stays consistent.
+    """
+    cursors = [
+        Cursor(blocks, idf, avgdl, bound_scale)
+        for idf, blocks in term_runs
+        if blocks
+    ]
+    cursors = [c for c in cursors if not c.exhausted]
+    if not cursors:
+        return []
+    cursors.sort(key=lambda c: c.term_max)
+    prefix = []
+    acc = 0.0
+    for c in cursors:
+        acc += c.term_max
+        prefix.append(acc)
+    top = _TopK(k)
+    theta = initial_threshold
+    ess = 0  # cursors[ess:] are the essential lists
+
+    def is_excluded(d: int) -> bool:
+        if excluded is None or not len(excluded):
+            return False
+        i = int(np.searchsorted(excluded, d))
+        return i < len(excluded) and int(excluded[i]) == d
+
+    while ess < len(cursors):
+        d = _INF
+        for c in cursors[ess:]:
+            if not c.exhausted and c.doc < d:
+                d = c.doc
+        if d >= _INF:
+            break
+        score = 0.0
+        for c in cursors[ess:]:
+            if not c.exhausted and c.doc == d:
+                score += c.score()
+                c.advance()
+        # probe non-essential terms, highest bound first, abandoning
+        # as soon as even all remaining bounds cannot REACH theta
+        abandoned = False
+        for j in range(ess - 1, -1, -1):
+            if score + prefix[j] < theta:
+                abandoned = True
+                break
+            c = cursors[j]
+            c.seek(d)
+            if not c.exhausted and c.doc == d:
+                score += c.score()
+        if not abandoned and not is_excluded(d):
+            top.offer(d, score)
+            theta = max(theta, top.threshold())
+            while ess < len(cursors) and prefix[ess] < theta:
+                ess += 1
+    return top.result()
+
+
 def _score_arrays(idf, tfs, dls, avgdl):
     k1, b = oracle.BM25_K1, oracle.BM25_B
     tfs = tfs.astype(np.float64)
