@@ -864,6 +864,21 @@ def _q_wand_topk(spark, sf):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _q_clarity_score(spark, sf):
+    """Clarity query-performance prediction (operators/qpp.py): KL
+    divergence of the BM25 top-10 set's uniform-mixture language model
+    from the corpus model — low clarity routes ambiguous queries to
+    expansion/federation.  The oracle recomputes retrieval + both
+    models + the KL sum in SQL."""
+    from tse_spark.operators import qpp
+
+    tf = _tf_ws_cached(spark, sf)
+    top = _bm25(spark, sf, BM25_QUERY, False).select("doc_id")
+    return qpp.clarity(tf, top).select(
+        F.round("clarity", 4).alias("clarity")
+    )
+
+
 def _q_maxscore_topk(spark, sf):
     """MaxScore (Turtle & Flood) over the same compressed shards as
     wand_topk — a second dynamic-pruning algorithm, exact under the
@@ -2746,6 +2761,20 @@ def _q_host_pagerank(spark, sf):
     return ranks.select("host", F.round("rank", 6).alias("rank"))
 
 
+def _q_crawl_budget(spark, sf):
+    """Per-host crawl-quota allocation (crawl.crawl_budget): 100k-fetch
+    budget split proportional to host PageRank, floor 10, cap 5000 —
+    the bandwidth decision a web-scale frontier makes per wave.  The
+    oracle applies the identical clamp law over the unrolled
+    host-PageRank SQL."""
+    from tse_spark.operators import crawl
+
+    ranks = _q_host_pagerank(spark, sf)
+    return crawl.crawl_budget(
+        ranks, total=100_000, min_quota=10, cap=5000
+    )
+
+
 def _q_hits(spark, sf):
     """HITS hubs & authorities (linkrank.hits, 2 rounds) over the same
     synthetic link graph as pagerank — the mutual-reinforcement link
@@ -3702,6 +3731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": _q_heaps_fit,
         "zipf_slope": _q_zipf_slope,
         "maxscore_topk": _q_maxscore_topk,
+        "clarity_score": _q_clarity_score,
+        "crawl_budget": _q_crawl_budget,
         "ann_int8": _q_ann_int8,
         "ann_int8_indexed": _q_ann_int8_indexed,
         "lsh_ann_appended": _q_lsh_ann_appended,
@@ -5113,6 +5144,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(sum(s), 4) AS score
         FROM perterm GROUP BY doc_id
         ORDER BY sum(s) DESC, doc_id LIMIT 10""",
+        # Clarity QPP: retrieval + relevance/corpus language models +
+        # KL sum, all from the same tf law
+        "clarity_score": _TOK
+        + bm25_3
+        + """,
+        topk AS (
+          SELECT doc_id FROM perterm GROUP BY doc_id
+          ORDER BY sum(s) DESC, doc_id LIMIT 10),
+        kk AS (SELECT count(*)::DOUBLE AS k FROM topk),
+        cm AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+        tot AS (SELECT sum(tf)::DOUBLE AS t FROM tf),
+        rel AS (
+          SELECT tf.term, sum(tf.tf::DOUBLE / dl.dl) AS s
+          FROM tf JOIN topk USING (doc_id) JOIN dl USING (doc_id)
+          GROUP BY tf.term),
+        pr AS (SELECT term, s / kk.k AS pwr FROM rel, kk)
+        SELECT round(sum(pwr * ln(pwr / (cf / tot.t))), 4) AS clarity
+        FROM pr JOIN cm USING (term), tot""",
         "wand_conjunctive": _TOK
         + bm25_2
         + f"""
@@ -5902,6 +5951,12 @@ def oracle_sql() -> dict[str, str]:
         # power iteration), so 2 cold + 1 warm == the 3-iteration oracle
         "pagerank_warm": _pagerank_oracle_sql(),
         "host_pagerank": _host_pagerank_oracle_sql(),
+        # the same clamp law over the unrolled host-PageRank oracle
+        "crawl_budget": f"""
+        SELECT host,
+               greatest(10, least(5000,
+                 CAST(floor(100000 * rank) AS BIGINT))) AS quota
+        FROM ({_host_pagerank_oracle_sql()})""",
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         "dedup_components_lsh": _dedup_components_lsh_oracle_sql(),
         "dedup_keep_one": _DEDUP_KEEP_ONE_SQL,

@@ -251,6 +251,8 @@ HEADLINE = [
     "heaps_fit",
     "zipf_slope",
     "maxscore_topk",
+    "clarity_score",
+    "crawl_budget",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving

@@ -825,3 +825,34 @@ def recrawl_priority_with_hints(
         F.round(rate * stale, 4).alias("priority"),
     ).orderBy(F.desc_nulls_last("priority"), F.asc("url"))
     return out.limit(int(k)) if k is not None else out
+
+
+def crawl_budget(
+    host_ranks: DataFrame,
+    total: int,
+    min_quota: int,
+    cap: int,
+    host_col: str = "host",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-host crawl-quota allocation from an authority prior — the
+    bandwidth-split decision the reference's flat frontier never made
+    (tse/Crawl.cpp crawls whatever the queue yields; at web scale the
+    fetch budget is the scarce resource and spam hosts must not eat
+    it).  quota(h) = clamp(floor(total * rank(h)), min_quota, cap):
+    proportional to host PageRank, floored so every known host keeps a
+    discovery trickle, capped so no single host starves the fleet.
+    Pure per-row arithmetic over the (host, rank) table — zero
+    shuffles beyond what produced the ranks; the ``crawl_budget``
+    driver query recomputes the same law in SQL over the unrolled
+    host-PageRank oracle."""
+    return host_ranks.select(
+        F.col(host_col).alias("host"),
+        F.greatest(
+            F.lit(int(min_quota)),
+            F.least(
+                F.lit(int(cap)),
+                F.floor(F.lit(int(total)) * F.col(rank_col)).cast("long"),
+            ),
+        ).cast("long").alias("quota"),
+    )
