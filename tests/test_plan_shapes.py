@@ -152,3 +152,53 @@ def test_ltr_features_no_corpus_rescan_for_features(spark, tmp_path):
     assert rows and all(r["n_matched"] >= 1 for r in rows)
     assert all(0 < r["coverage"] <= 1.0 for r in rows)
     assert all(r["quality"] > 0 for r in rows)
+
+
+def test_crawl_budget_adds_no_shuffle(spark):
+    from tse_spark.operators import crawl
+
+    ranks = spark.range(32).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        (F.col("id").cast("double") / 496.0).alias("rank"),
+    )
+    plan = _plan(crawl.crawl_budget(ranks, 100_000, 10, 5000))
+    # pure per-row arithmetic over the rank table
+    assert "Exchange" not in plan
+
+
+def test_clarity_broadcasts_topk_into_tf(spark):
+    from tse_spark.operators import qpp
+
+    tf = spark.range(256).select(
+        (F.col("id") % 64).alias("doc_id"),
+        F.concat(F.lit("t"), (F.col("id") % 17).cast("string")).alias(
+            "term"
+        ),
+        F.lit(2).alias("tf"),
+    )
+    ids = spark.range(10).select(F.col("id").alias("doc_id"))
+    plan = _plan(qpp.clarity(tf, ids))
+    # the k-row retrieved set must broadcast into the corpus-sized tf
+    # probe — a sort-merge join here would shuffle the whole tf table
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_growth_two_aggs_no_sort_agg(spark):
+    from tse_spark.operators import corpuslaws as cl
+
+    tf = spark.range(256).select(
+        (F.col("id") % 64).alias("doc_id"),
+        F.concat(F.lit("t"), (F.col("id") % 17).cast("string")).alias(
+            "term"
+        ),
+        F.lit(1).alias("tf"),
+    )
+    plan = _plan(cl.vocab_growth(tf, 64))
+    # corpus-sized aggregations (token-per-decile, first-doc-per-term,
+    # decile rollups) stay hash-based, the tiny decile frame broadcasts
+    # into both join legs, and the only single-partition exchange is
+    # the 10-row cumulative window — never a corpus-sized sort
+    assert "SortAggregate" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("SinglePartition") == 1
