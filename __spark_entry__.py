@@ -54,6 +54,16 @@ K = 10
 # same value via _lsh_plane_sigs_sql(dim=64))
 EMB_DIM = 64
 
+# hybrid retrieval (X101): per-leg candidate depth + the SIGIR'09 RRF k0
+HYBRID_CAND = 30
+RRF_K0 = 60
+# impact quantization (X102)
+QUANT_BITS = 8
+# LRU cache simulation (X103): capacities priced by one distance pass
+CACHE_SIZES = [4, 16, 64, 256]
+# query-likelihood Dirichlet smoothing mass (X106)
+QL_MU = 2000.0
+
 # Common DuckDB tokenization prelude (must mirror build_tf_ws semantics:
 # lowercase, split on \s+, 2..8-byte term filter).
 _TOK = """
@@ -3652,6 +3662,109 @@ def _q_facet_counts(spark, sf):
     return textops.facet_counts(matches, docs, ["lang", "source"])
 
 
+def _q_hybrid_rrf(spark, sf):
+    """Hybrid retrieval (X101, operators/fusion.py): reciprocal-rank
+    fusion of the lexical BM25 top-30 and the dense cosine top-30
+    (query = embedding 0, excluded from its own dense leg), k0=60.
+    Rank laws match each leg's own serving order (BM25: exact score
+    desc, doc_id asc; dense: round-4 cos desc, id asc)."""
+    from tse_spark.operators import fusion, similarity
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(
+        tf.filter(F.col("term").isin(sorted(set(BM25_QUERY))))
+    )
+    n, avgdl = ib.corpus_stats(doclen)
+    sparse = ib.bm25_topk(
+        spark, tf, doclen, dfreq, n, avgdl, BM25_QUERY, HYBRID_CAND
+    )
+    emb = _t(spark, sf, "embeddings")
+    qv = similarity.get_query_vec(emb, 0)
+    dense = similarity.cosine_topk(
+        emb, qv, HYBRID_CAND, exclude_id=0
+    ).withColumnRenamed("vec_id", "doc_id")
+    legs = [
+        fusion.rank_leg(sparse, "score"),
+        fusion.rank_leg(dense, "cos"),
+    ]
+    return fusion.rrf_fuse(legs, K, RRF_K0)
+
+
+def _q_quantized_topk(spark, sf):
+    """Serving over the 8-bit impact-quantized index (X102,
+    index_build.quantized_impacts): integer adds replace the BM25
+    float kernel at query time — the precomputed-impact tradeoff the
+    reference never had (it re-scores floats per query,
+    index/Query.cpp:59-82)."""
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(tf)
+    n, avgdl = ib.corpus_stats(doclen)
+    qi = ib.quantized_impacts(
+        tf, doclen, dfreq, n, avgdl, bits=QUANT_BITS
+    )
+    return ib.quantized_topk(spark, qi, BM25_QUERY, K)
+
+
+def _q_quant_error(spark, sf):
+    """Quantizer fidelity report (X102): max/mean absolute error of
+    midpoint dequantization vs exact impacts over every posting."""
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(tf)
+    n, avgdl = ib.corpus_stats(doclen)
+    return ib.quantization_error(
+        tf, doclen, dfreq, n, avgdl, bits=QUANT_BITS
+    )
+
+
+def _q_ql_topk(spark, sf):
+    """Query-likelihood Dirichlet top-10 (X106,
+    index_build.ql_dirichlet_topk) — the second ranking family (Zhai
+    & Lafferty) next to BM25, same flagship query."""
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    return ib.ql_dirichlet_topk(spark, tf, doclen, BM25_QUERY, K, QL_MU)
+
+
+def _q_cache_hit_rates(spark, sf):
+    """Exact LRU hit rates from one reuse-distance pass (X103,
+    operators/cachesim.py) over the events log (key=user_id,
+    pos=event_id) — the sizing law for the serving caches
+    (search.py stats LRU / servecache.py byte budget)."""
+    from tse_spark.operators import cachesim
+
+    log = cachesim.access_log(_t(spark, sf, "events"), "user_id", "event_id")
+    return cachesim.lru_hit_rates(log, CACHE_SIZES)
+
+
+def _q_docid_reorder_gain(spark, sf):
+    """Posting compression under crawl-order vs content-sorted doc ids
+    (X104, operators/reorder.py): varint byte law on per-term delta
+    gaps for both id assignments."""
+    from tse_spark.operators import reorder
+
+    tf = _tf_ws_cached(spark, sf)
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return reorder.reorder_gain(tf, docs, "text")
+
+
+def _q_query_bursts(spark, sf):
+    """Traffic bursts per event type (X105, events.burst_windows):
+    hourly z-score vs a trailing-24h moving baseline, flag z > 2."""
+    from tse_spark.operators import events
+
+    return events.burst_windows(_t(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the grading driver samples the FIRST 50 entries
     # (CORRECTNESS_r01..r03 keys are exactly the head of this dict), so
@@ -3721,6 +3834,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_indexed": _q_ivf_ann_indexed,
         "ann_recall": _q_ann_recall,
         # -- still never-sampled after the r4 head-50: next round's head --
+        "hybrid_rrf": _q_hybrid_rrf,
+        "quantized_topk": _q_quantized_topk,
+        "quant_error": _q_quant_error,
+        "ql_topk": _q_ql_topk,
+        "cache_hit_rates": _q_cache_hit_rates,
+        "docid_reorder_gain": _q_docid_reorder_gain,
+        "query_bursts": _q_query_bursts,
         "pagerank_warm": _q_pagerank_warm,
         "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
         "media_mixed_roundtrip": _q_media_mixed_roundtrip,
@@ -5008,6 +5128,202 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(sum(s), 4) AS score
         FROM perterm GROUP BY doc_id
         ORDER BY sum(s) DESC, doc_id LIMIT 10""",
+        # X101 hybrid RRF: rank each leg by its own serving order
+        # (BM25 exact score / round-4 cosine, id-asc ties), fuse with
+        # 1/(60+rank), round-6
+        "hybrid_rrf": _TOK
+        + bm25_3
+        + f"""
+        , bmscore AS (
+          SELECT doc_id, sum(s) AS score FROM perterm GROUP BY doc_id),
+        sparse AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          FROM bmscore QUALIFY r <= {HYBRID_CAND}),
+        q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        cosd AS (
+          SELECT vec_id AS doc_id,
+                 round(
+                   list_dot_product(embedding::DOUBLE[],
+                                    (SELECT e FROM q)::DOUBLE[])
+                   / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+                      * sqrt(list_dot_product((SELECT e FROM q)::DOUBLE[],
+                                              (SELECT e FROM q)::DOUBLE[]))),
+                   4) AS cos
+          FROM embeddings WHERE vec_id <> 0),
+        dense AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+          FROM cosd QUALIFY r <= {HYBRID_CAND}),
+        fused AS (
+          SELECT doc_id,
+                 coalesce(1.0::DOUBLE / ({RRF_K0} + s.r), 0.0)
+                 + coalesce(1.0::DOUBLE / ({RRF_K0} + d.r), 0.0) AS rrf
+          FROM sparse s FULL OUTER JOIN dense d USING (doc_id))
+        SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+        ORDER BY rrf DESC, doc_id LIMIT {K}""",
+        # X102: global 8-bit linear impact quantization, integer serving
+        "quantized_topk": _TOK
+        + f"""
+        , perterm AS (
+          SELECT tf.doc_id, tf.term,
+                 ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats),
+        mx AS (SELECT max(s) AS m FROM perterm),
+        qq AS (
+          SELECT doc_id, term,
+                 least(255, floor(s / mx.m * 256.0))::BIGINT AS q
+          FROM perterm CROSS JOIN mx)
+        SELECT doc_id, sum(q)::BIGINT AS qscore FROM qq
+        WHERE term IN ({terms3})
+        GROUP BY doc_id ORDER BY qscore DESC, doc_id LIMIT {K}""",
+        "quant_error": _TOK
+        + """
+        , perterm AS (
+          SELECT tf.doc_id, tf.term,
+                 ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats),
+        mx AS (SELECT max(s) AS m FROM perterm),
+        e AS (
+          SELECT abs(s - (least(255, floor(s / mx.m * 256.0)) + 0.5)
+                       * mx.m / 256.0) AS err
+          FROM perterm CROSS JOIN mx)
+        SELECT count(*)::BIGINT AS n_postings,
+               round(max(err), 6) AS max_err,
+               round(avg(err), 6) AS mean_err
+        FROM e""",
+        # X106 query-likelihood Dirichlet: candidates = any-term match,
+        # every query term contributes its smoothing mass
+        "ql_topk": _TOK
+        + f"""
+        , tot AS (SELECT sum(dl)::DOUBLE AS T FROM dl),
+        cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf
+               WHERE term IN ({terms3}) GROUP BY term),
+        cand AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms3})),
+        grid AS (SELECT cand.doc_id, cf.term, cf.cf
+                 FROM cand CROSS JOIN cf),
+        scored AS (
+          SELECT g.doc_id,
+                 sum(ln((coalesce(tf.tf, 0) + {QL_MU} * g.cf / tot.T)
+                        / (dl.dl + {QL_MU}))) AS score
+          FROM grid g
+          LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.term
+          JOIN dl ON dl.doc_id = g.doc_id
+          CROSS JOIN tot
+          GROUP BY g.doc_id)
+        SELECT doc_id, round(score, 4) AS score FROM scored
+        ORDER BY score DESC, doc_id LIMIT {K}""",
+        # X103 LRU reuse distances: d = rows in the gap that are the
+        # last occurrence of their key before the probe; hit iff d < C
+        "cache_hit_rates": f"""
+        WITH log AS (
+          SELECT event_id AS pos, CAST(user_id AS VARCHAR) AS key
+          FROM events),
+        linked AS (
+          SELECT pos, key,
+                 lag(pos) OVER (PARTITION BY key ORDER BY pos) AS prev,
+                 lead(pos) OVER (PARTITION BY key ORDER BY pos) AS nxt
+          FROM log),
+        mx AS (SELECT max(pos) + 1 AS fin FROM log),
+        probes AS (SELECT pos, prev FROM linked WHERE prev IS NOT NULL),
+        cover AS (SELECT l.pos AS lo, coalesce(l.nxt, mx.fin) AS hi
+                  FROM linked l CROSS JOIN mx),
+        pairs AS (
+          SELECT p.pos, count(*) AS d
+          FROM probes p JOIN cover r
+            ON r.lo > p.prev AND r.lo < p.pos AND r.hi >= p.pos
+          GROUP BY p.pos),
+        dists AS (
+          SELECT coalesce(pr.d, 0) AS d
+          FROM probes p LEFT JOIN pairs pr ON pr.pos = p.pos
+          UNION ALL
+          SELECT NULL::BIGINT AS d FROM linked WHERE prev IS NULL),
+        tot AS (
+          SELECT count(*)::BIGINT AS accesses,
+                 {", ".join(
+                     f"sum(CASE WHEN d < {c} THEN 1 ELSE 0 END)::BIGINT"
+                     f" AS h{c}"
+                     for c in CACHE_SIZES
+                 )}
+          FROM dists)
+        {" UNION ALL ".join(
+            f"SELECT {c}::BIGINT AS cache_size, h{c} AS hits, accesses,"
+            f" round(h{c}::DOUBLE / accesses, 4) AS hit_rate FROM tot"
+            for c in CACHE_SIZES
+        )}""",
+        # X104 doc-id reorder gain: varint byte law on per-term gaps
+        # under crawl-order ids vs (text, doc_id)-ranked ids
+        "docid_reorder_gain": _TOK
+        + """
+        , ranked AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY text, doc_id) - 1 AS new_id
+          FROM documents),
+        base_g AS (
+          SELECT doc_id - coalesce(
+                   lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                   -1) AS gap
+          FROM tf),
+        alt AS (SELECT tf.term, r.new_id FROM tf
+                JOIN ranked r USING (doc_id)),
+        alt_g AS (
+          SELECT new_id - coalesce(
+                   lag(new_id) OVER (PARTITION BY term ORDER BY new_id),
+                   -1) AS gap
+          FROM alt),
+        law_a AS (
+          SELECT count(*)::BIGINT AS n_postings,
+                 sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                          WHEN gap < 2097152 THEN 3
+                          WHEN gap < 268435456 THEN 4
+                          ELSE 5 END)::BIGINT AS total_bytes
+          FROM base_g),
+        law_b AS (
+          SELECT count(*)::BIGINT AS n_postings,
+                 sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                          WHEN gap < 2097152 THEN 3
+                          WHEN gap < 268435456 THEN 4
+                          ELSE 5 END)::BIGINT AS total_bytes
+          FROM alt_g)
+        SELECT 'crawl_order' AS ordering, n_postings, total_bytes,
+               round(total_bytes::DOUBLE / n_postings, 4)
+                 AS bytes_per_posting
+        FROM law_a
+        UNION ALL
+        SELECT 'content_sort', n_postings, total_bytes,
+               round(total_bytes::DOUBLE / n_postings, 4)
+        FROM law_b""",
+        # X105 bursts: hourly counts, trailing-24h z-score, flag z > 2
+        "query_bursts": """
+        WITH hourly AS (
+          SELECT ((epoch_ms(ts) // 1000) // 3600) * 3600 AS hour_start,
+                 event_type, count(*)::BIGINT AS n
+          FROM events GROUP BY 1, 2),
+        scored AS (
+          SELECT event_type, hour_start, n,
+                 avg(n) OVER w AS mu,
+                 stddev_samp(n) OVER w AS sd,
+                 count(*) OVER w AS hist
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, hour_start::BIGINT AS hour_start,
+               n::BIGINT AS n,
+               round((n - mu) / greatest(sd, 1.0), 2) AS z
+        FROM scored
+        WHERE hist >= 12 AND sd IS NOT NULL
+          AND (n - mu) / greatest(sd, 1.0) > 2.0""",
         # score explain: bm25_topk's winners with the per-term formula
         # decomposition (same cut law, so the doc set is identical)
         "bm25_explain": _TOK

@@ -253,6 +253,14 @@ HEADLINE = [
     "maxscore_topk",
     "clarity_score",
     "crawl_budget",
+    # round-4 continuation (hybrid/quantized serving + analytics)
+    "hybrid_rrf",
+    "quantized_topk",
+    "quant_error",
+    "ql_topk",
+    "cache_hit_rates",
+    "docid_reorder_gain",
+    "query_bursts",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving

@@ -1,0 +1,291 @@
+"""Independent (non-oracle) verification of the round-4 additions:
+RRF fusion (X101), impact quantization (X102), LRU cache simulation
+(X103), doc-id reorder gain (X104), burst detection (X105), and
+query-likelihood ranking (X106).  Each law is re-derived with plain
+Python/numpy on small inputs — a second, SQL-free truth next to the
+entry-contract DuckDB oracles."""
+
+import math
+import random
+from collections import OrderedDict
+
+import pytest
+from pyspark.sql import functions as F
+
+from tse_spark.operators import cachesim, fusion, reorder
+from tse_spark.operators import index_build as ib
+
+
+# ---------------------------------------------------------------------------
+# X101 RRF
+# ---------------------------------------------------------------------------
+
+def test_rrf_hand_example(spark):
+    # leg A ranks: d1=1 d2=2 d3=3 ; leg B: d3=1 d4=2
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank int")
+    got = {
+        r["doc_id"]: r["rrf"]
+        for r in fusion.rrf_fuse([a, b], k=10, k0=60).collect()
+    }
+    want = {
+        1: 1 / 61,
+        2: 1 / 62,
+        3: 1 / 63 + 1 / 61,
+        4: 1 / 62,
+    }
+    assert set(got) == set(want)
+    for d, v in want.items():
+        assert got[d] == pytest.approx(round(v, 6), abs=1e-9)
+
+
+def test_rank_leg_tie_break(spark):
+    leg = spark.createDataFrame(
+        [(5, 2.0), (3, 2.0), (9, 1.0)], "doc_id long, score double"
+    )
+    ranks = {
+        r["doc_id"]: r["rank"]
+        for r in fusion.rank_leg(leg, "score").collect()
+    }
+    assert ranks == {3: 1, 5: 2, 9: 3}
+
+
+# ---------------------------------------------------------------------------
+# X102 quantization
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_tf(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb aa cc"),
+            (1, "aa bb"),
+            (2, "cc cc cc dd"),
+            (3, "aa dd dd bb"),
+        ],
+        "doc_id long, text string",
+    )
+    return ib.build_tf_ws(docs)
+
+
+def test_quantization_law(spark, tiny_tf):
+    tf = tiny_tf
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(tf)
+    n, avgdl = ib.corpus_stats(doclen)
+    exact = {
+        (r["term"], r["doc_id"]): r["s"]
+        for r in ib.impact_scores(tf, doclen, dfreq, n, avgdl).collect()
+    }
+    m = max(exact.values())
+    q = {
+        (r["term"], r["doc_id"]): r["q"]
+        for r in ib.quantized_impacts(
+            tf, doclen, dfreq, n, avgdl, bits=8
+        ).collect()
+    }
+    assert set(q) == set(exact)
+    for key, s in exact.items():
+        assert q[key] == min(255, math.floor(s / m * 256.0))
+    # the max-impact posting saturates the top code
+    assert max(q.values()) == 255
+    assert min(q.values()) >= 0
+
+
+def test_quantized_topk_monotone_vs_exact(spark, tiny_tf):
+    """8-bit codes keep the coarse order: the exact-BM25 winner for a
+    single-term query stays the quantized winner (single term => the
+    quantizer is monotone in the impact)."""
+    tf = tiny_tf
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(tf)
+    n, avgdl = ib.corpus_stats(doclen)
+    exact = ib.bm25_topk(
+        spark, tf, doclen, dfreq, n, avgdl, ["cc"], 1
+    ).collect()
+    qi = ib.quantized_impacts(tf, doclen, dfreq, n, avgdl)
+    quant = ib.quantized_topk(spark, qi, ["cc"], 1).collect()
+    assert exact[0]["doc_id"] == quant[0]["doc_id"]
+
+
+def test_quantization_error_bound(spark, tiny_tf):
+    """Midpoint dequantization error is bounded by one half-step of
+    the 8-bit grid (except the saturated top code, whose error stays
+    below a full step)."""
+    tf = tiny_tf
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(tf)
+    n, avgdl = ib.corpus_stats(doclen)
+    row = ib.quantization_error(
+        tf, doclen, dfreq, n, avgdl, bits=8
+    ).collect()[0]
+    exact = [
+        r["s"]
+        for r in ib.impact_scores(tf, doclen, dfreq, n, avgdl).collect()
+    ]
+    step = max(exact) / 256.0
+    assert row["n_postings"] == len(exact)
+    assert row["max_err"] <= step + 1e-9
+    assert 0 <= row["mean_err"] <= row["max_err"]
+
+
+# ---------------------------------------------------------------------------
+# X103 LRU cache simulation vs a literal LRU replay
+# ---------------------------------------------------------------------------
+
+def _lru_replay(keys, size):
+    cache = OrderedDict()
+    hits = 0
+    for k in keys:
+        if k in cache:
+            hits += 1
+            cache.move_to_end(k)
+        else:
+            if len(cache) >= size:
+                cache.popitem(last=False)
+            cache[k] = True
+    return hits
+
+
+def test_reuse_distance_hand_example(spark):
+    # a b a c b a : distances  a:-, b:-, a:1(b), c:-, b:2(a,c), a:2(c,b)
+    keys = ["a", "b", "a", "c", "b", "a"]
+    log = spark.createDataFrame(
+        list(enumerate(keys)), "pos long, key string"
+    )
+    d = {
+        r["pos"]: r["d"]
+        for r in cachesim.reuse_distances(log, bucket=2).collect()
+    }
+    assert d == {0: None, 1: None, 2: 1, 3: None, 4: 2, 5: 2}
+
+
+@pytest.mark.parametrize("bucket", [4, 64, 1024])
+def test_lru_hit_rates_match_replay(spark, bucket):
+    rng = random.Random(42)
+    keys = [f"k{rng.randint(0, 30)}" for _ in range(600)]
+    log = spark.createDataFrame(
+        list(enumerate(keys)), "pos long, key string"
+    )
+    sizes = [2, 8, 32]
+    got = {
+        r["cache_size"]: (r["hits"], r["accesses"], r["hit_rate"])
+        for r in cachesim.lru_hit_rates(log, sizes, bucket=bucket).collect()
+    }
+    for c in sizes:
+        hits = _lru_replay(keys, c)
+        assert got[c][0] == hits, f"size {c}"
+        assert got[c][1] == len(keys)
+        assert got[c][2] == pytest.approx(round(hits / len(keys), 4))
+
+
+# ---------------------------------------------------------------------------
+# X104 doc-id reorder
+# ---------------------------------------------------------------------------
+
+def test_rank_by_key_matches_sort(spark):
+    rows = [(i, t) for i, t in enumerate(["pear", "apple", "apple", "fig"])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["new_id"]
+        for r in reorder.rank_by_key(docs, "text").collect()
+    }
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {doc_id: i for i, (doc_id, _) in enumerate(order)}
+    assert got == want
+
+
+def test_varint_gap_law(spark):
+    # one term, ids 0, 127, 128+127=255? craft gaps 1,127,128,16384
+    ids = [0, 127, 255, 16639]
+    postings = spark.createDataFrame(
+        [("t", i) for i in ids], "term string, doc_id long"
+    )
+    row = reorder.gap_byte_cost(postings, "doc_id").collect()[0]
+    # gaps: 0+1=1 (1B), 127 (1B), 128 (2B), 16384 (3B)
+    assert row["n_postings"] == 4
+    assert row["total_bytes"] == 1 + 1 + 2 + 3
+
+
+def test_reorder_gain_never_hurts_on_clustered_corpus(spark):
+    """Docs whose content clusters by template compress strictly
+    better once ids follow the content sort."""
+    rows = []
+    for i in range(120):
+        rows.append((i, f"template{'ab'[i % 2]} common tokens here v{i}"))
+    # crawl order interleaves the two templates -> big gaps
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = ib.build_tf_ws(docs)
+    out = {
+        r["ordering"]: r["total_bytes"]
+        for r in reorder.reorder_gain(tf, docs, "text").collect()
+    }
+    assert out["content_sort"] <= out["crawl_order"]
+
+
+# ---------------------------------------------------------------------------
+# X105 bursts
+# ---------------------------------------------------------------------------
+
+def test_burst_windows_flags_injected_spike(spark):
+    from tse_spark.operators import events as ev
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(40):
+        n = 5 if h != 30 else 80  # hour 30 bursts
+        for _ in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = ev.burst_windows(df).collect()
+    flagged = {(r["event_type"], r["hour_start"]) for r in out}
+    spike_epoch = int((base + dt.timedelta(hours=30)).timestamp())
+    assert ("click", spike_epoch) in flagged
+    # constant-rate hours never flag
+    assert len(flagged) == 1
+
+
+# ---------------------------------------------------------------------------
+# X106 query likelihood
+# ---------------------------------------------------------------------------
+
+def test_ql_dirichlet_matches_numpy(spark, tiny_tf):
+    tf_rows = tiny_tf.collect()
+    doclen = ib.build_doclen(tiny_tf)
+    terms = ["aa", "cc"]
+    mu = 50.0
+    got = {
+        r["doc_id"]: r["score"]
+        for r in ib.ql_dirichlet_topk(
+            spark, tiny_tf, doclen, terms, k=10, mu=mu
+        ).collect()
+    }
+    tfmap = {(r["term"], r["doc_id"]): r["tf"] for r in tf_rows}
+    dl = {}
+    for r in tf_rows:
+        dl[r["doc_id"]] = dl.get(r["doc_id"], 0) + r["tf"]
+    total = sum(dl.values())
+    cf = {
+        t: sum(v for (tt, _), v in tfmap.items() if tt == t) for t in terms
+    }
+    cands = sorted({d for (t, d) in tfmap if t in terms})
+    for d in cands:
+        want = sum(
+            math.log(
+                (tfmap.get((t, d), 0) + mu * cf[t] / total) / (dl[d] + mu)
+            )
+            for t in terms
+        )
+        assert got[d] == pytest.approx(round(want, 4), abs=1e-6)
+    assert set(got) == set(cands)

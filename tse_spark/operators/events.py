@@ -65,3 +65,57 @@ def top_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(F.desc("total_value"), F.asc("user_id"))
         .limit(k)
     )
+
+
+def burst_windows(
+    events: DataFrame,
+    z_threshold: float = 2.0,
+    trailing: int = 24,
+    min_history: int = 12,
+) -> DataFrame:
+    """Traffic-burst detection per event type (X105): hourly counts,
+    z-score of each hour against its trailing ``trailing``-hour
+    mean/stddev (the moving-baseline anomaly law query-log monitoring
+    runs — Kleinberg's burst states collapsed to one level), flag
+    z > ``z_threshold`` once ``min_history`` hours of baseline exist.
+    The stddev is floored at 1.0 so a spike over a perfectly constant
+    (sd=0) baseline still registers instead of dividing by zero.
+
+    Returns ``(event_type, hour_start, n, z)`` for flagged hours
+    (epoch-second bucket starts, z rounded to 2).  Scale shape: the
+    hourly agg shuffles once on (type, hour); the trailing window
+    partitions by type — per-type series fit one partition for any
+    realistic type cardinality x horizon, and a per-(type, day-range)
+    re-key handles degenerate single-type logs.
+    """
+    hour = F.floor(_epoch(F.col("ts")) / 3600) * 3600
+    hourly = events.groupBy(
+        hour.alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-trailing, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour_start",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("hist"),
+    )
+    sd_eff = F.greatest(F.col("sd"), F.lit(1.0))
+    return (
+        scored.filter(
+            (F.col("hist") >= min_history)
+            & F.col("sd").isNotNull()
+            & ((F.col("n") - F.col("mu")) / sd_eff > z_threshold)
+        )
+        .select(
+            "event_type",
+            F.col("hour_start").cast("long").alias("hour_start"),
+            F.col("n").cast("long").alias("n"),
+            F.round((F.col("n") - F.col("mu")) / sd_eff, 2).alias("z"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""Rank fusion for hybrid retrieval (X101).
+
+The reference engine is sparse-only (BM25 over the inverted index,
+index/Query.cpp); this module adds the modern hybrid-retrieval layer a
+training-data / search stack runs on top of it: fuse the lexical top-k
+with a dense (embedding cosine) top-k into one ranking.
+
+Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+
+    rrf(d) = sum over legs L containing d of 1 / (k0 + rank_L(d))
+
+RRF is score-scale-free — it only consumes the *ranks* of each leg, so
+a BM25 score and a cosine in [-1, 1] fuse without calibration.
+
+Scale shape: each leg is already a bounded top-k (k ~ tens), so the
+fusion itself is driver-trivial — a full-outer hash join of two k-row
+relations plus one projection.  The cost lives entirely in the legs
+(pruned WAND / ANN index probes), which keep their own 100-TB designs.
+The per-leg ``row_number`` windows are single-partition by
+construction but only ever see k rows (never corpus-sized input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_K0 = 60  # the SIGIR'09 constant; dampens the head of each leg
+
+
+def rank_leg(leg: DataFrame, score_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Attach 1-based ``rank`` to a bounded top-k leg, ordered by
+    (score desc, id asc) — the same tie-break every top-k in this
+    engine uses.  Input must already be a k-row result (the window is
+    single-partition and must never see unbounded input)."""
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return leg.select(
+        F.col(id_col).alias("doc_id"), F.row_number().over(w).alias("rank")
+    )
+
+
+def rrf_fuse(
+    legs: list[DataFrame], k: int = 10, k0: int = DEFAULT_K0
+) -> DataFrame:
+    """Fuse ranked legs (``doc_id``, ``rank``) into RRF top-k.
+
+    Returns ``(doc_id, rrf)`` with rrf rounded to 6 (driver-hash
+    convention), ordered by rrf desc, doc_id asc.
+    """
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one leg")
+    fused = None
+    for i, leg in enumerate(legs):
+        contrib = leg.select(
+            "doc_id",
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col("rank"))).alias(
+                f"__c{i}"
+            ),
+        )
+        fused = (
+            contrib
+            if fused is None
+            else fused.join(contrib, "doc_id", "full_outer")
+        )
+    score = None
+    for i in range(len(legs)):
+        c = F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+        score = c if score is None else score + c
+    return (
+        fused.select("doc_id", F.round(score, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -844,3 +844,200 @@ def doc_terms_to_tf(doc_terms: DataFrame) -> DataFrame:
         F.col("p.tfs").cast("long").alias("tf"),
         "dl",
     )
+
+
+# ---------------------------------------------------------------------------
+# impact quantization (X102) — Anserini-style linear impact codes
+# ---------------------------------------------------------------------------
+
+def impact_scores(
+    tf: DataFrame,
+    doclen: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """``(term, doc_id, s)`` — every posting's exact BM25 impact (same
+    formula as :func:`bm25_scores`, full-vocabulary df): the build-time
+    relation quantization and static pruning both consume."""
+    k1, b = oracle.BM25_K1, oracle.BM25_B
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(doclen, "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            (
+                idf
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+
+
+def quantized_impacts(
+    tf: DataFrame,
+    doclen: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    bits: int = 8,
+) -> DataFrame:
+    """Global linear impact quantization (Anserini / JASS style):
+    ``q = min(2^bits - 1, floor(s / max_s * 2^bits))`` per posting,
+    returned as ``(term, doc_id, q)``.
+
+    Serving then sums small integers instead of evaluating the BM25
+    float kernel — the precomputed-impact index family.  The global
+    max is a 1-row agg broadcast back into the plan (no driver
+    round-trip), and the whole transform is one build-time pass over
+    the postings; ``q`` fits the shard codec's byte payload at
+    ``bits <= 8``.  The reference scores floats at query time
+    (index/Query.cpp); this is the storage/serving tradeoff it never
+    had.
+    """
+    levels = 1 << bits
+    s = impact_scores(tf, doclen, dfreq, n_docs, avgdl)
+    mx = s.agg(F.max("s").alias("__m"))
+    return s.crossJoin(F.broadcast(mx)).select(
+        "term",
+        "doc_id",
+        F.least(
+            F.lit(levels - 1),
+            F.floor(F.col("s") / F.col("__m") * F.lit(float(levels))),
+        )
+        .cast("long")
+        .alias("q"),
+    )
+
+
+def quantized_topk(
+    spark: SparkSession,
+    qimpacts: DataFrame,
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k over quantized impacts: ``score = sum(q)`` over the query
+    terms — pure integer adds, pushed-down IN, hash agg,
+    TakeOrderedAndProject.  Returns ``(doc_id, qscore)``."""
+    terms = sorted(set(terms))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, qscore long")
+    return (
+        qimpacts.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.sum("q").cast("long").alias("qscore"))
+        .orderBy(F.desc("qscore"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def quantization_error(
+    tf: DataFrame,
+    doclen: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    bits: int = 8,
+) -> DataFrame:
+    """Fidelity report ``(n_postings, max_err, mean_err)`` for the
+    ``bits``-bit quantizer: error of the midpoint dequantization
+    ``(q + 0.5) * max_s / 2^bits`` vs the exact impact — the number a
+    capacity/relevance review reads before flipping serving to the
+    integer index."""
+    levels = 1 << bits
+    s = impact_scores(tf, doclen, dfreq, n_docs, avgdl)
+    mx = s.agg(F.max("s").alias("__m"))
+    q = F.least(
+        F.lit(levels - 1),
+        F.floor(F.col("s") / F.col("__m") * F.lit(float(levels))),
+    )
+    err = F.abs(
+        F.col("s")
+        - (q + F.lit(0.5)) * F.col("__m") / F.lit(float(levels))
+    )
+    return (
+        s.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.round(F.max(err), 6).alias("max_err"),
+            F.round(F.avg(err), 6).alias("mean_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# query-likelihood ranking (X106) — Dirichlet-smoothed language model
+# ---------------------------------------------------------------------------
+
+def ql_dirichlet_topk(
+    spark: SparkSession,
+    tf: DataFrame,
+    doclen: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    Lafferty SIGIR'01) — the second classic ranking family next to
+    BM25:
+
+        score(d) = sum over query terms t of
+                   ln( (tf_{t,d} + mu * cf_t / T) / (dl_d + mu) )
+
+    cf_t = collection frequency, T = total corpus tokens.  Candidates
+    are docs matching >= 1 query term (the standard index-driven cut);
+    missing terms still contribute their smoothing mass, which is what
+    distinguishes QL from a per-posting sum and is why the plan builds
+    the candidate x query-term grid explicitly: a |cand| x |q| relation
+    (bounded by matches, never corpus-sized), left-joined back to the
+    pruned tf.  Collection stats are two tiny aggs broadcast into the
+    scoring join.  Returns ``(doc_id, score)``.
+    """
+    terms = sorted(set(terms))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    pruned = tf.filter(F.col("term").isin(terms)).select(
+        "doc_id", "term", "tf"
+    )
+    cand = pruned.select("doc_id").distinct()
+    cf = pruned.groupBy("term").agg(
+        F.sum("tf").cast("double").alias("cf")
+    )
+    tot = doclen.agg(F.sum("dl").cast("double").alias("T"))
+    grid = cand.crossJoin(F.broadcast(cf)).crossJoin(F.broadcast(tot))
+    scored = (
+        grid.join(pruned, ["doc_id", "term"], "left")
+        .join(doclen, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (
+                        F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                        + F.lit(mu) * F.col("cf") / F.col("T")
+                    )
+                    / (F.col("dl") + F.lit(mu))
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
