@@ -934,6 +934,33 @@ def _q_wand_sharedcache(spark, sf):
     )
 
 
+def _q_wand_result_cached(spark, sf):
+    """Result-cache serving tier (X107, servecache.ResultCache): a warm
+    engine answers the flagship query once (filling the snapshot-keyed
+    result entry), then a COLD engine with its Spark posting path AND
+    posting caches all poisoned must reproduce the exhaustive SQL BM25
+    purely from the cached top-k — any miss would crash rather than
+    silently recompute."""
+    import hashlib as _h
+
+    from tse_spark.plans import pipeline as pl
+
+    h = _ws_index(spark, sf)
+    root = "/tmp/tse_rs_cache_" + _h.md5(sf.encode()).hexdigest()[:8]
+    warm = pl.load_index(spark, h.out_dir)
+    warm.attach_result_cache(root)
+    warm.engine.search_local(" ".join(BM25_QUERY), K)
+    cold = pl.load_index(spark, h.out_dir)
+    cold.attach_result_cache(root)
+    cold.engine.postings = None  # a posting fetch would throw
+    cold.engine.shared_cache = None
+    res = cold.engine.search_local(" ".join(BM25_QUERY), K)
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 4)) for d, s in res],
+        "doc_id long, score double",
+    )
+
+
 def _ws_pruned_index(spark, sf):
     """Impact-pruned sibling of _ws_index: same tokenizer/shards, but
     every term keeps only its top-PRUNE_M postings (pipeline prune_m);
@@ -1682,6 +1709,31 @@ def _pos_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, docs.count()
         ).cache()
     return _POS_INDEX_CACHE[sf_dir]
+
+
+PHRASE3_QUERY = "row column sort"  # 3-word quoted query (combined scheme)
+
+
+def _q_phrase_nextword(spark, sf):
+    """Two-word quoted query answered by ONE key lookup in the
+    next-word index (X108, textops.nextword_tf) — no scan, no verify,
+    no positional decode.  Result-identical to phrase_match (shared
+    oracle)."""
+    from tse_spark.operators import textops
+
+    nw = textops.nextword_tf(_t(spark, sf, "documents"))
+    return textops.phrase_match_nextword(nw, PHRASE_QUERY)
+
+
+def _q_phrase_nextword3(spark, sf):
+    """Three-word quoted query via the combined scheme (Williams et
+    al.): intersect consecutive-bigram postings (far rarer keys than
+    unigrams), verify adjacency only on the intersection."""
+    from tse_spark.operators import textops
+
+    docs = _t(spark, sf, "documents")
+    nw = textops.nextword_tf(docs)
+    return textops.phrase_match_nextword(nw, PHRASE3_QUERY, docs=docs)
 
 
 def _q_phrase_match_pos(spark, sf):
@@ -3835,6 +3887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         # -- still never-sampled after the r4 head-50: next round's head --
         "hybrid_rrf": _q_hybrid_rrf,
+        "wand_result_cached": _q_wand_result_cached,
+        "phrase_nextword": _q_phrase_nextword,
+        "phrase_nextword3": _q_phrase_nextword3,
         "quantized_topk": _q_quantized_topk,
         "quant_error": _q_quant_error,
         "ql_topk": _q_ql_topk,
@@ -6360,6 +6415,24 @@ def oracle_sql() -> dict[str, str]:
     # the full-scan phrase matcher — the oracle is shared
     out["phrase_match_indexed"] = out["phrase_match"]
     out["phrase_match_pos"] = out["phrase_match"]
+    # X108: the next-word index must reproduce the scan law exactly
+    out["phrase_nextword"] = out["phrase_match"]
+    p3 = PHRASE3_QUERY.split()
+    out["phrase_nextword3"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> strlen(x) > 0) AS arr
+          FROM documents),
+        pos AS (
+          SELECT doc_id, arr,
+                 unnest(generate_series(1, len(arr) - 2)) AS i
+          FROM t)
+        SELECT doc_id, count(*)::BIGINT AS n_hits FROM pos
+        WHERE arr[i] = '{p3[0]}'
+          AND arr[i + 1] = '{p3[1]}'
+          AND arr[i + 2] = '{p3[2]}'
+        GROUP BY 1"""
     # the index-served wildcard returns IDENTICAL results to the
     # token-scan form (every matched term is index-eligible)
     out["wildcard_search_indexed"] = out["wildcard_search"]
@@ -7589,6 +7662,8 @@ def oracle_sql() -> dict[str, str]:
     out["wand_mlt"] = out["more_like_this"]
     # cold shared-cache serving must equal the exhaustive BM25
     out["wand_sharedcache"] = out["wand_topk"]
+    # X107: the result-cache tier must answer with the exhaustive law
+    out["wand_result_cached"] = out["wand_topk"]
     pages_sql = _pages_bm25_oracle_sql()
     if pages_sql:
         out["pages_bm25"] = pages_sql

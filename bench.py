@@ -261,6 +261,9 @@ HEADLINE = [
     "cache_hit_rates",
     "docid_reorder_gain",
     "query_bursts",
+    "wand_result_cached",
+    "phrase_nextword",
+    "phrase_nextword3",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving

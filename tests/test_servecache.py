@@ -165,3 +165,95 @@ def test_vacuum_budget_and_stale_keys(tmp_path):
     assert kept == {5, 6, 7, 8, 9}
     # surviving entries still read clean
     assert cur.get("t9") == (1, bytes(100))
+
+
+# ---------------------------------------------------------------------------
+# X107 result-cache tier
+# ---------------------------------------------------------------------------
+
+def test_result_cache_serves_cold_engine(spark, idx, tmp_path):
+    out, _ = idx
+    root = str(tmp_path / "rcache")
+    warm = pl.load_index(spark, out)
+    warm.attach_result_cache(root)
+    expected = warm.engine.search_local("web search", 10)
+    assert expected  # fixture must match something
+
+    cold = pl.load_index(spark, out)
+    rc = cold.attach_result_cache(root)
+    cold.engine.postings = _Poisoned()
+    cold.engine.shared_cache = None
+    got = cold.engine.search_local("web search", 10)
+    assert got == expected
+    assert rc.stats()["hits"] == 1
+
+    # different k / different mode = different entries (no aliasing)
+    warm.engine.search_local("web search", 5)
+    cold2 = pl.load_index(spark, out)
+    cold2.attach_result_cache(root)
+    cold2.engine.postings = _Poisoned()
+    cold2.engine.shared_cache = None
+    assert cold2.engine.search_local("web search", 5) == expected[:5]
+    with pytest.raises(AssertionError):
+        # conjunctive was never warmed -> falls through to postings
+        cold2.engine.search_local("web search", 10, conjunctive=True)
+
+
+def test_result_cache_negative_and_empty(spark, idx, tmp_path):
+    out, _ = idx
+    root = str(tmp_path / "rcache")
+    warm = pl.load_index(spark, out)
+    warm.attach_result_cache(root)
+    assert warm.engine.search_local("zzzznotaterm", 10) == []
+    cold = pl.load_index(spark, out)
+    cold.attach_result_cache(root)
+    cold.engine.postings = _Poisoned()
+    # negative entry is snapshot-stable: served without postings
+    assert cold.engine.search_local("zzzznotaterm", 10) == []
+
+
+def test_result_cache_corruption_and_collision(tmp_path):
+    rc = sc.ResultCache(str(tmp_path), "k" * 40)
+    qk = rc.canonical(["web", "search"], 10, "or")
+    rows = [(3, 1.25), (9, 0.5)]
+    rc.put(qk, rows)
+    assert rc.get(qk) == rows
+
+    p = rc._path(qk)
+    raw = open(p, "rb").read()
+    # torn file
+    with open(p, "wb") as f:
+        f.write(raw[:-3])
+    assert rc.get(qk) is None and not os.path.exists(p)
+    # forged collision: right filename, wrong embedded query
+    rc.put(qk, rows)
+    other = rc.canonical(["web", "serch"], 10, "or").encode()
+    pad = other + b" " * (len(qk.encode()) - len(other))
+    with open(p, "wb") as f:
+        f.write(raw[: sc._RHDR.size] + pad + raw[sc._RHDR.size + len(pad):])
+    assert rc.get(qk) is None
+    # bad magic
+    rc.put(qk, rows)
+    with open(p, "r+b") as f:
+        f.write(b"XXXX")
+    assert rc.get(qk) is None
+
+
+def test_vacuum_covers_result_entries(tmp_path):
+    root = str(tmp_path)
+    old_r = sc.ResultCache(root, "a" * 40)
+    old_r.put("or|10|stale", [(1, 1.0)])
+    cur_p = sc.SharedPostingCache(root, "b" * 40)
+    cur_p.put("t", 1, bytes(50))
+    cur_r = sc.ResultCache(root, "b" * 40)
+    cur_r.put("or|10|fresh", [(2, 2.0)])
+    rep = sc.vacuum_cache(root, "b" * 40, budget_bytes=10 << 20)
+    assert rep["dropped_keys"] == ["a" * 40]
+    assert old_r.get("or|10|stale") is None
+    # both live tiers survive and stay readable
+    assert cur_p.get("t") == (1, bytes(50))
+    assert cur_r.get("or|10|fresh") == [(2, 2.0)]
+    # byte budget counts .r files too: zero budget clears them
+    rep2 = sc.vacuum_cache(root, "b" * 40, budget_bytes=0)
+    assert rep2["dropped_entries"] >= 2
+    assert cur_r.get("or|10|fresh") is None

@@ -200,3 +200,62 @@ def test_keyset_page_deep_cursor_empty_past_end(spark):
     )
     last = tx.page_tail(tx.keyset_page(scored, 2))
     assert tx.keyset_page(scored, 2, after=last).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# X110 next-word index
+# ---------------------------------------------------------------------------
+
+def test_nextword_tf_counts_overlaps(spark):
+    from tse_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "x y x y"), (2, "b")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["bigram"], r["doc_id"]): r["tf"]
+        for r in textops.nextword_tf(docs).collect()
+    }
+    assert got == {
+        ("a a", 0): 2,  # overlapping adjacency counts twice
+        ("a b", 0): 1,
+        ("x y", 1): 2,
+        ("y x", 1): 1,
+    }
+
+
+def test_phrase_nextword_equals_scan(spark, pages_df):
+    """The next-word paths reproduce phrase_match exactly on the
+    fixture corpus for 2- and 3-word phrases (incl. a repeated-word
+    phrase, where the pair set dedups)."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import textops
+
+    docs = ib.build_docs(pages_df).select("doc_id", "text")
+    nw = textops.nextword_tf(docs).cache()
+    for phrase in ["web search", "search engine", "the web search",
+                   "web web"]:
+        want = {
+            (r["doc_id"], r["n_hits"])
+            for r in textops.phrase_match(docs, phrase).collect()
+        }
+        got = {
+            (r["doc_id"], r["n_hits"])
+            for r in textops.phrase_match_nextword(
+                nw, phrase, docs=docs
+            ).collect()
+        }
+        assert got == want, phrase
+    nw.unpersist()
+
+
+def test_phrase_nextword_guards(spark):
+    from tse_spark.operators import textops
+    import pytest as _pt
+
+    nw = spark.createDataFrame([], "bigram string, doc_id long, tf long")
+    with _pt.raises(ValueError):
+        textops.phrase_match_nextword(nw, "single")
+    with _pt.raises(ValueError):
+        textops.phrase_match_nextword(nw, "three word phrase")  # no docs

@@ -139,6 +139,11 @@ class SearchEngine:
         # replica's cold miss warms the whole fleet; keyed by the index
         # snapshot so a commit can never serve stale bytes.
         self.shared_cache = None
+        # optional THIRD tier: snapshot-keyed top-k RESULT cache
+        # (servecache.ResultCache) — the Zipf head of a query log is
+        # answered without touching postings at all; keyed like the
+        # posting tier, so a commit rotates results out with it
+        self.result_cache = None
         # Q13 (reference Query.cpp:233-261 appends a timestamped query
         # line): JSONL query log, enabled by setting a path
         self.query_log_path: str | None = None
@@ -814,6 +819,16 @@ class SearchEngine:
         terms = self.query_terms(query)
         if not terms:
             return []
+        rkey = None
+        if self.result_cache is not None:
+            # canonical form is built AFTER segmentation, so surface
+            # variants of the same term sequence share one entry
+            mode = "and" if conjunctive else "or"
+            rkey = self.result_cache.canonical(terms, k, mode)
+            cached = self.result_cache.get(rkey)
+            if cached is not None:
+                self._log_query(query, k, len(cached), 0.0)
+                return cached
         entries = self._term_entries(terms)
         idf = {
             t: bm25_idf(self.n_docs, df)
@@ -821,6 +836,8 @@ class SearchEngine:
             if df > 0
         }
         if not idf or (conjunctive and len(idf) < len(terms)):
+            if rkey is not None:  # negative results are snapshot-stable
+                self.result_cache.put(rkey, [])
             return []
         import time as _t
 
@@ -839,5 +856,7 @@ class SearchEngine:
             # bound_scale correction is needed either
             out = wand_mod.topk_from_scored(runs, k, n_docs=self.n_docs)
         out = out[:k]
+        if rkey is not None:
+            self.result_cache.put(rkey, out)
         self._log_query(query, k, len(out), (_t.time() - t0) * 1000.0)
         return out

@@ -205,16 +205,18 @@ class SharedPostingCache:
 
 
 def _iter_entries(d: str):
-    for sub in os.scandir(d):
-        if not sub.is_dir():
-            continue
-        for e in os.scandir(sub.path):
-            if e.name.endswith(".e"):
+    """Every cache entry under one key dir — posting entries (.e) and
+    result entries (.r, one level deeper under rq/) share the vacuum
+    byte budget and recency law."""
+    for base, _dirs, files in os.walk(d):
+        for name in files:
+            if name.endswith((".e", ".r")):
+                path = os.path.join(base, name)
                 try:
-                    st = e.stat()
+                    st = os.stat(path)
                 except OSError:  # pragma: no cover
                     continue
-                yield e.path, st.st_mtime, st.st_size
+                yield path, st.st_mtime, st.st_size
 
 
 def vacuum_cache(
@@ -258,3 +260,128 @@ def vacuum_cache(
         "dropped_entries": dropped,
         "kept_bytes": kept_bytes,
     }
+
+
+# ---------------------------------------------------------------------------
+# result cache (X107) — the third tier of the classic serving hierarchy
+# ---------------------------------------------------------------------------
+
+_RMAGIC = b"TSR1"
+# magic, qkey_len u32, n_rows u32
+_RHDR = struct.Struct("<4sII")
+_ROW = struct.Struct("<qd")
+
+
+class ResultCache:
+    """Snapshot-keyed top-k RESULT cache (Baeza-Yates et al.'s
+    three-level serving hierarchy: results above postings above the
+    index).  A repeated query is answered without touching postings at
+    all — the biggest single latency lever for the Zipf head of a real
+    query log (which :mod:`cachesim` prices: the events fixture's
+    head reaches ~0.98 hit rate at 256 entries).
+
+    Same correctness design as :class:`SharedPostingCache`: the key is
+    :func:`cache_key` over the published meta, so any commit rotates
+    the key and stale results are unreachable; entries are immutable
+    per key, written atomically, and embed the full canonical query
+    string so a filename-hash collision or torn file reads as a miss.
+    The canonical form is ``mode '|' k '|' segmented-terms`` — built
+    AFTER query normalization/segmentation, so surface variants of the
+    same term sequence share one entry.
+    """
+
+    def __init__(self, root: str, key: str):
+        self.root = root
+        self.key = key
+        self.dir = os.path.join(root, key, "rq")
+        os.makedirs(self.dir, exist_ok=True)
+        self.hits = 0
+        self.misses = 0
+        self.fills = 0
+
+    @classmethod
+    def for_meta(cls, root: str, meta: dict) -> "ResultCache":
+        return cls(root, cache_key(meta))
+
+    @classmethod
+    def for_index(cls, root: str, out_dir: str) -> "ResultCache":
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            return cls.for_meta(root, json.load(f))
+
+    @staticmethod
+    def canonical(terms: "list[str]", k: int, mode: str) -> str:
+        return f"{mode}|{k}|{' '.join(terms)}"
+
+    def _path(self, qkey: str) -> str:
+        h = hashlib.md5(qkey.encode("utf-8", "surrogatepass")).hexdigest()
+        return os.path.join(self.dir, h[:2], h + ".r")
+
+    def get(self, qkey: str) -> "list[tuple[int, float]] | None":
+        p = self._path(qkey)
+        try:
+            with open(p, "rb") as f:
+                raw = f.read()
+        except OSError:
+            self.misses += 1
+            return None
+        out = self._parse(qkey, raw)
+        if out is None:
+            self.misses += 1
+            try:  # pragma: no cover - best-effort repair
+                os.unlink(p)
+            except OSError:
+                pass
+            return None
+        self.hits += 1
+        try:
+            os.utime(p)
+        except OSError:  # pragma: no cover
+            pass
+        return out
+
+    @staticmethod
+    def _parse(qkey: str, raw: bytes) -> "list[tuple[int, float]] | None":
+        if len(raw) < _RHDR.size:
+            return None
+        magic, qlen, n = _RHDR.unpack_from(raw)
+        if magic != _RMAGIC:
+            return None
+        qb = qkey.encode("utf-8", "surrogatepass")
+        if len(raw) != _RHDR.size + qlen + n * _ROW.size:
+            return None
+        if raw[_RHDR.size : _RHDR.size + qlen] != qb:
+            return None  # collision: a different query, miss
+        off = _RHDR.size + qlen
+        return [
+            (int(d), float(s))
+            for d, s in _ROW.iter_unpack(raw[off:])
+        ]
+
+    def put(self, qkey: str, rows: "list[tuple[int, float]]") -> None:
+        p = self._path(qkey)
+        d = os.path.dirname(p)
+        os.makedirs(d, exist_ok=True)
+        qb = qkey.encode("utf-8", "surrogatepass")
+        payload = _RHDR.pack(_RMAGIC, len(qb), len(rows)) + qb + b"".join(
+            _ROW.pack(int(doc), float(score)) for doc, score in rows
+        )
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, p)
+        except OSError:  # pragma: no cover - stay a cache on failure
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            return
+        self.fills += 1
+
+    def stats(self) -> dict:
+        return {
+            "key": self.key,
+            "hits": self.hits,
+            "misses": self.misses,
+            "fills": self.fills,
+        }

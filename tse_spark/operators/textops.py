@@ -1147,3 +1147,82 @@ def keyset_page(
             .drop("__cs", "__cd")
         )
     return base.orderBy(s.desc(), d.asc()).limit(int(k))
+
+
+# ---------------------------------------------------------------------------
+# next-word index (X108) — combined-index phrase serving
+# ---------------------------------------------------------------------------
+
+def nextword_tf(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(bigram, doc_id, tf)`` — the NEXT-WORD INDEX of Williams,
+    Zobel & Bahle (Fast Phrase Querying with Combined Indexes, TOIS
+    2004): a posting list per adjacent token PAIR.  A two-word quoted
+    query is then answered by ONE pushed-down key lookup — no document
+    scan (phrase_match), no candidate verify (phrase_match_indexed),
+    no positional decode (phrase_match_positional); the per-doc tf IS
+    the exact adjacency count.
+
+    Build shape mirrors :func:`bigram_counts` (adjacency inside the
+    token array via zip_with-over-slices, pure codegen) but keeps the
+    doc id: one hash-agg shuffle over (bigram, doc_id).  The bigram
+    vocabulary is the classic space-for-speed tradeoff — production
+    builds restrict it to the query log's hot phrases; the relation
+    keys through the SAME posting-shard writer as unigrams (the codec
+    is key-agnostic), so the serving tier needs no new machinery."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.octet_length(t) > 0,
+    )
+    bigrams = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def phrase_match_nextword(
+    nextword: DataFrame,
+    phrase: str,
+    docs: "DataFrame | None" = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Quoted-query serving from the next-word index: result-identical
+    to :func:`phrase_match` (shared oracle).
+
+    Two-word phrases read their answer straight off the index.  Longer
+    phrases use the combined scheme: intersect the postings of every
+    consecutive bigram (pushed-down IN + contains-all — each bigram is
+    a far rarer key than its unigrams, so the candidate set is tiny),
+    then verify adjacency with the same codegen expression as
+    phrase_match on candidates only (``docs`` required)."""
+    words = _phrase_words(phrase)
+    if len(words) < 2:
+        raise ValueError("next-word index serves phrases of >= 2 words")
+    pairs = sorted(
+        {f"{a} {b}" for a, b in zip(words, words[1:], strict=False)}
+    )
+    if len(words) == 2:
+        return (
+            nextword.filter(F.col("bigram") == pairs[0])
+            .select("doc_id", F.col("tf").cast("long").alias("n_hits"))
+        )
+    if docs is None:
+        raise ValueError("phrases of > 2 words need docs to verify")
+    cand = (
+        nextword.filter(F.col("bigram").isin(pairs))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("bigram").alias("nb"))
+        .filter(F.col("nb") == len(pairs))
+        .select("doc_id")
+    )
+    n_hits = _phrase_hits_expr(words, text_col)
+    return (
+        docs.join(cand, "doc_id", "left_semi")
+        .select("doc_id", n_hits.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )

@@ -316,6 +316,19 @@ class IndexHandle:
         self.engine.shared_cache = cache
         return cache
 
+    def attach_result_cache(self, cache_root: str):
+        """Attach the snapshot-keyed top-k RESULT cache (third serving
+        tier, servecache.ResultCache) — same key law as the posting
+        tier: any commit rotates the key, stale results unreachable."""
+        from tse_spark.operators import servecache as sc
+
+        if self.meta is not None:
+            cache = sc.ResultCache.for_meta(cache_root, self.meta)
+        else:
+            cache = sc.ResultCache.for_index(cache_root, self.out_dir)
+        self.engine.result_cache = cache
+        return cache
+
     def _tf_row_major(self):
         """The tf checkpoint as (doc_id, term, tf): tse-tokenized
         builds persist it document-major (terms/tfs arrays) — explode
