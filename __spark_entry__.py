@@ -63,6 +63,10 @@ QUANT_BITS = 8
 CACHE_SIZES = [4, 16, 64, 256]
 # query-likelihood Dirichlet smoothing mass (X106)
 QL_MU = 2000.0
+# accumulator limit (X109): sized so the gate BITES on the sf0.01
+# fixture (first two terms' entrants pass, the third term's new docs
+# are shut out) — the law's discriminating regime, not a no-op
+ACC_LIMIT = 400
 
 # Common DuckDB tokenization prelude (must mirror build_tf_ws semantics:
 # lowercase, split on \s+, 2..8-byte term filter).
@@ -3714,6 +3718,24 @@ def _q_facet_counts(spark, sf):
     return textops.facet_counts(matches, docs, ["lang", "source"])
 
 
+def _q_taat_quit_topk(spark, sf):
+    """Accumulator-limited ranking (X109,
+    index_build.accumulator_limited_topk): Moffat-Zobel quit/continue
+    with a 400-doc accumulator budget — bounded serving memory, terms
+    rarest-first, late common terms update but cannot create."""
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(
+        tf.filter(F.col("term").isin(sorted(set(BM25_QUERY))))
+    )
+    n, avgdl = ib.corpus_stats(doclen)
+    return ib.accumulator_limited_topk(
+        spark, tf, doclen, dfreq, n, avgdl, BM25_QUERY, K, ACC_LIMIT
+    )
+
+
 def _q_hybrid_rrf(spark, sf):
     """Hybrid retrieval (X101, operators/fusion.py): reciprocal-rank
     fusion of the lexical BM25 top-30 and the dense cosine top-30
@@ -3890,6 +3912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_result_cached": _q_wand_result_cached,
         "phrase_nextword": _q_phrase_nextword,
         "phrase_nextword3": _q_phrase_nextword3,
+        "taat_quit_topk": _q_taat_quit_topk,
         "quantized_topk": _q_quantized_topk,
         "quant_error": _q_quant_error,
         "ql_topk": _q_ql_topk,
@@ -5218,6 +5241,41 @@ def oracle_sql() -> dict[str, str]:
           FROM sparse s FULL OUTER JOIN dense d USING (doc_id))
         SELECT doc_id, round(rrf, 6) AS rrf FROM fused
         ORDER BY rrf DESC, doc_id LIMIT {K}""",
+        # X109 Moffat-Zobel quit/continue, term-granular: a doc is a
+        # candidate iff docs first reached by EARLIER (rarer) terms
+        # number < the accumulator limit; candidates score in full
+        "taat_quit_topk": _TOK
+        + f"""
+        , perterm AS (
+          SELECT tf.doc_id, tf.term,
+                 ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats
+          WHERE tf.term IN ({terms3})),
+        tord AS (
+          SELECT term, row_number() OVER (ORDER BY df, term) - 1 AS ord
+          FROM dfreq WHERE term IN ({terms3})),
+        firstt AS (
+          SELECT p.doc_id, min(t.ord) AS j
+          FROM perterm p JOIN tord t USING (term) GROUP BY 1),
+        steps AS (SELECT j, count(*) AS n FROM firstt GROUP BY 1),
+        cum AS (
+          SELECT j, coalesce(sum(n) OVER (ORDER BY j
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS before
+          FROM steps),
+        cand AS (
+          SELECT f.doc_id FROM firstt f
+          JOIN cum USING (j) WHERE cum.before < {ACC_LIMIT}),
+        scored AS (
+          SELECT p.doc_id, sum(p.s) AS score
+          FROM perterm p JOIN cand USING (doc_id) GROUP BY 1)
+        SELECT doc_id, round(score, 4) AS score FROM scored
+        ORDER BY score DESC, doc_id LIMIT {K}""",
         # X102: global 8-bit linear impact quantization, integer serving
         "quantized_topk": _TOK
         + f"""

@@ -60,3 +60,18 @@ def test_corpus_touched_once(spark, corpus):
     _, vocab = bpe.learn_bpe(spark, corpus, n_merges=2)
     plan = vocab._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan
+
+
+def test_local_and_distributed_loops_identical(spark, corpus):
+    """The driver-local merge loop (vocab under the gate) and the
+    distributed loop (gate=0 forces it) learn the SAME merges and the
+    SAME final segmentation."""
+    m_local, v_local = bpe.learn_bpe(spark, corpus, n_merges=8)
+    m_dist, v_dist = bpe.learn_bpe(
+        spark, corpus, n_merges=8, local_vocab_gate=0
+    )
+    assert m_local == m_dist
+    seg = lambda df: {
+        r["word"]: (r["count"], list(r["syms"])) for r in df.collect()
+    }
+    assert seg(v_local) == seg(v_dist)

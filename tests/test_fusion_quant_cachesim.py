@@ -289,3 +289,83 @@ def test_ql_dirichlet_matches_numpy(spark, tiny_tf):
         )
         assert got[d] == pytest.approx(round(want, 4), abs=1e-6)
     assert set(got) == set(cands)
+
+
+# ---------------------------------------------------------------------------
+# X109 accumulator-limited (quit/continue) evaluation
+# ---------------------------------------------------------------------------
+
+def _acc_corpus(spark):
+    # rare term "rr" in docs 0,1; mid "mm" in 2,3,4; common "cc" in all
+    rows = [
+        (0, "rr cc"),
+        (1, "rr mm cc"),   # wait: keep mm out of 1 to control firsts
+        (2, "mm cc"),
+        (3, "mm cc"),
+        (4, "mm cc"),
+        (5, "cc cc"),
+        (6, "cc"),
+    ]
+    rows[1] = (1, "rr cc")
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_acc_limit_gate_semantics(spark):
+    from tse_spark.operators import index_build as ib
+
+    docs = _acc_corpus(spark)
+    tf = ib.build_tf_ws(docs)
+    doclen = ib.build_doclen(tf)
+    terms = ["rr", "mm", "cc"]
+    dfreq = ib.build_df_stats(tf.filter(F.col("term").isin(terms)))
+    n, avgdl = ib.corpus_stats(doclen)
+
+    def run(limit):
+        return {
+            r["doc_id"]
+            for r in ib.accumulator_limited_topk(
+                spark, tf, doclen, dfreq, n, avgdl, terms, 10, limit
+            ).collect()
+        }
+
+    # term order by df asc: rr(2) -> mm(3) -> cc(7)
+    # L=4: rr enters {0,1} (before=0), mm enters {2,3,4} (before=2<4),
+    #      cc blocked (before=5>=4) -> docs 5,6 never become candidates
+    assert run(4) == {0, 1, 2, 3, 4}
+    # L=2: rr enters, mm blocked (before=2>=2), cc blocked
+    assert run(2) == {0, 1}
+    # huge L == exhaustive BM25 candidate set
+    full = {
+        r["doc_id"]
+        for r in ib.bm25_topk(
+            spark, tf, doclen, dfreq, n, avgdl, terms, 10
+        ).collect()
+    }
+    assert run(10_000) == full
+
+
+def test_acc_limit_scores_are_full_bm25(spark):
+    """Continue semantics: a surviving candidate's score includes ALL
+    its query terms, so it equals the exhaustive BM25 score."""
+    from tse_spark.operators import index_build as ib
+
+    docs = _acc_corpus(spark)
+    tf = ib.build_tf_ws(docs)
+    doclen = ib.build_doclen(tf)
+    terms = ["rr", "mm", "cc"]
+    dfreq = ib.build_df_stats(tf.filter(F.col("term").isin(terms)))
+    n, avgdl = ib.corpus_stats(doclen)
+    lim = {
+        r["doc_id"]: r["score"]
+        for r in ib.accumulator_limited_topk(
+            spark, tf, doclen, dfreq, n, avgdl, terms, 10, 4
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: round(r["score"], 4)
+        for r in ib.bm25_topk(
+            spark, tf, doclen, dfreq, n, avgdl, terms, 10
+        ).collect()
+    }
+    for d, s in lim.items():
+        assert s == pytest.approx(full[d], abs=1e-4)

@@ -106,20 +106,84 @@ def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     return vocab.mapInPandas(rewrite, schema=schema)
 
 
+def _learn_local(
+    words: "list[tuple[str, int]]", n_merges: int
+) -> "tuple[list[tuple[str, str, int]], list[tuple[str, int, list[str]]]]":
+    """Driver-local merge loop over a collected (word, count) vocab —
+    same laws as the distributed loop (pytest-pinned identical), kept
+    INDEPENDENT of oracle.bpe_learn so the conformance tests still
+    compare two implementations."""
+    vocab = [(w, c, list(w)) for w, c in words]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(n_merges)):
+        counts: dict[tuple[str, str], int] = {}
+        for _w, c, syms in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        # argmax with (count desc, left asc, right asc) tie-break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        merges.append((a, b, int(n)))
+        for idx, (w, c, syms) in enumerate(vocab):
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            vocab[idx] = (w, c, res)
+    return merges, vocab
+
+
 def learn_bpe(
     spark: SparkSession,
     docs: DataFrame,
     n_merges: int = 30,
     text_col: str = "text",
+    local_vocab_gate: int = 2_000_000,
 ) -> "tuple[list[tuple[str, str, int]], DataFrame]":
     """Learn up to ``n_merges`` merges; returns (merge list in learn
-    order, final vocabulary DataFrame (word, count, syms))."""
+    order, final vocabulary DataFrame (word, count, syms)).
+
+    The corpus pass (word counts) is always distributed.  The merge
+    loop itself is inherently sequential (each decision depends on the
+    last), so when the vocabulary fits the driver (``<=
+    local_vocab_gate`` distinct words — Heaps' law keeps real-corpus
+    vocabularies far under web-corpus sizes, and every production BPE
+    trainer is driver/host-local at this stage) the loop runs on a
+    collected copy: ~2 Spark jobs total instead of 2 per merge.  Above
+    the gate the distributed loop runs: per-iteration pair counting as
+    an in-array zip_with + hash agg over the cached vocab table, a
+    1-row argmax fetch, and an Arrow-batched merge rewrite with
+    localCheckpoint lineage cuts.  Both paths implement the same laws
+    and are pytest-pinned identical."""
+    wc = word_count_table(docs, text_col)
+    rows = (
+        wc.limit(local_vocab_gate + 1).collect() if local_vocab_gate else []
+    )
+    if local_vocab_gate and len(rows) <= local_vocab_gate:
+        # one corpus pass total: the limit+collect doubles as the size
+        # probe (a vocab within the gate arrives complete)
+        words = [(r["word"], int(r["count"])) for r in rows]
+        merges, voc = _learn_local(words, n_merges)
+        out = spark.createDataFrame(
+            [(w, c, syms) for w, c, syms in voc],
+            "word string, count long, syms array<string>",
+        )
+        return merges, out
     vocab = (
-        word_count_table(docs, text_col)
-        .select("word", "count", _syms_col().alias("syms"))
+        wc.select("word", "count", _syms_col().alias("syms"))
         .localCheckpoint()
     )
-    merges: list[tuple[str, str, int]] = []
+    merges = []
     for _ in range(int(n_merges)):
         top = (
             pair_count_table(vocab)

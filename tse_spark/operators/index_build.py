@@ -1041,3 +1041,82 @@ def ql_dirichlet_topk(
         .limit(k)
         .select("doc_id", F.round("score", 4).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# accumulator-limited evaluation (X109) — Moffat & Zobel quit/continue
+# ---------------------------------------------------------------------------
+
+def accumulator_limited_topk(
+    spark: SparkSession,
+    tf: DataFrame,
+    doclen: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k: int = 10,
+    acc_limit: int = 1000,
+) -> DataFrame:
+    """Bounded-memory ranking (Moffat & Zobel, TOIS'96 quit/continue,
+    term-granular): query terms are processed rarest-first (df asc,
+    term asc); while the accumulator table holds < ``acc_limit`` docs a
+    term's whole posting list may CREATE accumulators, afterwards terms
+    only UPDATE existing ones.  A doc is therefore a candidate iff the
+    number of docs first reached by EARLIER terms is < acc_limit, and a
+    candidate's score is the full BM25 sum over all its query terms
+    (continue semantics).  This is the accumulator-memory answer at
+    10^12 docs: serving RAM is bounded by acc_limit per query, not by
+    posting-union size, with the quality loss concentrated in docs
+    reachable only through the commonest terms.
+
+    Declarative shape: per-term scores once (pruned IN), first-term
+    index per doc (hash agg), per-step entry counts + an exclusive
+    prefix sum over <= len(terms) rows, broadcast-joined back — no new
+    shuffle class.  Deterministic, so the DuckDB oracle reproduces it
+    row-for-row.  Returns ``(doc_id, score)``.
+    """
+    from pyspark.sql.window import Window
+
+    terms = sorted(set(terms))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    per_term = bm25_per_term(
+        spark, tf, doclen, dfreq, n_docs, avgdl, terms
+    )
+    tord = dfreq.filter(F.col("term").isin(terms)).select(
+        "term",
+        (
+            F.row_number().over(Window.orderBy(F.asc("df"), F.asc("term")))
+            - 1
+        ).alias("ord"),
+    )
+    firstt = (
+        per_term.join(F.broadcast(tord), "term")
+        .groupBy("doc_id")
+        .agg(F.min("ord").alias("j"))
+    )
+    steps = firstt.groupBy("j").agg(F.count(F.lit(1)).alias("n"))
+    cum = steps.select(
+        "j",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("j").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("before"),
+    )
+    elig = cum.filter(F.col("before") < acc_limit).select("j")
+    cand = firstt.join(F.broadcast(elig), "j").select("doc_id")
+    scored = (
+        per_term.join(cand, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
