@@ -1740,6 +1740,32 @@ def _q_phrase_nextword3(spark, sf):
     return textops.phrase_match_nextword(nw, PHRASE3_QUERY, docs=docs)
 
 
+PHRASE_SLOP = 2  # "w1 w2"~N-style window for the sloppy variants
+
+
+def _q_phrase_slop(spark, sf):
+    """Ordered sloppy phrase over the positional index (X110,
+    positions.phrase_match_slop): PHRASE_QUERY's words in order with
+    up to PHRASE_SLOP interlopers between them; n_hits counts chain
+    end positions (distinct completions)."""
+    from tse_spark.operators import positions as pos
+
+    out = pos.phrase_match_slop(
+        _pos_index_cached(spark, sf), PHRASE_QUERY, slop=PHRASE_SLOP
+    )
+    return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+def _q_phrase_slop3(spark, sf):
+    """Three-word sloppy chain (reachability DP across two gaps)."""
+    from tse_spark.operators import positions as pos
+
+    out = pos.phrase_match_slop(
+        _pos_index_cached(spark, sf), PHRASE3_QUERY, slop=PHRASE_SLOP
+    )
+    return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
 def _q_phrase_match_pos(spark, sf):
     """Quoted-query serving from the POSITIONAL index: term positions
     are delta-varint-encoded inside the posting blocks, so adjacency is
@@ -3913,6 +3939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_nextword": _q_phrase_nextword,
         "phrase_nextword3": _q_phrase_nextword3,
         "taat_quit_topk": _q_taat_quit_topk,
+        "phrase_slop": _q_phrase_slop,
+        "phrase_slop3": _q_phrase_slop3,
         "quantized_topk": _q_quantized_topk,
         "quant_error": _q_quant_error,
         "ql_topk": _q_ql_topk,
@@ -6491,6 +6519,38 @@ def oracle_sql() -> dict[str, str]:
           AND arr[i + 1] = '{p3[1]}'
           AND arr[i + 2] = '{p3[2]}'
         GROUP BY 1"""
+    # X110 sloppy chains: reachability (exists-a-chain), ends counted
+    pw = PHRASE_QUERY.split()
+    _pos_base = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> strlen(x) > 0) AS arr
+          FROM documents),
+        pos AS (
+          SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+          FROM t)"""
+    out["phrase_slop"] = _pos_base + f"""
+        , p0 AS (SELECT doc_id, i FROM pos WHERE arr[i] = '{pw[0]}'),
+        p1 AS (SELECT doc_id, i FROM pos WHERE arr[i] = '{pw[1]}'),
+        r1 AS (
+          SELECT DISTINCT p1.doc_id, p1.i FROM p1
+          JOIN p0 ON p0.doc_id = p1.doc_id
+                 AND p1.i > p0.i AND p1.i <= p0.i + {1 + PHRASE_SLOP})
+        SELECT doc_id, count(*)::BIGINT AS n_hits FROM r1 GROUP BY 1"""
+    out["phrase_slop3"] = _pos_base + f"""
+        , p0 AS (SELECT doc_id, i FROM pos WHERE arr[i] = '{p3[0]}'),
+        p1 AS (SELECT doc_id, i FROM pos WHERE arr[i] = '{p3[1]}'),
+        p2 AS (SELECT doc_id, i FROM pos WHERE arr[i] = '{p3[2]}'),
+        r1 AS (
+          SELECT DISTINCT p1.doc_id, p1.i FROM p1
+          JOIN p0 ON p0.doc_id = p1.doc_id
+                 AND p1.i > p0.i AND p1.i <= p0.i + {1 + PHRASE_SLOP}),
+        r2 AS (
+          SELECT DISTINCT p2.doc_id, p2.i FROM p2
+          JOIN r1 ON r1.doc_id = p2.doc_id
+                 AND p2.i > r1.i AND p2.i <= r1.i + {1 + PHRASE_SLOP})
+        SELECT doc_id, count(*)::BIGINT AS n_hits FROM r2 GROUP BY 1"""
     # the index-served wildcard returns IDENTICAL results to the
     # token-scan form (every matched term is index-eligible)
     out["wildcard_search_indexed"] = out["wildcard_search"]

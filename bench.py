@@ -265,6 +265,8 @@ HEADLINE = [
     "phrase_nextword",
     "phrase_nextword3",
     "taat_quit_topk",
+    "phrase_slop",
+    "phrase_slop3",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving

@@ -381,3 +381,79 @@ def test_position_table_compact_noop_on_steady_state(spark, tmp_path):
     before = json.load(open(os.path.join(out, "meta.json")))
     P.compact_position_table(spark, out)
     assert json.load(open(os.path.join(out, "meta.json"))) == before
+
+
+# ---------------------------------------------------------------------------
+# X110 sloppy ordered phrase (reachability DP)
+# ---------------------------------------------------------------------------
+
+def _slop_truth(texts, words, slop):
+    """Literal reachability reference: R_i = positions of word_i with
+    some reachable predecessor within the window; returns
+    {doc_id: n_chain_ends}."""
+    out = {}
+    for doc_id, text in texts:
+        toks = [t for t in text.lower().split() if t]
+        reach = [i for i, t in enumerate(toks) if t == words[0]]
+        for w in words[1:]:
+            nxt = [
+                j
+                for j, t in enumerate(toks)
+                if t == w
+                and any(j - 1 - slop <= q <= j - 1 for q in reach)
+            ]
+            reach = nxt
+        if reach:
+            out[doc_id] = len(reach)
+    return out
+
+
+def test_phrase_slop_zero_equals_exact(spark, pos_docs, pos_index):
+    for phrase in ["big data", "data big", "big data rocks"]:
+        exact = {
+            (r["doc_id"], r["n_hits"])
+            for r in P.phrase_match_positional(pos_index, phrase).collect()
+        }
+        slop0 = {
+            (r["doc_id"], r["n_hits"])
+            for r in P.phrase_match_slop(pos_index, phrase, 0).collect()
+        }
+        assert slop0 == exact, phrase
+        assert exact, phrase  # the fixture must actually match
+
+
+def test_phrase_slop_non_greedy_chain(spark):
+    """The chain p0=0 -> p1=2 -> p2=4 requires choosing the LARGER p1
+    (greedy-min p1=1 cannot reach p2=4 at slop=1): the reachability DP
+    must find it."""
+    docs = spark.createDataFrame(
+        [(0, "aa bb bb xx cc"), (1, "aa bb xx xx cc")],
+        "doc_id long, text string",
+    )
+    idx = P.build_position_index(docs, 2, num_shards=2)
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in P.phrase_match_slop(idx, "aa bb cc", 1).collect()
+    }
+    # doc 0: aa@0 -> bb@{1,2} -> cc@4 reachable via bb@2 (gap 1)
+    # doc 1: aa@0 -> bb@1 -> cc@4 gap 2 > slop: no chain
+    assert got == {0: 1}
+
+
+def test_phrase_slop_matches_literal_truth(spark, pos_docs, pos_index):
+    texts = [(r["doc_id"], r["text"]) for r in pos_docs.collect()]
+    for phrase, slop in [
+        ("big data", 1),
+        ("big rocks", 2),
+        ("data rocks", 3),
+        ("big data big", 1),
+        ("a a", 1),
+        ("a b a", 2),
+    ]:
+        words = phrase.split()
+        want = _slop_truth(texts, words, slop)
+        got = {
+            r["doc_id"]: r["n_hits"]
+            for r in P.phrase_match_slop(pos_index, phrase, slop).collect()
+        }
+        assert got == want, (phrase, slop)

@@ -29,6 +29,11 @@ TABLES = [
 GROUPS = {
     "lifecycle": ["wand_recrawled", "wand_delete_compacted"],
     "federation": ["wand_federated", "batch_metrics"],
+    # round-4 continuation: the accumulator gate (cut position shifts
+    # with df distribution), the reuse-distance interval join (bucket
+    # boundaries shift with log length), and hybrid fusion (leg overlap
+    # grows with corpus) are exactly the laws a 10x corpus could break
+    "r4ops": ["taat_quit_topk", "cache_hit_rates", "hybrid_rrf"],
 }
 
 

@@ -879,3 +879,70 @@ def proximity_count(
     return _minus_excluded(
         sub.groupBy("shard").applyInPandas(count, schema), excluded
     )
+
+
+def phrase_match_slop(
+    pos_shards: DataFrame,
+    phrase: str,
+    slop: int = 0,
+    excluded: "DataFrame | None" = None,
+) -> DataFrame:
+    """Ordered sloppy-phrase matching from position lists (the
+    ``"w1 w2"~N``-style query): the phrase words must appear IN ORDER
+    with at most ``slop`` interloping tokens between each consecutive
+    pair.  ``n_hits`` counts chain END positions per doc (the number of
+    distinct completions); ``slop=0`` reduces exactly to
+    :func:`phrase_match_positional`'s adjacency law on distinct-word
+    phrases.
+
+    Vectorized reachability DP, not chain enumeration (whose count is
+    combinatorial): R_0 = positions of word_0; R_i = positions p of
+    word_i with ANY q in R_{i-1} inside [p-1-slop, p-1] — two
+    searchsorted probes per word over sorted (doc*2^32+pos) keys; the
+    doc-range window never crosses a doc boundary because a doc's key
+    block spans far less than 2^32.  Same pushed-down term IN +
+    per-shard Arrow UDF shape as the exact matcher; shards are
+    disjoint doc ranges so the DP is shard-local.
+    """
+    from tse_spark.operators.textops import _phrase_words
+
+    words = _phrase_words(phrase)
+    uniq_words = sorted(set(words))
+    sub = pos_shards.filter(F.col("term").isin(uniq_words))
+    schema = "doc_id long, n_hits long"
+    n_words = len(words)
+    w = np.int64(1 + int(slop))
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "n_hits": []}).astype(
+            {"doc_id": "int64", "n_hits": "int64"}
+        )
+        keys_by_word: dict[str, np.ndarray] = {}
+        for word in uniq_words:
+            blobs = pdf.loc[pdf["term"] == word, "blocks"]
+            if blobs.empty:
+                return empty
+            parts = []
+            for blob in blobs:
+                docs, cnts, posflat = decode_positions(bytes(blob))
+                parts.append(np.repeat(docs, cnts) * _STRIDE + posflat)
+            keys = np.concatenate(parts)
+            keys.sort()
+            keys_by_word[word] = keys
+        reach = keys_by_word[words[0]]
+        for i in range(1, n_words):
+            k = keys_by_word[words[i]]
+            # p reachable iff any q in reach with p-1-slop <= q <= p-1
+            lo = np.searchsorted(reach, k - w)
+            hi = np.searchsorted(reach, k, side="left")
+            reach = k[hi > lo]
+            if reach.size == 0:
+                return empty
+        doc_ids, n_hits = np.unique(reach // _STRIDE, return_counts=True)
+        return pd.DataFrame(
+            {"doc_id": doc_ids, "n_hits": n_hits.astype(np.int64)}
+        )
+
+    return _minus_excluded(
+        sub.groupBy("shard").applyInPandas(match, schema), excluded
+    )
