@@ -3762,6 +3762,37 @@ def _q_taat_quit_topk(spark, sf):
     )
 
 
+RBO_K = 20
+RBO_P = 0.9
+
+
+def _q_quant_rbo(spark, sf):
+    """Ranking-level fidelity of the 8-bit impact index (X102 + X111,
+    fusion.rank_overlap_rbo): truncated RBO@20 (p=0.9) between exact
+    BM25 and quantized-integer rankings of the flagship query — the
+    release-gate number before flipping serving to the integer tier."""
+    from tse_spark.operators import fusion
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq_all = ib.build_df_stats(tf)
+    n, avgdl = ib.corpus_stats(doclen)
+    exact = ib.bm25_topk(
+        spark, tf, doclen,
+        dfreq_all.filter(F.col("term").isin(sorted(set(BM25_QUERY)))),
+        n, avgdl, BM25_QUERY, RBO_K,
+    )
+    qi = ib.quantized_impacts(tf, doclen, dfreq_all, n, avgdl, QUANT_BITS)
+    quant = ib.quantized_topk(spark, qi, BM25_QUERY, RBO_K)
+    return fusion.rank_overlap_rbo(
+        fusion.rank_leg(exact, "score"),
+        fusion.rank_leg(quant, "qscore"),
+        RBO_K,
+        RBO_P,
+    )
+
+
 def _q_hybrid_rrf(spark, sf):
     """Hybrid retrieval (X101, operators/fusion.py): reciprocal-rank
     fusion of the lexical BM25 top-30 and the dense cosine top-30
@@ -3941,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taat_quit_topk": _q_taat_quit_topk,
         "phrase_slop": _q_phrase_slop,
         "phrase_slop3": _q_phrase_slop3,
+        "quant_rbo": _q_quant_rbo,
         "quantized_topk": _q_quantized_topk,
         "quant_error": _q_quant_error,
         "ql_topk": _q_ql_topk,
@@ -5324,6 +5356,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, sum(q)::BIGINT AS qscore FROM qq
         WHERE term IN ({terms3})
         GROUP BY doc_id ORDER BY qscore DESC, doc_id LIMIT {K}""",
+        # X111 truncated RBO@20 between exact BM25 and the quantized
+        # integer ranking — both rankings recomputed in SQL
+        "quant_rbo": _TOK
+        + f"""
+        , perterm AS (
+          SELECT tf.doc_id, tf.term,
+                 ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats),
+        mx AS (SELECT max(s) AS m FROM perterm),
+        qq AS (
+          SELECT doc_id, term,
+                 least(255, floor(s / mx.m * 256.0))::BIGINT AS q
+          FROM perterm CROSS JOIN mx),
+        exact AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+          FROM (SELECT doc_id, sum(s) AS score FROM perterm
+                WHERE term IN ({terms3}) GROUP BY 1)
+          QUALIFY ra <= {RBO_K}),
+        quant AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY qscore DESC, doc_id) AS rb
+          FROM (SELECT doc_id, sum(q) AS qscore FROM qq
+                WHERE term IN ({terms3}) GROUP BY 1)
+          QUALIFY rb <= {RBO_K}),
+        dd AS (SELECT unnest(generate_series(1, {RBO_K})) AS d),
+        jj AS (SELECT e.doc_id, e.ra, q.rb
+               FROM exact e JOIN quant q USING (doc_id)),
+        ov AS (
+          SELECT dd.d, count(jj.doc_id) AS ov
+          FROM dd LEFT JOIN jj ON jj.ra <= dd.d AND jj.rb <= dd.d
+          GROUP BY 1)
+        SELECT {RBO_K}::BIGINT AS k, round(0.9::DOUBLE, 4) AS p,
+               round(sum((1 - 0.9::DOUBLE) * pow(0.9::DOUBLE, d - 1)
+                         * ov / d), 6) AS rbo
+        FROM ov""",
         "quant_error": _TOK
         + """
         , perterm AS (

@@ -267,6 +267,7 @@ HEADLINE = [
     "taat_quit_topk",
     "phrase_slop",
     "phrase_slop3",
+    "quant_rbo",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving

@@ -369,3 +369,38 @@ def test_acc_limit_scores_are_full_bm25(spark):
     }
     for d, s in lim.items():
         assert s == pytest.approx(full[d], abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# X111 rank-biased overlap
+# ---------------------------------------------------------------------------
+
+def test_rbo_identical_and_disjoint(spark):
+    a = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(i + 100, i + 1) for i in range(5)], "doc_id long, rank int"
+    )
+    p = 0.9
+    same = fusion.rank_overlap_rbo(a, a, 5, p).collect()[0]
+    # identical prefixes: overlap@d = d, so RBO = (1-p) sum p^(d-1)
+    want = (1 - p) * sum(p ** (d - 1) for d in range(1, 6))
+    assert same["rbo"] == pytest.approx(round(want, 6), abs=1e-9)
+    none = fusion.rank_overlap_rbo(a, b, 5, p).collect()[0]
+    assert none["rbo"] == 0.0
+
+
+def test_rbo_hand_overlap(spark):
+    # A = [1,2,3], B = [2,1,4]: overlap@1=0, @2=2, @3=2
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (1, 2), (4, 3)], "doc_id long, rank int"
+    )
+    p = 0.9
+    got = fusion.rank_overlap_rbo(a, b, 3, p).collect()[0]
+    want = (1 - p) * (p ** 0 * 0 / 1 + p ** 1 * 2 / 2 + p ** 2 * 2 / 3)
+    assert got["rbo"] == pytest.approx(round(want, 6), abs=1e-9)
+    assert got["k"] == 3 and got["p"] == pytest.approx(0.9)

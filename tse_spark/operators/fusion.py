@@ -71,3 +71,50 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def rank_overlap_rbo(
+    leg_a: DataFrame,
+    leg_b: DataFrame,
+    k: int,
+    p: float = 0.9,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber, Moffat & Zobel, TOIS'10)
+    between two ranked legs (``doc_id``, ``rank`` 1-based, depth <= k):
+
+        RBO@k = (1 - p) * sum_{d=1..k} p^(d-1) * |A_d ∩ B_d| / d
+
+    The release-gate number for ranking changes: compare an index
+    snapshot against its predecessor, a quantized tier against exact
+    scoring, or an A/B scorer pair — top-weighted (small p discounts
+    the tail), score-scale-free like RRF.  Returns one row ``(k, p,
+    rbo)``; rbo in [0, 1], 1 = identical prefixes at every depth.
+
+    Shape: both legs are k-row relations, the depth axis is a k-row
+    literal range — everything after the (bounded) legs is
+    driver-trivial, like :func:`rrf_fuse`.
+    """
+    spark = leg_a.sparkSession
+    depths = spark.range(1, k + 1).select(F.col("id").alias("d"))
+    joined = (
+        leg_a.select("doc_id", F.col("rank").alias("ra"))
+        .join(leg_b.select("doc_id", F.col("rank").alias("rb")), "doc_id")
+    )
+    per_depth = depths.join(
+        joined,
+        (F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")),
+        "left",
+    ).groupBy("d").agg(F.count("doc_id").alias("ov"))
+    return per_depth.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.lit(float(p)), 4).alias("p"),
+        F.round(
+            F.sum(
+                (1.0 - F.lit(float(p)))
+                * F.pow(F.lit(float(p)), F.col("d") - 1)
+                * F.col("ov")
+                / F.col("d")
+            ),
+            6,
+        ).alias("rbo"),
+    )
