@@ -3765,6 +3765,39 @@ def _q_taat_quit_topk(spark, sf):
 RBO_K = 20
 RBO_P = 0.9
 
+_QIDX_CACHE: dict = {}
+
+
+def _quantized_shards_cached(spark, sf):
+    """One quantized-shard table per sf (operators/quantize.py): the
+    ws serving index's OWN (term, shard) rows re-encoded to 8-bit
+    impact codes — a build-time artifact like the pruned index."""
+    if sf not in _QIDX_CACHE:
+        from tse_spark.operators import quantize as qz
+
+        h = _ws_index(spark, sf)
+        e = h.engine
+        _QIDX_CACHE[sf] = qz.quantize_shards(
+            e.postings, e.n_docs, e.avgdl, bits=QUANT_BITS
+        ).persist()
+        _QIDX_CACHE[sf].count()
+    return _QIDX_CACHE[sf]
+
+
+def _q_wand_quantized(spark, sf):
+    """Integer serving from impact-quantized posting SHARDS (X102's
+    serving tier, operators/quantize.py): the same compressed rows the
+    WAND engine reads, re-encoded as delta-gap + varint q-blocks with
+    integer block-max metadata, served by a per-shard Arrow UDF that
+    sums 8-bit codes — no float kernel, no doclen section, no idf at
+    query time.  Result-identical to the declarative
+    index_build.quantized_topk (shared oracle)."""
+    from tse_spark.operators import quantize as qz
+
+    return qz.quantized_search(
+        _quantized_shards_cached(spark, sf), BM25_QUERY, K
+    )
+
 
 def _q_quant_rbo(spark, sf):
     """Ranking-level fidelity of the 8-bit impact index (X102 + X111,
@@ -3973,6 +4006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop": _q_phrase_slop,
         "phrase_slop3": _q_phrase_slop3,
         "quant_rbo": _q_quant_rbo,
+        "wand_quantized": _q_wand_quantized,
         "quantized_topk": _q_quantized_topk,
         "quant_error": _q_quant_error,
         "ql_topk": _q_ql_topk,
@@ -7855,6 +7889,9 @@ def oracle_sql() -> dict[str, str]:
     out["wand_sharedcache"] = out["wand_topk"]
     # X107: the result-cache tier must answer with the exhaustive law
     out["wand_result_cached"] = out["wand_topk"]
+    # X102 serving tier: the quantized SHARDS answer with the same law
+    # as the declarative quantized ranking
+    out["wand_quantized"] = out["quantized_topk"]
     pages_sql = _pages_bm25_oracle_sql()
     if pages_sql:
         out["pages_bm25"] = pages_sql

@@ -268,6 +268,7 @@ HEADLINE = [
     "phrase_slop",
     "phrase_slop3",
     "quant_rbo",
+    "wand_quantized",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving
