@@ -3771,16 +3771,29 @@ _QIDX_CACHE: dict = {}
 def _quantized_shards_cached(spark, sf):
     """One quantized-shard table per sf (operators/quantize.py): the
     ws serving index's OWN (term, shard) rows re-encoded to 8-bit
-    impact codes — a build-time artifact like the pruned index."""
+    impact codes, PUBLISHED as a snapshot-gated sidecar beside the
+    index (qpostings/ + qpostings_meta.json) and served from the
+    loaded parquet — the full build/publish/load/serve lifecycle, not
+    an in-memory shortcut."""
     if sf not in _QIDX_CACHE:
         from tse_spark.operators import quantize as qz
 
         h = _ws_index(spark, sf)
         e = h.engine
-        _QIDX_CACHE[sf] = qz.quantize_shards(
-            e.postings, e.n_docs, e.avgdl, bits=QUANT_BITS
-        ).persist()
-        _QIDX_CACHE[sf].count()
+        try:
+            qp, _meta = qz.load_quantized_index(spark, h.out_dir)
+        except (OSError, ValueError):
+            m = qz.max_impact(e.postings, e.n_docs, e.avgdl)
+            qz.write_quantized_index(
+                qz.quantize_shards(
+                    e.postings, e.n_docs, e.avgdl, bits=QUANT_BITS, m=m
+                ),
+                h.out_dir,
+                m,
+                QUANT_BITS,
+            )
+            qp, _meta = qz.load_quantized_index(spark, h.out_dir)
+        _QIDX_CACHE[sf] = qp
     return _QIDX_CACHE[sf]
 
 

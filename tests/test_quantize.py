@@ -115,3 +115,35 @@ def test_per_shard_topk_union_is_safe(spark, shard_setup):
     want = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert pruned == want
     qp.unpersist()
+
+
+def test_sidecar_roundtrip_and_staleness_gate(spark, shard_setup, tmp_path):
+    import json
+    import os
+
+    tf, doclen, n, avgdl, shards = shard_setup
+    out = str(tmp_path / "idx")
+    os.makedirs(out)
+    with open(os.path.join(out, "meta.json"), "w") as f:
+        json.dump({"snapshot_id": 3}, f)
+    m = qz.max_impact(shards, n, avgdl)
+    qz.write_quantized_index(
+        qz.quantize_shards(shards, n, avgdl, bits=8, m=m), out, m, 8
+    )
+    qp, meta = qz.load_quantized_index(spark, out)
+    assert meta == {"m": m, "bits": 8, "snapshot_id": 3}
+    # loaded table serves identically to the in-memory one
+    want = [
+        tuple(r)
+        for r in qz.quantized_search(
+            qz.quantize_shards(shards, n, avgdl, bits=8, m=m),
+            ["alpha"], 5,
+        ).collect()
+    ]
+    got = [tuple(r) for r in qz.quantized_search(qp, ["alpha"], 5).collect()]
+    assert got == want
+    # a commit bumps the index snapshot: the stale sidecar must refuse
+    with open(os.path.join(out, "meta.json"), "w") as f:
+        json.dump({"snapshot_id": 4}, f)
+    with pytest.raises(ValueError, match="stale"):
+        qz.load_quantized_index(spark, out)

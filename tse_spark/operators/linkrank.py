@@ -118,6 +118,11 @@ def pagerank(
         ranks = seeded.crossJoin(tot).select(
             "id", (F.col("__s") / F.col("__tot")).alias("rank")
         )
+        # cut the seed's lineage ONCE: each iteration references the
+        # rank vector from two subplans (contrib + dangling), so an
+        # unchecked prior lineage — itself possibly a full PageRank
+        # run — would re-evaluate ~4x per warm iteration
+        ranks = ranks.localCheckpoint(eager=False)
     for i in range(n_iter):
         contrib = (
             e.join(ranks, e.src == ranks.id)

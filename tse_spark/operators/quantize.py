@@ -213,3 +213,63 @@ def quantized_search(
 
     local = sub.groupBy("shard").applyInPandas(per_shard, schema)
     return local.orderBy(F.desc("qscore"), F.asc("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# sidecar persistence (published beside the index, snapshot-gated)
+# ---------------------------------------------------------------------------
+
+def write_quantized_index(
+    qpostings: DataFrame,
+    out_dir: str,
+    m: float,
+    bits: int,
+    dirname: str = "qpostings",
+) -> str:
+    """Persist the quantized tier under ``out_dir/<dirname>`` and
+    publish ``qpostings_meta.json`` carrying the quantizer scale ``m``,
+    ``bits``, and the index ``snapshot_id`` it was derived from.  The
+    sidecar is immutable per snapshot: any commit (append / compact /
+    delete-fold / upsert) bumps the index snapshot_id, and
+    :func:`load_quantized_index` refuses a stale sidecar loudly — the
+    same gate the facet sidecar and ANN indexes use.  Rebuild after a
+    commit is a full two-pass re-encode; an O(delta) append would
+    hold ``m`` fixed and only quantize the new shards (valid while no
+    new posting exceeds m — the meta records m so the check is one
+    comparison against the delta's max impact)."""
+    import json
+    import os
+
+    path = os.path.join(out_dir, dirname)
+    qpostings.write.mode("overwrite").parquet(path)
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        sid = int(json.load(f).get("snapshot_id", 0))
+    meta = {"m": float(m), "bits": int(bits), "snapshot_id": sid}
+    tmp = os.path.join(out_dir, f"{dirname}_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, f"{dirname}_meta.json"))
+    return path
+
+
+def load_quantized_index(
+    spark, out_dir: str, dirname: str = "qpostings"
+) -> "tuple[DataFrame, dict]":
+    """Load the quantized sidecar, validating its snapshot_id against
+    the LIVE index meta — serving stale integer codes against a
+    committed index would silently misrank, so staleness is an error,
+    never a fallback."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, f"{dirname}_meta.json")) as f:
+        meta = json.load(f)
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        live_sid = int(json.load(f).get("snapshot_id", 0))
+    if int(meta["snapshot_id"]) != live_sid:
+        raise ValueError(
+            f"quantized sidecar is stale (built at snapshot "
+            f"{meta['snapshot_id']}, index is at {live_sid}); rebuild "
+            f"with quantize_shards + write_quantized_index"
+        )
+    return spark.read.parquet(os.path.join(out_dir, dirname)), meta
