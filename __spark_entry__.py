@@ -3839,6 +3839,16 @@ def _q_quant_rbo(spark, sf):
     )
 
 
+def _q_codec_advisor(spark, sf):
+    """Per-term codec choice (X113, intcodec.codec_advisor): exact
+    varint-gap vs Elias-Fano byte costs as closed-form columns (laws
+    pytest-pinned byte-exact against the real encoders), winner per
+    posting list — the capacity report behind a mixed-codec tier."""
+    from tse_spark.operators import intcodec
+
+    return intcodec.codec_advisor(_tf_ws_cached(spark, sf))
+
+
 def _q_hybrid_rrf(spark, sf):
     """Hybrid retrieval (X101, operators/fusion.py): reciprocal-rank
     fusion of the lexical BM25 top-30 and the dense cosine top-30
@@ -4020,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop3": _q_phrase_slop3,
         "quant_rbo": _q_quant_rbo,
         "wand_quantized": _q_wand_quantized,
+        "codec_advisor": _q_codec_advisor,
         "quantized_topk": _q_quantized_topk,
         "quant_error": _q_quant_error,
         "ql_topk": _q_ql_topk,
@@ -5348,6 +5359,44 @@ def oracle_sql() -> dict[str, str]:
           FROM sparse s FULL OUTER JOIN dense d USING (doc_id))
         SELECT doc_id, round(rrf, 6) AS rrf FROM fused
         ORDER BY rrf DESC, doc_id LIMIT {K}""",
+        # X113 codec advisor: exact varint vs Elias-Fano byte laws
+        "codec_advisor": _TOK
+        + """
+        , g AS (
+          SELECT term,
+                 doc_id - coalesce(
+                   lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                   -1) AS gap
+          FROM tf),
+        vsum AS (
+          SELECT term,
+                 sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                          WHEN gap < 2097152 THEN 3
+                          WHEN gap < 268435456 THEN 4
+                          ELSE 5 END)::BIGINT AS varint_bytes
+          FROM g GROUP BY 1),
+        st AS (
+          SELECT term, count(*)::BIGINT AS n_postings,
+                 max(doc_id)::BIGINT AS lastd
+          FROM tf GROUP BY 1),
+        law AS (
+          SELECT term, n_postings, lastd,
+                 CASE WHEN lastd + 1 > n_postings THEN greatest(0,
+                   floor(log2((lastd + 1)::DOUBLE / n_postings))::BIGINT)
+                 ELSE 0 END AS l
+          FROM st),
+        ef AS (
+          SELECT term, n_postings,
+                 (17
+                  + CASE WHEN l > 0
+                         THEN (n_postings * l + 7) // 8 ELSE 0 END
+                  + ((lastd // (1::BIGINT << l)) + n_postings + 1 + 7)
+                    // 8)::BIGINT AS ef_bytes
+          FROM law)
+        SELECT ef.term, ef.n_postings, vsum.varint_bytes, ef.ef_bytes,
+               CASE WHEN ef.ef_bytes < vsum.varint_bytes
+                    THEN 'elias_fano' ELSE 'varint' END AS winner
+        FROM ef JOIN vsum USING (term)""",
         # X109 Moffat-Zobel quit/continue, term-granular: a doc is a
         # candidate iff docs first reached by EARLIER (rarer) terms
         # number < the accumulator limit; candidates score in full

@@ -269,6 +269,7 @@ HEADLINE = [
     "phrase_slop3",
     "quant_rbo",
     "wand_quantized",
+    "codec_advisor",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving

@@ -95,3 +95,53 @@ def test_gap_simple8b_beats_raw_on_dense_postings():
     assert len(s8) < ids.size * 8 / 3  # >= 3x smaller than raw int64
     back = ic.simple8b_decode_bytes(s8).cumsum()
     assert (back == ids).all()
+
+
+def test_codec_advisor_laws_match_real_encoders(spark):
+    """The advisor's closed-form byte columns equal the REAL encoder
+    outputs for every posting list: len(elias_fano_encode(ids)) and
+    len(varint_encode(gaps)) — so the report prices exactly what the
+    codecs would write."""
+    import numpy as np
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import intcodec as ic
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(
+                ["dense"] * 1
+                + (["sparse"] if i % 97 == 0 else [])
+                + ([f"mid{i % 7}"] if i % 3 == 0 else [])
+            ))
+            for i in range(800)
+        ],
+        "doc_id long, text string",
+    )
+    tf = ib.build_tf_ws(docs)
+    report = {
+        r["term"]: (r["n_postings"], r["varint_bytes"], r["ef_bytes"],
+                    r["winner"])
+        for r in ic.codec_advisor(tf).collect()
+    }
+    ids_by_term = {}
+    for r in tf.collect():
+        ids_by_term.setdefault(r["term"], []).append(r["doc_id"])
+    assert set(report) == set(ids_by_term)
+    for term, ids in ids_by_term.items():
+        ids = np.sort(np.array(ids, dtype=np.int64))
+        n, vb, eb, winner = report[term]
+        assert n == len(ids)
+        gaps = np.diff(ids, prepend=np.int64(-1))
+        assert vb == len(ic_varint(gaps)), term
+        assert eb == len(ic.elias_fano_encode(ids)), term
+        assert winner == ("elias_fano" if eb < vb else "varint"), term
+    # both codecs must win somewhere on this corpus or the report
+    # proves nothing
+    winners = {w for (_, _, _, w) in report.values()}
+    assert winners == {"elias_fano", "varint"}
+
+
+def ic_varint(values):
+    from tse_spark.operators import codec
+
+    return codec.varint_encode(values)

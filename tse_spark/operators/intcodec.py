@@ -190,3 +190,72 @@ def elias_fano_decode(buf: bytes) -> np.ndarray:
     pos = np.flatnonzero(bits)[:n].astype(np.int64)
     high = (pos - np.arange(n, dtype=np.int64)).astype(np.uint64)
     return (high << np.uint64(l)) | low
+
+
+def codec_advisor(tf) -> "DataFrame":
+    """Per-term codec choice report (pairs X94/X95 with the X104 byte
+    law): for every posting list, the exact byte cost under (a) LEB128
+    varint delta-gaps and (b) Elias-Fano — closed-form columns, all
+    whole-stage codegen, no UDF (the closed forms are pytest-pinned
+    byte-exact against :func:`elias_fano_encode` / the varint codec's
+    own output law).  ``winner`` picks the smaller stream (ties to
+    varint, the default tier).  Dense lists (n close to the universe)
+    favor EF's ~2 + log2(u/n) bits/id; sparse lists favor varint.
+
+    Laws (mirroring the encoders exactly):
+      varint_bytes = sum over gaps of LEB128 size (first gap = id+1)
+      l            = u > n ? max(0, floor(log2(u/n))) : 0, u = last+1
+      ef_bytes     = 17 header + (l ? ceil(n*l/8) : 0)
+                     + ceil(((last >> l) + n + 1) / 8)
+    """
+    from pyspark.sql import DataFrame, Window, functions as F
+
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gap = F.col("doc_id") - F.coalesce(
+        F.lag("doc_id").over(w), F.lit(-1)
+    )
+    vb = (
+        F.when(gap < 128, 1)
+        .when(gap < 16384, 2)
+        .when(gap < 2097152, 3)
+        .when(gap < 268435456, 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    agg = (
+        tf.select("term", "doc_id")
+        .withColumn("__vb", vb)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.max("doc_id").alias("__last"),
+            F.sum("__vb").alias("varint_bytes"),
+        )
+    )
+    n, last = F.col("n_postings"), F.col("__last")
+    u = last + 1
+    l = F.when(
+        u > n,
+        F.greatest(
+            F.lit(0),
+            F.floor(F.log2(u.cast("double") / n.cast("double"))),
+        ),
+    ).otherwise(0).cast("long")
+    low_bytes = F.when(
+        l > 0, F.floor((n * l + 7) / 8)
+    ).otherwise(0).cast("long")
+    hi_bits = F.floor(last / F.pow(F.lit(2.0), l.cast("double"))).cast(
+        "long"
+    ) + n + 1
+    ef_bytes = (F.lit(17) + low_bytes + F.floor((hi_bits + 7) / 8)).cast(
+        "long"
+    )
+    return agg.select(
+        "term",
+        "n_postings",
+        "varint_bytes",
+        ef_bytes.alias("ef_bytes"),
+        F.when(ef_bytes < F.col("varint_bytes"), F.lit("elias_fano"))
+        .otherwise(F.lit("varint"))
+        .alias("winner"),
+    )
