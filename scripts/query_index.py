@@ -95,6 +95,20 @@ def main(argv: list[str] | None = None) -> int:
         "newer index commit is never served stale bytes",
     )
     ap.add_argument(
+        "--result-cache-root", default=None, metavar="DIR",
+        help="attach the snapshot-keyed top-k RESULT cache "
+        "(operators.servecache.ResultCache, third serving tier): a "
+        "repeated query is answered without touching postings; "
+        "entries rotate with every index commit, so stale results "
+        "are unreachable",
+    )
+    ap.add_argument(
+        "--algo", choices=("wand", "maxscore"), default="wand",
+        help="dynamic-pruning algorithm for the --distributed path "
+        "(both exact; maxscore = Turtle-Flood essential-list "
+        "partitioning, wand = block-max WAND)",
+    )
+    ap.add_argument(
         "--queries-file", default=None,
         help="UTF-8 file, one query per line (use for non-ASCII queries: "
         "spark-submit under a C locale mangles non-ASCII argv)",
@@ -179,6 +193,8 @@ def main(argv: list[str] | None = None) -> int:
         handle = pl.load_index(spark, args.index, dictionary)
     if args.cache_root:
         handle.attach_shared_cache(args.cache_root)
+    if args.result_cache_root:
+        handle.attach_result_cache(args.result_cache_root)
     handle.engine.warm()
     handle.engine.query_log_path = args.index.rstrip("/") + "/query_log.jsonl"
     if args.complete:
@@ -240,7 +256,7 @@ def main(argv: list[str] | None = None) -> int:
                 ]
         elif args.distributed:
             rows = handle.engine.search(
-                q, fetch, conjunctive=args.conjunctive
+                q, fetch, conjunctive=args.conjunctive, algo=args.algo
             ).collect()
             res = [[r["doc_id"], round(r["score"], 4)] for r in rows]
         else:

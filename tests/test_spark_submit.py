@@ -97,3 +97,58 @@ def test_spark_submit_build_and_query(tmp_path):
     )
     assert len(res["results"]) > 0
     assert all(s > 0 for _, s in res["results"])
+
+
+def test_spark_submit_query_flags(tmp_path):
+    """Second launch-path pass: --distributed --algo maxscore and the
+    --result-cache-root tier through the same spark-submit contract
+    (fresh driver JVM, package from --py-files).  Run twice with the
+    same cache root: the second invocation is a COLD PROCESS whose
+    repeated query must come back identical through the result cache."""
+    zip_path = str(tmp_path / "tse_spark.zip")
+    _package(zip_path)
+
+    from tse_spark import fixtures
+
+    pages = fixtures.write_pages_parquet(
+        str(tmp_path / "pages.parquet"), 120
+    )
+    out_dir = str(tmp_path / "idx")
+    _submit(
+        [
+            "--py-files", zip_path,
+            "scripts/build_index.py",
+            "--pages", pages,
+            "--out", out_dir,
+            "--shards", "2",
+        ]
+    )
+    rcache = str(tmp_path / "rcache")
+
+    def run_query(extra):
+        stdout = _submit(
+            [
+                "--py-files", zip_path,
+                "scripts/query_index.py",
+                "--index", out_dir,
+                "--k", "5",
+                *extra,
+                "web search",
+            ]
+        )
+        return json.loads(
+            [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
+        )
+
+    dist = run_query(["--distributed", "--algo", "maxscore"])
+    assert len(dist["results"]) > 0
+
+    warm = run_query(["--result-cache-root", rcache])
+    cold = run_query(["--result-cache-root", rcache])
+    assert cold["results"] == warm["results"] == dist["results"]
+    # the second process really read a cache entry written by the first
+    assert any(
+        f.endswith(".r")
+        for _r, _d, fs in os.walk(rcache)
+        for f in fs
+    )
