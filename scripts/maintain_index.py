@@ -75,6 +75,14 @@ def main(argv: list[str] | None = None) -> int:
         help="byte budget for the CURRENT snapshot's entries; "
         "superseded snapshot dirs are always dropped",
     )
+    qz_p = sub.add_parser(
+        "quantize",
+        help="(re)build the impact-quantized serving sidecar "
+        "(qpostings/ + qpostings_meta.json, operators.quantize): "
+        "8-bit integer impact codes next to the float WAND tier; "
+        "snapshot-gated, so rerun after every commit",
+    )
+    qz_p.add_argument("--bits", type=int, default=8)
     args = ap.parse_args(argv)
 
     from tse_spark.plans import snapshots as sn
@@ -125,6 +133,24 @@ def main(argv: list[str] | None = None) -> int:
         ).getOrCreate()
     )
     dictionary = _dictionary(args.dict)
+    if args.cmd == "quantize":
+        from tse_spark.operators import quantize as qz
+        from tse_spark.plans import pipeline as pl
+
+        h = pl.load_index(spark, args.index, dictionary)
+        e = h.engine
+        m = qz.max_impact(e.postings, e.n_docs, e.avgdl)
+        qz.write_quantized_index(
+            qz.quantize_shards(
+                e.postings, e.n_docs, e.avgdl, bits=args.bits, m=m
+            ),
+            args.index,
+            m,
+            args.bits,
+        )
+        _qp, qmeta = qz.load_quantized_index(spark, args.index)
+        print(json.dumps({"cmd": "quantize", **qmeta}))
+        return 0
     if args.cmd == "delete":
         from tse_spark.plans import delete as dmod
 

@@ -147,3 +147,48 @@ def test_sidecar_roundtrip_and_staleness_gate(spark, shard_setup, tmp_path):
         json.dump({"snapshot_id": 4}, f)
     with pytest.raises(ValueError, match="stale"):
         qz.load_quantized_index(spark, out)
+
+
+def test_maintain_cli_quantize(spark, tmp_path, capsys):
+    """maintain_index.py quantize publishes a loadable sidecar whose
+    serving equals the declarative law on the same index."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import maintain_index as mi
+    from tse_spark import fixtures
+    from tse_spark.plans import pipeline as pl
+
+    p = str(tmp_path / "pages")
+    spark.createDataFrame(fixtures.gen_pages(120)).write.parquet(p)
+    out = str(tmp_path / "idx")
+    pipe = pl.IndexPipeline(
+        spark, out, tokenizer="ws", num_shards=2, num_partitions=2
+    )
+    pipe.run_from_pages(p, resume=False)
+
+    assert mi.main(["--index", out, "quantize"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["bits"] == 8 and rep["m"] > 0
+
+    qp, meta = qz.load_quantized_index(spark, out)
+    h = pl.load_index(spark, out)
+    e = h.engine
+    from tse_spark.operators import postings as po
+
+    tf = po.decode_postings(e.postings).select("term", "doc_id", "tf")
+    doclen = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("dl")
+    )
+    dfreq = ib.build_df_stats(tf)
+    qi = ib.quantized_impacts(tf, doclen, dfreq, e.n_docs, e.avgdl)
+    want = [
+        tuple(r)
+        for r in ib.quantized_topk(spark, qi, ["web", "search"], 5).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in qz.quantized_search(qp, ["web", "search"], 5).collect()
+    ]
+    assert got == want and got
