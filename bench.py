@@ -705,6 +705,14 @@ def run_headline(spark) -> None:
         RESULT["lifecycle_fixture_build_s"] = round(time.time() - t0, 1)
     except Exception as e:
         RESULT["lifecycle_fixture_build_s"] = f"error: {e}"[:200]
+    # quantized sidecar (X112): a build artifact like the ANN indexes —
+    # wand_quantized then times the integer serving path only
+    t0 = time.time()
+    try:
+        entrymod._quantized_shards_cached(spark, SF_DIR)
+        RESULT["quantized_index_build_s"] = round(time.time() - t0, 1)
+    except Exception as e:
+        RESULT["quantized_index_build_s"] = f"error: {e}"[:200]
     times: dict[str, float] = {}
     RESULT["queries"] = times
     RESULT["battery_rotation"] = {
