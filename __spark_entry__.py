@@ -63,6 +63,8 @@ QUANT_BITS = 8
 CACHE_SIZES = [4, 16, 64, 256]
 # query-likelihood Dirichlet smoothing mass (X106)
 QL_MU = 2000.0
+# Jelinek-Mercer mixing weight (X106 sibling; Zhai-Lafferty short-query)
+QL_LAMBDA = 0.1
 # accumulator limit (X109): sized so the gate BITES on the sf0.01
 # fixture (first two terms' entrants pass, the third term's new docs
 # are shut out) — the law's discriminating regime, not a no-op
@@ -3922,6 +3924,16 @@ def _q_ql_topk(spark, sf):
     return ib.ql_dirichlet_topk(spark, tf, doclen, BM25_QUERY, K, QL_MU)
 
 
+def _q_ql_jm_topk(spark, sf):
+    """Jelinek-Mercer query likelihood (index_build.ql_jm_topk) — the
+    LM family's second classic smoothing next to Dirichlet."""
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    return ib.ql_jm_topk(spark, tf, doclen, BM25_QUERY, K, QL_LAMBDA)
+
+
 def _q_cache_hit_rates(spark, sf):
     """Exact LRU hit rates from one reuse-distance pass (X103,
     operators/cachesim.py) over the events log (key=user_id,
@@ -4034,6 +4046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": _q_quantized_topk,
         "quant_error": _q_quant_error,
         "ql_topk": _q_ql_topk,
+        "ql_jm_topk": _q_ql_jm_topk,
         "cache_hit_rates": _q_cache_hit_rates,
         "docid_reorder_gain": _q_docid_reorder_gain,
         "query_bursts": _q_query_bursts,
@@ -5527,6 +5540,25 @@ def oracle_sql() -> dict[str, str]:
           SELECT g.doc_id,
                  sum(ln((coalesce(tf.tf, 0) + {QL_MU} * g.cf / tot.T)
                         / (dl.dl + {QL_MU}))) AS score
+          FROM grid g
+          LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.term
+          JOIN dl ON dl.doc_id = g.doc_id
+          CROSS JOIN tot
+          GROUP BY g.doc_id)
+        SELECT doc_id, round(score, 4) AS score FROM scored
+        ORDER BY score DESC, doc_id LIMIT {K}""",
+        "ql_jm_topk": _TOK
+        + f"""
+        , tot AS (SELECT sum(dl)::DOUBLE AS T FROM dl),
+        cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf
+               WHERE term IN ({terms3}) GROUP BY term),
+        cand AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms3})),
+        grid AS (SELECT cand.doc_id, cf.term, cf.cf
+                 FROM cand CROSS JOIN cf),
+        scored AS (
+          SELECT g.doc_id,
+                 sum(ln(0.9::DOUBLE * coalesce(tf.tf, 0) / dl.dl
+                        + 0.1::DOUBLE * g.cf / tot.T)) AS score
           FROM grid g
           LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.term
           JOIN dl ON dl.doc_id = g.doc_id

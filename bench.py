@@ -270,6 +270,7 @@ HEADLINE = [
     "quant_rbo",
     "wand_quantized",
     "codec_advisor",
+    "ql_jm_topk",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving

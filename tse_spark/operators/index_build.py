@@ -1120,3 +1120,56 @@ def accumulator_limited_topk(
         .limit(k)
         .select("doc_id", F.round("score", 4).alias("score"))
     )
+
+
+def ql_jm_topk(
+    spark: SparkSession,
+    tf: DataFrame,
+    doclen: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    lam: float = 0.1,
+) -> DataFrame:
+    """Jelinek-Mercer-smoothed query likelihood (Zhai & Lafferty's
+    second classic smoothing, tuned for short keyword queries):
+
+        score(d) = sum over query terms t of
+                   ln( (1 - lam) * tf_{t,d} / dl_d + lam * cf_t / T )
+
+    Same candidate law and plan shape as :func:`ql_dirichlet_topk`
+    (any-term match, candidate x query-term grid, broadcast collection
+    stats); together they cover the LM ranking family's two standard
+    smoothings.  Returns ``(doc_id, score)``.
+    """
+    terms = sorted(set(terms))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    pruned = tf.filter(F.col("term").isin(terms)).select(
+        "doc_id", "term", "tf"
+    )
+    cand = pruned.select("doc_id").distinct()
+    cf = pruned.groupBy("term").agg(
+        F.sum("tf").cast("double").alias("cf")
+    )
+    tot = doclen.agg(F.sum("dl").cast("double").alias("T"))
+    grid = cand.crossJoin(F.broadcast(cf)).crossJoin(F.broadcast(tot))
+    scored = (
+        grid.join(pruned, ["doc_id", "term"], "left")
+        .join(doclen, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    F.lit(1.0 - lam)
+                    * F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                    / F.col("dl")
+                    + F.lit(lam) * F.col("cf") / F.col("T")
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
