@@ -202,3 +202,104 @@ def test_vocab_growth_two_aggs_no_sort_agg(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
     assert plan.count("SinglePartition") == 1
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation operators (X101-X113)
+# ---------------------------------------------------------------------------
+
+def test_codec_advisor_is_pure_codegen(spark):
+    """X113: the advisor's byte laws are closed-form columns — no
+    Python UDF may appear in the plan (a UDF here would put the whole
+    vocabulary through Arrow for arithmetic codegen does for free)."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import intcodec as ic
+
+    tf = ib.build_tf_ws(_docs(spark))
+    plan = _plan(ic.codec_advisor(tf))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_ql_topk_broadcasts_stats_and_prunes_tf(spark):
+    """X106: collection stats join in as broadcasts; the tf scan
+    carries the pushed-down query-term IN filter."""
+    from tse_spark.operators import index_build as ib
+
+    tf = ib.build_tf_ws(_docs(spark))
+    doclen = ib.build_doclen(tf)
+    plan = _plan(
+        ib.ql_dirichlet_topk(spark, tf, doclen, ["tok1", "tok2"], 5)
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "tok1" in plan  # IN filter reached the plan
+
+
+def test_taat_quit_no_extra_shuffle_class(spark):
+    """X109: the accumulator gate adds only broadcast joins on top of
+    the per-term scoring aggregation — the step/eligibility relations
+    (<= #terms rows) must never arrive via SortMergeJoin."""
+    from tse_spark.operators import index_build as ib
+
+    tf = ib.build_tf_ws(_docs(spark))
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(tf)
+    n, avgdl = ib.corpus_stats(doclen)
+    plan = _plan(
+        ib.accumulator_limited_topk(
+            spark, tf, doclen, dfreq, n, avgdl, ["tok1", "tok2"], 5, 10
+        )
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantized_search_pushes_term_filter(spark):
+    """X112: the pushed-down term IN must gate the shard rows BEFORE
+    the per-shard Arrow UDF (the UDF then only ever decodes the query
+    terms' blobs)."""
+    from tse_spark.operators import quantize as qz
+
+    qp = spark.createDataFrame(
+        [("tok1", 0, 1, bytearray(b""))],
+        "term string, shard long, df long, qblocks binary",
+    )
+    plan = _plan(qz.quantized_search(qp, ["tok1"], 5))
+    assert "FlatMapGroupsInPandas" in plan
+    i_filter = plan.find("tok1")
+    i_udf = plan.find("FlatMapGroupsInPandas")
+    assert 0 <= i_filter, "term filter missing from the plan"
+    # executedPlan prints top-down: the UDF node appears before (above)
+    # its filter child, so the filter index must be GREATER (deeper)
+    assert i_filter > i_udf
+
+
+def test_rrf_fuse_is_union_plus_one_agg(spark):
+    """X101: fusion is a union of the legs into ONE hash aggregation —
+    no join of any kind (a full outer would force a sort-merge even on
+    k-row legs, which is why the operator avoids the textbook form)."""
+    from tse_spark.operators import fusion
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+    plan = _plan(fusion.rrf_fuse([a, b], k=5))
+    assert "Join" not in plan
+    assert "Union" in plan
+
+
+def test_reuse_distances_interval_join_is_hash_equi(spark):
+    """X103: the bucketed interval join must plan as an EQUI join on
+    the bucket key (hash or broadcast), never a nested-loop inequality
+    join over the whole log."""
+    from tse_spark.operators import cachesim
+
+    log = spark.createDataFrame(
+        [(i, f"k{i % 5}") for i in range(64)], "pos long, key string"
+    )
+    plan = _plan(cachesim.reuse_distances(log, bucket=8))
+    assert (
+        "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

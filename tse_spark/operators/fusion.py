@@ -13,8 +13,10 @@ RRF is score-scale-free — it only consumes the *ranks* of each leg, so
 a BM25 score and a cosine in [-1, 1] fuse without calibration.
 
 Scale shape: each leg is already a bounded top-k (k ~ tens), so the
-fusion itself is driver-trivial — a full-outer hash join of two k-row
-relations plus one projection.  The cost lives entirely in the legs
+fusion itself is trivial — a union of the k-row legs into one hash
+aggregation (full-outer joins cannot broadcast in Spark, so the
+union+agg form beats the textbook N-way outer join).  The cost lives
+entirely in the legs
 (pruned WAND / ANN index probes), which keep their own 100-TB designs.
 The per-leg ``row_number`` windows are single-partition by
 construction but only ever see k rows (never corpus-sized input).
@@ -49,25 +51,22 @@ def rrf_fuse(
     """
     if not legs:
         raise ValueError("rrf_fuse needs at least one leg")
-    fused = None
-    for i, leg in enumerate(legs):
-        contrib = leg.select(
+    # union + one hash agg, NOT an N-way full-outer join: full outer
+    # cannot broadcast in Spark (it forces a sort-merge join even for
+    # k-row legs), while the union aggregates in a single exchange and
+    # generalizes to any number of legs
+    contribs = None
+    for leg in legs:
+        c = leg.select(
             "doc_id",
             (F.lit(1.0) / (F.lit(float(k0)) + F.col("rank"))).alias(
-                f"__c{i}"
+                "__c"
             ),
         )
-        fused = (
-            contrib
-            if fused is None
-            else fused.join(contrib, "doc_id", "full_outer")
-        )
-    score = None
-    for i in range(len(legs)):
-        c = F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
-        score = c if score is None else score + c
+        contribs = c if contribs is None else contribs.unionAll(c)
     return (
-        fused.select("doc_id", F.round(score, 6).alias("rrf"))
+        contribs.groupBy("doc_id")
+        .agg(F.round(F.sum("__c"), 6).alias("rrf"))
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(k)
     )
