@@ -192,3 +192,27 @@ def test_maintain_cli_quantize(spark, tmp_path, capsys):
         for r in qz.quantized_search(qp, ["web", "search"], 5).collect()
     ]
     assert got == want and got
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 40) - 1),
+        min_size=1,
+        max_size=400,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=255),
+    st.sampled_from([1, 7, 64, 128]),
+)
+def test_qblock_roundtrip_hypothesis(ids, qmax, block_size):
+    docs = np.sort(np.array(ids, dtype=np.int64))
+    rng = np.random.RandomState(qmax)
+    qs = rng.randint(0, qmax + 1, size=len(docs)).astype(np.int64)
+    blob = qz.encode_q_blocks(docs, qs, block_size=block_size)
+    d2, q2 = qz.decode_q_blocks(blob)
+    np.testing.assert_array_equal(docs, d2)
+    np.testing.assert_array_equal(qs, q2)
