@@ -16,8 +16,11 @@ index/Query.cpp:59-82):
      global max agg — the quantizer scale M;
   2. re-encode: ``q = min(2^bits - 1, floor(impact / M * 2^bits))``
      packed as delta-gap + varint q blocks with per-block integer
-     ``max_q`` skip metadata (block-max pruning works unchanged on
-     integer scores).
+     ``max_q`` metadata.  The serving kernel below is the EXHAUSTIVE
+     vectorized sum (decode cost dominates at per-shard posting mass,
+     and integer adds are branchless); max_q is carried so a
+     block-max pruner can be added without re-encoding — the pruned
+     low-latency tier remains the float WAND engine (operators/wand).
 
 Global df rides in via one term-stats equi-join (never a broadcast
 vocabulary dict — a web-scale vocab doesn't fit a broadcast), so both
