@@ -3881,6 +3881,38 @@ def _q_hybrid_rrf(spark, sf):
     return fusion.rrf_fuse(legs, K, RRF_K0)
 
 
+def _q_hybrid_rrf3(spark, sf):
+    """Three-leg RRF (X101's N-leg form): lexical BM25 + dense cosine
+    + Dirichlet query likelihood, same rank laws per leg, one
+    union+agg fusion — no pairwise join chain."""
+    from tse_spark.operators import fusion, similarity
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(
+        tf.filter(F.col("term").isin(sorted(set(BM25_QUERY))))
+    )
+    n, avgdl = ib.corpus_stats(doclen)
+    sparse = ib.bm25_topk(
+        spark, tf, doclen, dfreq, n, avgdl, BM25_QUERY, HYBRID_CAND
+    )
+    emb = _t(spark, sf, "embeddings")
+    qv = similarity.get_query_vec(emb, 0)
+    dense = similarity.cosine_topk(
+        emb, qv, HYBRID_CAND, exclude_id=0
+    ).withColumnRenamed("vec_id", "doc_id")
+    ql = ib.ql_dirichlet_topk(
+        spark, tf, doclen, BM25_QUERY, HYBRID_CAND, QL_MU
+    )
+    legs = [
+        fusion.rank_leg(sparse, "score"),
+        fusion.rank_leg(dense, "cos"),
+        fusion.rank_leg(ql, "score"),
+    ]
+    return fusion.rrf_fuse(legs, K, RRF_K0)
+
+
 def _q_quantized_topk(spark, sf):
     """Serving over the 8-bit impact-quantized index (X102,
     index_build.quantized_impacts): integer adds replace the BM25
@@ -4034,6 +4066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         # -- still never-sampled after the r4 head-50: next round's head --
         "hybrid_rrf": _q_hybrid_rrf,
+        "hybrid_rrf3": _q_hybrid_rrf3,
         "wand_result_cached": _q_wand_result_cached,
         "phrase_nextword": _q_phrase_nextword,
         "phrase_nextword3": _q_phrase_nextword3,
@@ -5445,6 +5478,66 @@ def oracle_sql() -> dict[str, str]:
           FROM perterm p JOIN cand USING (doc_id) GROUP BY 1)
         SELECT doc_id, round(score, 4) AS score FROM scored
         ORDER BY score DESC, doc_id LIMIT {K}""",
+        # X101 N-leg form: + a Dirichlet-QL leg (selected top-30 on the
+        # unrounded score, ranked on the returned round-4 values — the
+        # exact law of rank_leg over ql_dirichlet_topk's output)
+        "hybrid_rrf3": _TOK
+        + bm25_3
+        + f"""
+        , bmscore AS (
+          SELECT doc_id, sum(s) AS score FROM perterm GROUP BY doc_id),
+        sparse AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          FROM bmscore QUALIFY r <= {HYBRID_CAND}),
+        q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        cosd AS (
+          SELECT vec_id AS doc_id,
+                 round(
+                   list_dot_product(embedding::DOUBLE[],
+                                    (SELECT e FROM q)::DOUBLE[])
+                   / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+                      * sqrt(list_dot_product((SELECT e FROM q)::DOUBLE[],
+                                              (SELECT e FROM q)::DOUBLE[]))),
+                   4) AS cos
+          FROM embeddings WHERE vec_id <> 0),
+        dense AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+          FROM cosd QUALIFY r <= {HYBRID_CAND}),
+        tot AS (SELECT sum(dl)::DOUBLE AS T FROM dl),
+        cfq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf
+                WHERE term IN ({terms3}) GROUP BY term),
+        candq AS (SELECT DISTINCT doc_id FROM tf
+                  WHERE term IN ({terms3})),
+        gridq AS (SELECT candq.doc_id, cfq.term, cfq.cf
+                  FROM candq CROSS JOIN cfq),
+        scoredq AS (
+          SELECT g.doc_id,
+                 sum(ln((coalesce(tf.tf, 0) + {QL_MU} * g.cf / tot.T)
+                        / (dl.dl + {QL_MU}))) AS score
+          FROM gridq g
+          LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.term
+          JOIN dl ON dl.doc_id = g.doc_id
+          CROSS JOIN tot
+          GROUP BY g.doc_id),
+        qlsel AS (
+          SELECT doc_id, round(score, 4) AS rs,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS sel
+          FROM scoredq QUALIFY sel <= {HYBRID_CAND}),
+        qlleg AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY rs DESC, doc_id) AS r
+          FROM qlsel),
+        contribs AS (
+          SELECT doc_id, 1.0::DOUBLE / ({RRF_K0} + r) AS c FROM sparse
+          UNION ALL
+          SELECT doc_id, 1.0::DOUBLE / ({RRF_K0} + r) AS c FROM dense
+          UNION ALL
+          SELECT doc_id, 1.0::DOUBLE / ({RRF_K0} + r) AS c FROM qlleg)
+        SELECT doc_id, round(sum(c), 6) AS rrf FROM contribs
+        GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT {K}""",
         # X102: global 8-bit linear impact quantization, integer serving
         "quantized_topk": _TOK
         + f"""

@@ -271,6 +271,7 @@ HEADLINE = [
     "wand_quantized",
     "codec_advisor",
     "ql_jm_topk",
+    "hybrid_rrf3",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving
