@@ -3988,6 +3988,18 @@ def _q_docid_reorder_gain(spark, sf):
     return reorder.reorder_gain(tf, docs, "text")
 
 
+def _q_docid_reorder_codecs(spark, sf):
+    """X104 x X113 (reorder.reorder_gain_codecs): the id-reassignment
+    gain priced under BOTH codecs — EF depends only on (n, last id)
+    per list, so the report shows which codec the content sort
+    actually pays for."""
+    from tse_spark.operators import reorder
+
+    tf = _tf_ws_cached(spark, sf)
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return reorder.reorder_gain_codecs(tf, docs, "text")
+
+
 def _q_query_bursts(spark, sf):
     """Traffic bursts per event type (X105, events.burst_windows):
     hourly z-score vs a trailing-24h moving baseline, flag z > 2."""
@@ -4082,6 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ql_jm_topk": _q_ql_jm_topk,
         "cache_hit_rates": _q_cache_hit_rates,
         "docid_reorder_gain": _q_docid_reorder_gain,
+        "docid_reorder_codecs": _q_docid_reorder_codecs,
         "query_bursts": _q_query_bursts,
         "pagerank_warm": _q_pagerank_warm,
         "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
@@ -5739,6 +5752,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'content_sort', n_postings, total_bytes,
                round(total_bytes::DOUBLE / n_postings, 4)
         FROM law_b""",
+        # X104 x X113: both codecs under both orderings (EF law is the
+        # codec_advisor closed form, per term, totalled)
+        "docid_reorder_codecs": _TOK
+        + """
+        , ranked AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY text, doc_id) - 1 AS new_id
+          FROM documents),
+        alt AS (SELECT tf.term, r.new_id AS doc_id FROM tf
+                JOIN ranked r USING (doc_id)),
+        base AS (SELECT term, doc_id FROM tf),
+        vb_base AS (
+          SELECT count(*)::BIGINT AS n_postings,
+                 sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                          WHEN gap < 2097152 THEN 3
+                          WHEN gap < 268435456 THEN 4 ELSE 5
+                     END)::BIGINT AS total_bytes
+          FROM (SELECT doc_id - coalesce(lag(doc_id) OVER
+                  (PARTITION BY term ORDER BY doc_id), -1) AS gap
+                FROM base)),
+        vb_alt AS (
+          SELECT count(*)::BIGINT AS n_postings,
+                 sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                          WHEN gap < 2097152 THEN 3
+                          WHEN gap < 268435456 THEN 4 ELSE 5
+                     END)::BIGINT AS total_bytes
+          FROM (SELECT doc_id - coalesce(lag(doc_id) OVER
+                  (PARTITION BY term ORDER BY doc_id), -1) AS gap
+                FROM alt)),
+        ef_base AS (
+          SELECT sum(n)::BIGINT AS n_postings, sum(b)::BIGINT AS total_bytes
+          FROM (
+            SELECT n,
+                   17 + CASE WHEN l > 0 THEN (n * l + 7) // 8 ELSE 0 END
+                      + ((lastd // (1::BIGINT << l)) + n + 1 + 7) // 8 AS b
+            FROM (
+              SELECT n, lastd,
+                     CASE WHEN lastd + 1 > n THEN greatest(0,
+                       floor(log2((lastd + 1)::DOUBLE / n))::BIGINT)
+                     ELSE 0 END AS l
+              FROM (SELECT count(*)::BIGINT AS n,
+                           max(doc_id)::BIGINT AS lastd
+                    FROM base GROUP BY term)))),
+        ef_alt AS (
+          SELECT sum(n)::BIGINT AS n_postings, sum(b)::BIGINT AS total_bytes
+          FROM (
+            SELECT n,
+                   17 + CASE WHEN l > 0 THEN (n * l + 7) // 8 ELSE 0 END
+                      + ((lastd // (1::BIGINT << l)) + n + 1 + 7) // 8 AS b
+            FROM (
+              SELECT n, lastd,
+                     CASE WHEN lastd + 1 > n THEN greatest(0,
+                       floor(log2((lastd + 1)::DOUBLE / n))::BIGINT)
+                     ELSE 0 END AS l
+              FROM (SELECT count(*)::BIGINT AS n,
+                           max(doc_id)::BIGINT AS lastd
+                    FROM alt GROUP BY term))))
+        SELECT 'crawl_order' AS ordering, 'varint' AS codec, n_postings,
+               total_bytes,
+               round(total_bytes::DOUBLE / n_postings, 4)
+                 AS bytes_per_posting
+        FROM vb_base
+        UNION ALL SELECT 'content_sort', 'varint', n_postings, total_bytes,
+               round(total_bytes::DOUBLE / n_postings, 4) FROM vb_alt
+        UNION ALL SELECT 'crawl_order', 'elias_fano', n_postings,
+               total_bytes,
+               round(total_bytes::DOUBLE / n_postings, 4) FROM ef_base
+        UNION ALL SELECT 'content_sort', 'elias_fano', n_postings,
+               total_bytes,
+               round(total_bytes::DOUBLE / n_postings, 4) FROM ef_alt""",
         # X105 bursts: hourly counts, trailing-24h z-score, flag z > 2
         "query_bursts": """
         WITH hourly AS (

@@ -272,6 +272,7 @@ HEADLINE = [
     "codec_advisor",
     "ql_jm_topk",
     "hybrid_rrf3",
+    "docid_reorder_codecs",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving

@@ -120,3 +120,87 @@ def reorder_gain(
         )
 
     return _tag(base, "crawl_order").unionAll(_tag(alt, "content_sort"))
+
+
+def ef_byte_cost(postings: DataFrame, id_col: str) -> DataFrame:
+    """One row ``(n_postings, total_bytes)`` under Elias-Fano, summed
+    over per-term lists — the same closed-form law as
+    ``intcodec.codec_advisor`` (pytest-pinned there against the real
+    encoder), applied per term then totalled."""
+    per_term = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(id_col).alias("last"),
+    )
+    n, last = F.col("n"), F.col("last")
+    u = last + 1
+    l = (
+        F.when(
+            u > n,
+            F.greatest(
+                F.lit(0),
+                F.floor(F.log2(u.cast("double") / n.cast("double"))),
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    low = F.when(l > 0, F.floor((n * l + 7) / 8)).otherwise(0)
+    hi = F.floor(
+        (
+            F.floor(last / F.pow(F.lit(2.0), l.cast("double"))).cast(
+                "long"
+            )
+            + n
+            + 1
+            + 7
+        )
+        / 8
+    )
+    per = per_term.select(
+        "n", (F.lit(17) + low + hi).cast("long").alias("b")
+    )
+    return per.agg(
+        F.sum("n").cast("long").alias("n_postings"),
+        F.sum("b").cast("long").alias("total_bytes"),
+    )
+
+
+def reorder_gain_codecs(
+    tf: DataFrame, docs: DataFrame, order_col: str = "text"
+) -> DataFrame:
+    """X104 x X113: the id-reassignment gain priced under BOTH posting
+    codecs — ``(ordering, codec, n_postings, total_bytes,
+    bytes_per_posting)``, 4 rows.  EF's cost depends only on (n, last
+    id) per term, so a content sort that shrinks varint gaps can leave
+    EF nearly unchanged — the report shows which codec the reorder
+    actually pays for."""
+    remap = rank_by_key(docs, order_col)
+    base = tf.select("term", "doc_id")
+    resorted = tf.join(remap, "doc_id").select(
+        "term", F.col("new_id").alias("doc_id")
+    )
+
+    def _tag(df: DataFrame, ordering: str, codec: str) -> DataFrame:
+        return df.select(
+            F.lit(ordering).alias("ordering"),
+            F.lit(codec).alias("codec"),
+            "n_postings",
+            "total_bytes",
+            F.round(F.col("total_bytes") / F.col("n_postings"), 4).alias(
+                "bytes_per_posting"
+            ),
+        )
+
+    return (
+        _tag(gap_byte_cost(base, "doc_id"), "crawl_order", "varint")
+        .unionAll(
+            _tag(gap_byte_cost(resorted, "doc_id"), "content_sort",
+                 "varint")
+        )
+        .unionAll(_tag(ef_byte_cost(base, "doc_id"), "crawl_order",
+                       "elias_fano"))
+        .unionAll(
+            _tag(ef_byte_cost(resorted, "doc_id"), "content_sort",
+                 "elias_fano")
+        )
+    )
