@@ -872,6 +872,65 @@ def _ws_index(spark, sf):
     return handle
 
 
+def _merged_index(spark, sf):
+    """Cross-segment merge lifecycle (plans/merge.py): the documents
+    corpus split url-disjoint by doc-id parity, each half built as an
+    INDEPENDENT ws index (different shard grids: 5/128 vs 3/64), then
+    merge_indexes folds them — segment A's ids survive verbatim,
+    segment B's lift by max_doc_id(A)+1, blocks re-encode under the
+    merged avgdl.  Idempotent across process runs (a published
+    op="merge" snapshot short-circuits)."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    from tse_spark.plans import merge as mmod
+    from tse_spark.plans import pipeline as pl
+
+    key = "merged:" + sf
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out = f"/tmp/tse_ws_merged_{tag}"
+    meta_path = _os.path.join(out, "meta.json")
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            m = _json.load(f)
+        if m.get("snapshot_op") == "merge":
+            h = pl.load_index(spark, out)
+            _INDEX_CACHE[key] = h
+            return h
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    ha = pl.IndexPipeline(
+        spark, f"/tmp/tse_ws_msega_{tag}", tokenizer="ws",
+        num_shards=5, block_size=128,
+    ).run_from_docs(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        input_key="mseg_a:" + sf, resume=True,
+    )
+    hb = pl.IndexPipeline(
+        spark, f"/tmp/tse_ws_msegb_{tag}", tokenizer="ws",
+        num_shards=3, block_size=64,
+    ).run_from_docs(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        input_key="mseg_b:" + sf, resume=True,
+    )
+    h = mmod.merge_indexes(spark, ha.out_dir, hb.out_dir, out)
+    _INDEX_CACHE[key] = h
+    return h
+
+
+def _q_wand_merged(spark, sf):
+    """WAND serving over a merged two-segment index (X114): because
+    merge == rebuild over the union corpus and the union IS the full
+    documents table, the scores are exactly wand_topk's — only the ids
+    moved (odd source ids lifted by max-even+1), so the oracle is the
+    exhaustive BM25 with the same deterministic id translation."""
+    h = _merged_index(spark, sf)
+    out = h.engine.search(" ".join(BM25_QUERY), K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_wand_topk(spark, sf):
     """Block-max WAND over delta-gap varint posting shards; must equal
     the exhaustive SQL BM25 (same oracle as bm25_topk)."""
@@ -4142,6 +4201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_mmr": _q_search_mmr,
         "search_dedup": _q_search_dedup,
         "wand_mlt": _q_wand_mlt,
+        "wand_merged": _q_wand_merged,
         # -- driver-verified in earlier rounds (green CORRECTNESS rows) --
         "tf_table": _q_tf_table,
         "df_stats": _q_df_stats,
@@ -5377,6 +5437,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(sum(s), 4) AS score
         FROM perterm GROUP BY doc_id
         ORDER BY sum(s) DESC, doc_id LIMIT 10""",
+        # X114 segment merge: merge == rebuild over the union corpus,
+        # and the union IS the documents table, so scores are
+        # bm25_topk's; only ids moved — segment A (even source ids)
+        # keeps them, segment B (odd) lifts by max-even+1, and the
+        # engine tie-breaks on the MERGED id
+        "wand_merged": _TOK
+        + bm25_3
+        + """
+        , bmscore AS (
+          SELECT doc_id, sum(s) AS score FROM perterm GROUP BY doc_id),
+        mshift AS (
+          SELECT max(doc_id) + 1 AS sh FROM documents
+          WHERE doc_id % 2 = 0)
+        SELECT CASE WHEN b.doc_id % 2 = 0 THEN b.doc_id
+                    ELSE b.doc_id + m.sh END AS doc_id,
+               round(b.score, 4) AS score
+        FROM bmscore b CROSS JOIN mshift m
+        ORDER BY b.score DESC, 1 LIMIT 10""",
         # X101 hybrid RRF: rank each leg by its own serving order
         # (BM25 exact score / round-4 cosine, id-asc ties), fuse with
         # 1/(60+rank), round-6

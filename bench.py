@@ -201,6 +201,7 @@ HEADLINE = [
     "related_pairs",
     "index_storage",
     "wand_recrawled",
+    "wand_merged",
     "vocab_drift",
     # round-3 continuation (cheapest first: the battery degrades
     # tail-first on budget; wand_sharedcache is cheap here because
@@ -705,6 +706,7 @@ def run_headline(spark) -> None:
         entrymod._tomb_index(spark, SF_DIR, compacted=False)
         entrymod._tomb_index(spark, SF_DIR, compacted=True)
         entrymod._recrawl_index(spark, SF_DIR)
+        entrymod._merged_index(spark, SF_DIR)
         RESULT["lifecycle_fixture_build_s"] = round(time.time() - t0, 1)
     except Exception as e:
         RESULT["lifecycle_fixture_build_s"] = f"error: {e}"[:200]

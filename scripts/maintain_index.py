@@ -19,6 +19,9 @@ Subcommands:
   vacuum-cache  sweep the shared serving cache (query_index
              --cache-root): drop superseded snapshot keys, keep the
              current key within --budget-mb by recency
+  merge      fold another independently built segment into a NEW
+             index dir without re-tokenizing anything (--with B
+             --out merged; see tse_spark/plans/merge.py)
 
 Every mutating subcommand commits through the snapshot-stamped atomic
 meta publish (tse_spark/plans/snapshots.py), so each run appends one
@@ -83,6 +86,20 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot-gated, so rerun after every commit",
     )
     qz_p.add_argument("--bits", type=int, default=8)
+    mg_p = sub.add_parser(
+        "merge",
+        help="fold another independently built segment into a NEW "
+        "index dir (plans/merge.py): --index is segment A (ids "
+        "survive), --with is segment B (ids lift above A), --out "
+        "receives the merged index; no documents are re-tokenized",
+    )
+    mg_p.add_argument("--with", dest="with_dir", required=True)
+    mg_p.add_argument("--out", required=True)
+    mg_p.add_argument("--num-shards", type=int, default=None)
+    mg_p.add_argument(
+        "--skip-url-check", action="store_true",
+        help="caller vouches the segments are url-disjoint",
+    )
     args = ap.parse_args(argv)
 
     from tse_spark.plans import snapshots as sn
@@ -150,6 +167,26 @@ def main(argv: list[str] | None = None) -> int:
         )
         _qp, qmeta = qz.load_quantized_index(spark, args.index)
         print(json.dumps({"cmd": "quantize", **qmeta}))
+        return 0
+    if args.cmd == "merge":
+        from tse_spark.plans import merge as mmod
+
+        h = mmod.merge_indexes(
+            spark, args.index, args.with_dir, args.out,
+            dictionary, num_shards=args.num_shards,
+            check_url_disjoint=not args.skip_url_check,
+        )
+        print(
+            json.dumps(
+                {
+                    "cmd": "merge",
+                    "out": args.out,
+                    "n_docs": h.n_docs,
+                    "avgdl": h.avgdl,
+                    "snapshot_id": h.meta.get("snapshot_id"),
+                }
+            )
+        )
         return 0
     if args.cmd == "delete":
         from tse_spark.plans import delete as dmod

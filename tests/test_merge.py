@@ -1,0 +1,143 @@
+"""merge_indexes: two independently built segments fold into one index
+that scores exactly like a from-scratch build over the union corpus
+(plans/merge.py — the segment-merge path the reference's per-crawl
+rebuild never had, index/readme.txt pipeline)."""
+
+import json
+import os
+
+import pytest
+
+from tse_spark import fixtures
+from tse_spark.plans import compact as cm
+from tse_spark.plans import delete as dl
+from tse_spark.plans import merge as mg
+from tse_spark.plans import pipeline as pl
+
+QUERIES = ["web search", "搜索引擎", "spark data query", "w0001", "数据 query"]
+
+
+def _build(spark, out, src, **kw):
+    pipe = pl.IndexPipeline(
+        spark, out, tokenizer="tse", dictionary=fixtures.mini_dict_bytes(),
+        num_partitions=4, **kw,
+    )
+    return pipe.run_from_pages(src, resume=False)
+
+
+@pytest.fixture(scope="module")
+def segs(tmp_path_factory, spark):
+    """Two url-disjoint segments with DIFFERENT shard grids and doc-len
+    scales (so df/avgdl/shard_range all genuinely differ), plus their
+    union pages source for the rebuild twin."""
+    d = tmp_path_factory.mktemp("mg_data")
+    pa = str(d / "a")
+    pb = str(d / "b")
+    spark.createDataFrame(
+        fixtures.gen_pages(180, start=0, length_scale=1)
+    ).write.mode("overwrite").parquet(pa)
+    spark.createDataFrame(
+        fixtures.gen_pages(120, start=180, length_scale=2)
+    ).write.mode("overwrite").parquet(pb)
+    pu = str(d / "u")
+    spark.read.parquet(pa).unionByName(
+        spark.read.parquet(pb)
+    ).write.mode("overwrite").parquet(pu)
+    base = tmp_path_factory.mktemp("mg_idx")
+    ha = _build(spark, str(base / "ia"), pa, num_shards=5, block_size=32)
+    hb = _build(spark, str(base / "ib"), pb, num_shards=3, block_size=16)
+    return str(base), pa, pb, pu, ha, hb
+
+
+def _by_url(spark, h, k=500):
+    """{query: [(url, score)]} — segments and the rebuild number doc
+    ids differently, so equivalence compares by url."""
+    urls = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(
+            *[
+                os.path.join(h.out_dir, d)
+                for d in h.meta.get("docs_dirs", ["docs"])
+            ]
+        ).select("doc_id", "url").collect()
+    }
+    h.engine.warm()
+    out = {}
+    for q in QUERIES:
+        rows = [(urls[d], round(s, 9)) for d, s in h.engine.search_local(q, k)]
+        out[q] = sorted(rows, key=lambda t: (-t[1], t[0]))
+    return out
+
+
+def test_merge_equals_union_rebuild(spark, segs, tmp_path):
+    base, pa, pb, pu, ha, hb = segs
+    hm = mg.merge_indexes(
+        spark, ha.out_dir, hb.out_dir, str(tmp_path / "merged"),
+        fixtures.mini_dict_bytes(),
+    )
+    hr = _build(
+        spark, str(tmp_path / "rebuild"), pu, num_shards=5, block_size=32
+    )
+    assert hm.n_docs == hr.n_docs == ha.n_docs + hb.n_docs
+    assert hm.avgdl == pytest.approx(hr.avgdl, rel=1e-12)
+    assert _by_url(spark, hm) == _by_url(spark, hr)
+    # stats algebra: df/cf sum exactly across segments
+    sa = {r["term"]: (r["df"], r["cf"]) for r in ha.term_stats.collect()}
+    sb = {r["term"]: (r["df"], r["cf"]) for r in hb.term_stats.collect()}
+    sm = {r["term"]: (r["df"], r["cf"]) for r in hm.term_stats.collect()}
+    want = dict(sa)
+    for t, (df, cf) in sb.items():
+        d0, c0 = want.get(t, (0, 0))
+        want[t] = (d0 + df, c0 + cf)
+    assert sm == want
+    # merged grid is uniform: bounds exact, one row per (term, shard)
+    assert hm.engine.bound_scale == 1.0
+    dup = (
+        hm.postings.groupBy("term", "shard").count().filter("count > 1")
+    ).count()
+    assert dup == 0
+    # A's ids survive verbatim (reference-stability contract)
+    with open(os.path.join(hm.out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["snapshot_op"] == "merge"
+    assert meta["merged_from"][0]["shift"] == 0
+    assert meta["merged_from"][1]["shift"] == ha.meta["max_doc_id"] + 1
+
+
+def test_merge_rejects_bad_pairs(spark, segs, tmp_path):
+    base, pa, pb, pu, ha, hb = segs
+    # overlapping urls (A merged with itself) must refuse
+    with pytest.raises(ValueError, match="urls exist in BOTH"):
+        mg.merge_indexes(
+            spark, ha.out_dir, ha.out_dir, str(tmp_path / "m_dup"),
+            fixtures.mini_dict_bytes(),
+        )
+    # tokenizer mismatch must refuse
+    ws = str(tmp_path / "ws")
+    pl.IndexPipeline(
+        spark, ws, tokenizer="ws", num_shards=3, num_partitions=4
+    ).run_from_pages(pb, resume=False)
+    with pytest.raises(ValueError, match="tokenizer mismatch"):
+        mg.merge_indexes(
+            spark, ha.out_dir, ws, str(tmp_path / "m_tok"),
+            fixtures.mini_dict_bytes(),
+        )
+    # live tombstones must refuse (compact first), then merge cleanly
+    victim = str(tmp_path / "victim")
+    pl.IndexPipeline(
+        spark, victim, tokenizer="tse",
+        dictionary=fixtures.mini_dict_bytes(),
+        num_shards=3, num_partitions=4,
+    ).run_from_pages(pb, resume=False)
+    dl.delete_docs(spark, victim, doc_ids=[0, 1])
+    with pytest.raises(ValueError, match="tombstones"):
+        mg.merge_indexes(
+            spark, ha.out_dir, victim, str(tmp_path / "m_tmb"),
+            fixtures.mini_dict_bytes(),
+        )
+    hv = cm.compact_index(spark, victim, fixtures.mini_dict_bytes())
+    hm = mg.merge_indexes(
+        spark, ha.out_dir, victim, str(tmp_path / "m_ok"),
+        fixtures.mini_dict_bytes(),
+    )
+    assert hm.n_docs == ha.n_docs + hv.n_docs

@@ -401,6 +401,15 @@ def reencode_shards(
             if len(docs) == 0:
                 continue
             ridx = np.repeat(np.arange(len(pdf)), dfs)
+            if "id_shift" in pdf.columns:
+                # per-row constant doc-id translation (plans/merge.py:
+                # segment B's id space lifts above segment A's before
+                # the shared sorted-merge combine).  A constant shift
+                # preserves the within-row ascending order the
+                # change-point split below relies on.
+                sh = pdf["id_shift"].to_numpy(dtype=np.int64)
+                if sh.any():
+                    docs = docs + sh[ridx]
             if b_ex is not None:
                 ex = b_ex.value
                 pos = np.searchsorted(ex, docs)
@@ -433,9 +442,12 @@ def reencode_shards(
                 }
             )
 
-    partials = postings.select(
-        "term", "shard", "df", "cf", "max_score", "blocks"
-    ).mapInPandas(split_map, schema=partial_schema)
+    in_cols = ["term", "shard", "df", "cf", "max_score", "blocks"]
+    if "id_shift" in postings.columns:
+        in_cols.append("id_shift")
+    partials = postings.select(*in_cols).mapInPandas(
+        split_map, schema=partial_schema
+    )
     num_parts = merge_parallelism or (
         postings.sparkSession.sparkContext.defaultParallelism * 4
     )
