@@ -3984,6 +3984,28 @@ def _q_quantized_topk(spark, sf):
     return ib.quantized_topk(spark, qi, BM25_QUERY, K)
 
 
+ANYTIME_RHO = 300
+
+
+def _q_anytime_topk(spark, sf):
+    """Anytime ranking with a strict posting budget (X116,
+    index_build.anytime_topk — Lin & Trotman ICTIR'15 / JASS): only
+    the first ANYTIME_RHO postings of the query's lists in global
+    (q DESC, term, doc_id) impact order are scored, capping per-query
+    work at any corpus size.  The oracle reproduces the identical
+    admitted set with one row_number over the same total order."""
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(tf)
+    n, avgdl = ib.corpus_stats(doclen)
+    qi = ib.quantized_impacts(
+        tf, doclen, dfreq, n, avgdl, bits=QUANT_BITS
+    )
+    return ib.anytime_topk(spark, qi, BM25_QUERY, ANYTIME_RHO, K)
+
+
 def _q_quant_error(spark, sf):
     """Quantizer fidelity report (X102): max/mean absolute error of
     midpoint dequantization vs exact impacts over every posting."""
@@ -4059,6 +4081,30 @@ def _q_query_bursts(spark, sf):
     from tse_spark.operators import events
 
     return events.burst_windows(_t(spark, sf, "events"))
+
+
+CACHE_ADMIT_BUDGET = 2048
+
+
+def _q_cache_admission(spark, sf):
+    """Static posting-cache admission (X115, cachesim.
+    static_cache_admission): Baeza-Yates QtfDf — admit terms by
+    query-popularity / posting-cost ratio until a byte budget.  The
+    query log is synthesized as the term stream of doc_id % 7 == 0
+    documents (qtf = their tf mass); cost is the X113 varint byte
+    law, df the posting count, so the oracle reproduces ratio, the
+    running-byte scan and the cut exactly."""
+    from tse_spark.operators import cachesim
+
+    tf = _tf_ws_cached(spark, sf)
+    qtf = (
+        tf.filter(F.col("doc_id") % 7 == 0)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("qtf"))
+    )
+    return cachesim.static_cache_admission(
+        qtf, tf.select("term", "doc_id"), CACHE_ADMIT_BUDGET
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4202,6 +4248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dedup": _q_search_dedup,
         "wand_mlt": _q_wand_mlt,
         "wand_merged": _q_wand_merged,
+        "cache_admission": _q_cache_admission,
+        "anytime_topk": _q_anytime_topk,
         # -- driver-verified in earlier rounds (green CORRECTNESS rows) --
         "tf_table": _q_tf_table,
         "df_stats": _q_df_stats,
@@ -5528,6 +5576,40 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN ef.ef_bytes < vsum.varint_bytes
                     THEN 'elias_fano' ELSE 'varint' END AS winner
         FROM ef JOIN vsum USING (term)""",
+        # X115 QtfDf static cache admission: qtf from the % 7 == 0
+        # query-log law, cost = the X113 varint byte law, greedy
+        # running-byte scan over (ratio DESC, term) cut at the budget
+        "cache_admission": _TOK
+        + f"""
+        , g AS (
+          SELECT term,
+                 doc_id - coalesce(
+                   lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                   -1) AS gap
+          FROM tf),
+        vsum AS (
+          SELECT term,
+                 sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                          WHEN gap < 2097152 THEN 3
+                          WHEN gap < 268435456 THEN 4
+                          ELSE 5 END)::BIGINT AS bytes
+          FROM g GROUP BY 1),
+        qt AS (
+          SELECT term, sum(tf)::BIGINT AS qtf FROM tf
+          WHERE doc_id % 7 = 0 GROUP BY 1),
+        base AS (
+          SELECT qt.term, qt.qtf, dfreq.df, vsum.bytes,
+                 qt.qtf::DOUBLE / dfreq.df AS ratio
+          FROM qt JOIN dfreq USING (term) JOIN vsum USING (term)),
+        scan AS (
+          SELECT *, sum(bytes) OVER (
+                   ORDER BY ratio DESC, term
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 )::BIGINT AS cum_bytes
+          FROM base)
+        SELECT term, qtf, df, round(ratio, 6) AS ratio, bytes, cum_bytes
+        FROM scan WHERE cum_bytes <= {CACHE_ADMIT_BUDGET}
+        ORDER BY ratio DESC, term""",
         # X109 Moffat-Zobel quit/continue, term-granular: a doc is a
         # candidate iff docs first reached by EARLIER (rarer) terms
         # number < the accumulator limit; candidates score in full
@@ -5642,6 +5724,32 @@ def oracle_sql() -> dict[str, str]:
           FROM perterm CROSS JOIN mx)
         SELECT doc_id, sum(q)::BIGINT AS qscore FROM qq
         WHERE term IN ({terms3})
+        GROUP BY doc_id ORDER BY qscore DESC, doc_id LIMIT {K}""",
+        # X116 anytime / JASS: the SAME quantization law, but only the
+        # first ANYTIME_RHO postings in (q DESC, term, doc_id) order
+        # are allowed to contribute
+        "anytime_topk": _TOK
+        + f"""
+        , perterm AS (
+          SELECT tf.doc_id, tf.term,
+                 ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats),
+        mx AS (SELECT max(s) AS m FROM perterm),
+        qq AS (
+          SELECT doc_id, term,
+                 least(255, floor(s / mx.m * 256.0))::BIGINT AS q
+          FROM perterm CROSS JOIN mx),
+        ordered AS (
+          SELECT doc_id, q,
+                 row_number() OVER (ORDER BY q DESC, term, doc_id) AS rn
+          FROM qq WHERE term IN ({terms3}))
+        SELECT doc_id, sum(q)::BIGINT AS qscore FROM ordered
+        WHERE rn <= {ANYTIME_RHO}
         GROUP BY doc_id ORDER BY qscore DESC, doc_id LIMIT {K}""",
         # X111 truncated RBO@20 between exact BM25 and the quantized
         # integer ranking — both rankings recomputed in SQL

@@ -274,6 +274,9 @@ HEADLINE = [
     "ql_jm_topk",
     "hybrid_rrf3",
     "docid_reorder_codecs",
+    # round-4 continuation session 2 (segment merge + admission + JASS)
+    "cache_admission",
+    "anytime_topk",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving

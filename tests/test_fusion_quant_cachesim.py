@@ -404,3 +404,148 @@ def test_rbo_hand_overlap(spark):
     want = (1 - p) * (p ** 0 * 0 / 1 + p ** 1 * 2 / 2 + p ** 2 * 2 / 3)
     assert got["rbo"] == pytest.approx(round(want, 6), abs=1e-9)
     assert got["k"] == 3 and got["p"] == pytest.approx(0.9)
+
+
+# ----- X115 static cache admission (cachesim.static_cache_admission) -----
+
+
+def _admission_fixture(spark, n_terms=40, seed=7):
+    """Deterministic (qtf, tf) pair with byte/df variety: term t
+    appears in df=t+1 docs spaced t apart, qtf = (t*13) % 29 + 1."""
+    rows = []
+    for t in range(n_terms):
+        for j in range(t + 1):
+            rows.append((f"t{t:03d}", j * (t + 1)))
+    tf = spark.createDataFrame(rows, "term string, doc_id long")
+    q = spark.createDataFrame(
+        [(f"t{t:03d}", (t * 13) % 29 + 1) for t in range(n_terms)],
+        "term string, qtf long",
+    )
+    return q, tf
+
+
+def _greedy_reference(q, tf_rows, budget):
+    """Literal QtfDf greedy in pure Python."""
+    import collections
+
+    per = collections.defaultdict(list)
+    for t, d in tf_rows:
+        per[t].append(d)
+
+    def vbytes(ids):
+        ids = sorted(ids)
+        prev, tot = -1, 0
+        for i in ids:
+            gap = i - prev
+            tot += 1 if gap < 128 else 2 if gap < 16384 else 3
+            prev = i
+        return tot
+
+    cand = []
+    for t, qtf in q:
+        df = len(per[t])
+        cand.append((qtf / df, t, qtf, df, vbytes(per[t])))
+    cand.sort(key=lambda x: (-x[0], x[1]))
+    out, cum = [], 0
+    for ratio, t, qtf, df, b in cand:
+        cum += b
+        if cum > budget:
+            # greedy-by-prefix (the paper's scan): stop admitting but
+            # keep scanning is NOT what the operator does — it cuts
+            # every term past the budget point, so mirror that
+            continue
+        out.append((t, qtf, df, round(ratio, 6), b, cum))
+    return out
+
+
+@pytest.mark.parametrize("num_buckets", [1, 7, 1024])
+def test_admission_matches_greedy_reference(spark, num_buckets):
+    q, tf = _admission_fixture(spark)
+    budget = 700
+    got = [
+        (r["term"], r["qtf"], r["df"], r["ratio"], r["bytes"],
+         r["cum_bytes"])
+        for r in cachesim.static_cache_admission(
+            q, tf, budget, num_buckets=num_buckets
+        ).collect()
+    ]
+    want = _greedy_reference(
+        [(r["term"], r["qtf"]) for r in q.collect()],
+        [(r["term"], r["doc_id"]) for r in tf.collect()],
+        budget,
+    )
+    assert got == want
+
+
+def test_admission_budget_edges(spark):
+    q, tf = _admission_fixture(spark, n_terms=10)
+    nothing = cachesim.static_cache_admission(q, tf, 0).collect()
+    assert nothing == []
+    everything = cachesim.static_cache_admission(q, tf, 10**9)
+    assert everything.count() == 10
+    # cum_bytes of the full admission equals the total byte mass
+    rows = everything.collect()
+    assert rows[-1]["cum_bytes"] == sum(r["bytes"] for r in rows)
+
+
+def test_admission_parallelism_independent(spark):
+    q, tf = _admission_fixture(spark)
+    a = cachesim.static_cache_admission(
+        q.repartition(1), tf.repartition(1), 700
+    ).collect()
+    b = cachesim.static_cache_admission(
+        q.repartition(13), tf.repartition(29), 700
+    ).collect()
+    assert a == b
+
+
+# ----- X116 anytime / JASS posting-budget ranking (ib.anytime_topk) -----
+
+
+def _anytime_replay(qrows, terms, rho, k):
+    """Literal anytime traversal in Python: global (q DESC, term,
+    doc_id) order, first rho postings accumulate."""
+    cand = sorted(
+        (r for r in qrows if r[0] in terms),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:rho]
+    acc = {}
+    for t, d, q in cand:
+        acc[d] = acc.get(d, 0) + q
+    return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def _qimpacts(spark, tf):
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(tf)
+    n, avgdl = ib.corpus_stats(doclen)
+    return ib.quantized_impacts(tf, doclen, dfreq, n, avgdl, bits=8)
+
+
+@pytest.mark.parametrize("rho", [1, 3, 5, 9])
+def test_anytime_matches_replay(spark, tiny_tf, rho):
+    qi = _qimpacts(spark, tiny_tf)
+    rows = [(r["term"], r["doc_id"], r["q"]) for r in qi.collect()]
+    got = [
+        (r["doc_id"], r["qscore"])
+        for r in ib.anytime_topk(
+            spark, qi, ["aa", "dd"], rho, k=10
+        ).collect()
+    ]
+    assert got == _anytime_replay(rows, {"aa", "dd"}, rho, 10)
+
+
+def test_anytime_full_budget_is_exhaustive(spark, tiny_tf):
+    qi = _qimpacts(spark, tiny_tf)
+    full = ib.quantized_topk(spark, qi, ["aa", "cc"], k=10).collect()
+    any_ = ib.anytime_topk(spark, qi, ["aa", "cc"], 10**6, k=10).collect()
+    assert [tuple(r) for r in any_] == [tuple(r) for r in full]
+
+
+def test_anytime_empty_and_parallelism(spark, tiny_tf):
+    qi = _qimpacts(spark, tiny_tf)
+    assert ib.anytime_topk(spark, qi, [], 5).collect() == []
+    assert ib.anytime_topk(spark, qi, ["aa"], 0).collect() == []
+    a = ib.anytime_topk(spark, qi.repartition(1), ["aa", "bb"], 4).collect()
+    b = ib.anytime_topk(spark, qi.repartition(16), ["aa", "bb"], 4).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

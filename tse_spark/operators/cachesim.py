@@ -133,3 +133,105 @@ def lru_hit_rates(
         )
         legs = leg if legs is None else legs.unionAll(leg)
     return legs
+
+
+def static_cache_admission(
+    qtf: DataFrame,
+    tf: DataFrame,
+    budget_bytes: int,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """QtfDf static posting-cache admission (Baeza-Yates et al.,
+    SIGIR'07 "The impact of caching on search engines"): pin in the
+    posting cache the terms with the highest query-popularity /
+    posting-cost ratio, greedily until a byte budget — the STATIC
+    counterpart of the LRU sizing above (the paper's result: for
+    posting lists, static QtfDf admission beats LRU because term
+    popularity is stable while posting sizes vary by orders of
+    magnitude).
+
+    ``qtf``: (term, qtf) — query-log term frequencies.  ``tf``: the
+    row-major (term, doc_id, ...) relation; each term's cache cost is
+    its EXACT varint delta-gap byte law (intcodec.codec_advisor — the
+    X113 law, pytest-pinned against the real encoder) and its df is
+    the posting count, so ratio = qtf/df is the paper's QtfDf.
+
+    The greedy scan is a running byte sum over the global
+    (ratio desc, term asc) order — computed scale-correctly with the
+    same two-pass bucket-prefix-sum shape as index_build.
+    assign_doc_ids: deterministic value-range buckets over ratio (a
+    2-row min/max broadcast subplan, no sampling), exclusive
+    per-bucket byte offsets (a window over ``num_buckets`` rows
+    only), then a within-bucket running sum.  No single-partition
+    window at any vocabulary size.  Caveat: terms sharing one exact
+    ratio value land in one bucket by construction (the order demands
+    it); a pathological log where most terms tie on ratio would skew
+    that bucket.
+
+    Returns the ADMITTED terms: (term, qtf, df, ratio, bytes,
+    cum_bytes), ordered by the admission scan.
+    """
+    from pyspark.sql.window import Window
+
+    from tse_spark.operators import intcodec as ic
+
+    adv = ic.codec_advisor(tf).select(
+        "term",
+        F.col("n_postings").alias("df"),
+        F.col("varint_bytes").alias("bytes"),
+    )
+    base = (
+        qtf.join(adv, "term")
+        .withColumn(
+            "ratio", F.col("qtf").cast("double") / F.col("df")
+        )
+    )
+    mm = base.agg(F.min("ratio").alias("__lo"), F.max("ratio").alias("__hi"))
+    r, lo, hi = F.col("ratio"), F.col("__lo"), F.col("__hi")
+    bucket = (
+        F.when(hi == lo, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(num_buckets - 1),
+                F.floor((hi - r) / (hi - lo) * num_buckets),
+            )
+        )
+        .cast("int")
+    )
+    with_b = base.crossJoin(F.broadcast(mm)).withColumn("__bucket", bucket)
+    offs = (
+        with_b.groupBy("__bucket")
+        .agg(F.sum("bytes").alias("__bb"))
+        .select(
+            "__bucket",
+            F.coalesce(
+                F.sum("__bb").over(
+                    Window.orderBy("__bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__offset"),
+        )
+    )
+    w = Window.partitionBy("__bucket").orderBy(
+        F.desc("ratio"), F.asc("term")
+    )
+    return (
+        with_b.join(F.broadcast(offs), "__bucket")
+        .withColumn(
+            "cum_bytes",
+            (
+                F.col("__offset")
+                + F.sum("bytes").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            ).cast("long"),
+        )
+        .filter(F.col("cum_bytes") <= F.lit(int(budget_bytes)))
+        .select(
+            "term", "qtf", "df", F.round("ratio", 6).alias("ratio"),
+            "bytes", "cum_bytes",
+        )
+        .orderBy(F.desc("ratio"), F.asc("term"))
+    )

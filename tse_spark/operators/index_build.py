@@ -946,6 +946,69 @@ def quantized_topk(
     )
 
 
+def anytime_topk(
+    spark: SparkSession,
+    qimpacts: DataFrame,
+    terms: list[str],
+    rho: int,
+    k: int = 10,
+) -> DataFrame:
+    """Anytime ranking over impact-ordered postings (Lin & Trotman,
+    ICTIR'15 — the JASS traversal): score only the first ``rho``
+    postings of the query's lists in GLOBAL impact order
+    ``(q DESC, term ASC, doc_id ASC)`` and answer from the partial
+    accumulators — a strict per-query work budget that holds at ANY
+    corpus size (latency is capped by rho, not by posting-list
+    length; quality degrades gracefully and measurably, cf. X109's
+    accumulator cap which bounds MEMORY instead).
+
+    The top-rho selection never globally sorts posting rows: integer
+    impact codes take at most 2^bits distinct values, so an exact
+    per-code histogram (a <=2^bits-row agg, broadcast back) yields
+    the cutoff code directly — codes above it admit wholly, rows at
+    the boundary code admit their ``(term, doc_id)``-first remainder
+    via a rank windowed WITHIN that single code stratum.  ``rho >=``
+    the query's posting mass degenerates to exhaustive
+    :func:`quantized_topk` (pytest-pinned).
+
+    Returns ``(doc_id, qscore)`` with ``qscore = sum(q)`` over the
+    processed postings — all-integer, so the SQL oracle (a global
+    ``row_number() <= rho`` over the same total order) reproduces it
+    bit-exactly."""
+    from pyspark.sql.window import Window
+
+    terms = sorted(set(terms))
+    if not terms or rho <= 0:
+        return spark.createDataFrame([], "doc_id long, qscore long")
+    cand = qimpacts.filter(F.col("term").isin(terms))
+    hist = (
+        cand.groupBy("q")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "q",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy(F.desc("q")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__before"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.asc("term"), F.asc("doc_id"))
+    return (
+        cand.join(F.broadcast(hist), "q")
+        .filter(F.col("__before") < F.lit(int(rho)))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__before") + F.col("__r") <= F.lit(int(rho)))
+        .groupBy("doc_id")
+        .agg(F.sum("q").cast("long").alias("qscore"))
+        .orderBy(F.desc("qscore"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def quantization_error(
     tf: DataFrame,
     doclen: DataFrame,
