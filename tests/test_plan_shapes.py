@@ -303,3 +303,51 @@ def test_reuse_distances_interval_join_is_hash_equi(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cache_admission_no_global_window_on_terms(spark):
+    """X115: the running byte sum must be bucket-partitioned — the
+    only unpartitioned window allowed is the tiny per-bucket offset
+    subplan (num_buckets rows), never the vocabulary relation."""
+    from tse_spark.operators import cachesim
+
+    tf = spark.createDataFrame(
+        [(f"t{i % 9}", i) for i in range(64)], "term string, doc_id long"
+    )
+    q = spark.createDataFrame(
+        [(f"t{i}", i + 1) for i in range(9)], "term string, qtf long"
+    )
+    plan = _plan(cachesim.static_cache_admission(q, tf, 10**6))
+    # within-bucket scan: a Window whose partition spec includes the
+    # bucket column must exist
+    assert "__bucket" in plan and "Window" in plan
+    # offsets join back as a broadcast (never reshuffle the vocabulary
+    # by bucket twice)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anytime_histogram_is_broadcast_and_rank_is_per_code(spark):
+    """X116: the <=2^bits-row code histogram joins back broadcast, and
+    the boundary rank windows WITHIN a code stratum (partitionBy q) —
+    no global row_number over the posting relation."""
+    from tse_spark.operators import index_build as ib
+
+    qi = spark.createDataFrame(
+        [(f"t{i % 3}", i, (i * 7) % 11) for i in range(64)],
+        "term string, doc_id long, q long",
+    )
+    plan = _plan(ib.anytime_topk(spark, qi, ["t0", "t1"], 10))
+    assert "BroadcastHashJoin" in plan
+    # the boundary rank partitions by the code column (q): its
+    # windowspecdefinition must lead with q, never an empty partition
+    rank_lines = [
+        ln for ln in plan.splitlines() if "row_number()" in ln
+    ]
+    assert rank_lines and all(
+        "windowspecdefinition(q#" in ln for ln in rank_lines
+    )
+    # the only SinglePartition exchange feeds the <=2^bits-row
+    # histogram window, which then broadcasts back
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
