@@ -4083,17 +4083,18 @@ def _q_query_bursts(spark, sf):
     return events.burst_windows(_t(spark, sf, "events"))
 
 
-CACHE_ADMIT_BUDGET = 2048
+CACHE_ADMIT_FRAC = 0.25  # dyadic: the cut compares exactly cross-engine
 
 
 def _q_cache_admission(spark, sf):
     """Static posting-cache admission (X115, cachesim.
     static_cache_admission): Baeza-Yates QtfDf — admit terms by
-    query-popularity / posting-cost ratio until a byte budget.  The
-    query log is synthesized as the term stream of doc_id % 7 == 0
-    documents (qtf = their tf mass); cost is the X113 varint byte
-    law, df the posting count, so the oracle reproduces ratio, the
-    running-byte scan and the cut exactly."""
+    query-popularity / posting-cost ratio until the byte budget (25%
+    of the candidate byte mass, so the report stays meaningful at any
+    corpus size).  The query log is synthesized as the term stream of
+    doc_id % 7 == 0 documents (qtf = their tf mass); cost is the X113
+    varint byte law, df the posting count, so the oracle reproduces
+    ratio, the running-byte scan and the cut exactly."""
     from tse_spark.operators import cachesim
 
     tf = _tf_ws_cached(spark, sf)
@@ -4103,7 +4104,7 @@ def _q_cache_admission(spark, sf):
         .agg(F.sum("tf").cast("long").alias("qtf"))
     )
     return cachesim.static_cache_admission(
-        qtf, tf.select("term", "doc_id"), CACHE_ADMIT_BUDGET
+        qtf, tf.select("term", "doc_id"), budget_frac=CACHE_ADMIT_FRAC
     )
 
 
@@ -5606,9 +5607,11 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY ratio DESC, term
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                  )::BIGINT AS cum_bytes
-          FROM base)
+          FROM base),
+        tot AS (SELECT sum(bytes)::BIGINT AS t FROM base)
         SELECT term, qtf, df, round(ratio, 6) AS ratio, bytes, cum_bytes
-        FROM scan WHERE cum_bytes <= {CACHE_ADMIT_BUDGET}
+        FROM scan CROSS JOIN tot
+        WHERE cum_bytes <= tot.t * {CACHE_ADMIT_FRAC}
         ORDER BY ratio DESC, term""",
         # X109 Moffat-Zobel quit/continue, term-granular: a doc is a
         # candidate iff docs first reached by EARLIER (rarer) terms

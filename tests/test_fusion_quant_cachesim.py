@@ -549,3 +549,21 @@ def test_anytime_empty_and_parallelism(spark, tiny_tf):
     a = ib.anytime_topk(spark, qi.repartition(1), ["aa", "bb"], 4).collect()
     b = ib.anytime_topk(spark, qi.repartition(16), ["aa", "bb"], 4).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_admission_budget_frac(spark):
+    q, tf = _admission_fixture(spark, n_terms=12)
+    full = cachesim.static_cache_admission(q, tf, budget_frac=1.0)
+    rows = full.collect()
+    assert len(rows) == 12  # frac 1.0 admits the whole candidate set
+    tot = sum(r["bytes"] for r in rows)
+    half = cachesim.static_cache_admission(q, tf, budget_frac=0.5).collect()
+    # the relative cut equals the absolute cut at tot/2 (dyadic frac)
+    abs_half = cachesim.static_cache_admission(q, tf, tot // 2).collect()
+    if tot % 2 == 0:
+        assert [tuple(r) for r in half] == [tuple(r) for r in abs_half]
+    assert all(r["cum_bytes"] <= tot * 0.5 for r in half)
+    with pytest.raises(ValueError, match="exactly one"):
+        cachesim.static_cache_admission(q, tf)
+    with pytest.raises(ValueError, match="exactly one"):
+        cachesim.static_cache_admission(q, tf, 100, budget_frac=0.5)

@@ -34,6 +34,11 @@ GROUPS = {
     # boundaries shift with log length), and hybrid fusion (leg overlap
     # grows with corpus) are exactly the laws a 10x corpus could break
     "r4ops": ["taat_quit_topk", "cache_hit_rates", "hybrid_rrf"],
+    # continuation 3: segment merge (shard-grid/id-shift interactions
+    # only appear with multiple shards per segment), the admission
+    # scan (bucket boundaries shift with the ratio distribution), and
+    # the anytime cutoff (the boundary code stratum grows with df)
+    "r4c3": ["wand_merged", "cache_admission", "anytime_topk"],
 }
 
 

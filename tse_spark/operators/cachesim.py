@@ -138,8 +138,9 @@ def lru_hit_rates(
 def static_cache_admission(
     qtf: DataFrame,
     tf: DataFrame,
-    budget_bytes: int,
+    budget_bytes: int | None = None,
     num_buckets: int = 1024,
+    budget_frac: float | None = None,
 ) -> DataFrame:
     """QtfDf static posting-cache admission (Baeza-Yates et al.,
     SIGIR'07 "The impact of caching on search engines"): pin in the
@@ -168,9 +169,22 @@ def static_cache_admission(
     it); a pathological log where most terms tie on ratio would skew
     that bucket.
 
+    The budget is either absolute (``budget_bytes``) or relative
+    (``budget_frac`` — a fraction of the candidate set's total byte
+    mass, computed as a 1-row broadcast subplan; the sane form for a
+    capacity report that must stay meaningful across corpus sizes).
+    With a dyadic fraction (0.25, 0.5) the cut compares exactly in
+    binary floating point, so the SQL oracle reproduces it bit-exact.
+    Exactly one of the two must be given.
+
     Returns the ADMITTED terms: (term, qtf, df, ratio, bytes,
     cum_bytes), ordered by the admission scan.
     """
+    if (budget_bytes is None) == (budget_frac is None):
+        raise ValueError(
+            "static_cache_admission: give exactly one of budget_bytes "
+            "or budget_frac"
+        )
     from pyspark.sql.window import Window
 
     from tse_spark.operators import intcodec as ic
@@ -186,7 +200,11 @@ def static_cache_admission(
             "ratio", F.col("qtf").cast("double") / F.col("df")
         )
     )
-    mm = base.agg(F.min("ratio").alias("__lo"), F.max("ratio").alias("__hi"))
+    mm = base.agg(
+        F.min("ratio").alias("__lo"),
+        F.max("ratio").alias("__hi"),
+        F.sum("bytes").alias("__tot"),
+    )
     r, lo, hi = F.col("ratio"), F.col("__lo"), F.col("__hi")
     bucket = (
         F.when(hi == lo, F.lit(0))
@@ -228,7 +246,12 @@ def static_cache_admission(
                 )
             ).cast("long"),
         )
-        .filter(F.col("cum_bytes") <= F.lit(int(budget_bytes)))
+        .filter(
+            F.col("cum_bytes") <= F.lit(int(budget_bytes))
+            if budget_frac is None
+            else F.col("cum_bytes")
+            <= F.col("__tot") * F.lit(float(budget_frac))
+        )
         .select(
             "term", "qtf", "df", F.round("ratio", 6).alias("ratio"),
             "bytes", "cum_bytes",
