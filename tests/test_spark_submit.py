@@ -152,3 +152,69 @@ def test_spark_submit_query_flags(tmp_path):
         for _r, _d, fs in os.walk(rcache)
         for f in fs
     )
+
+
+def test_spark_submit_merge(tmp_path):
+    """X114 through the cluster launch contract: two segments built by
+    separate spark-submit runs, folded by the maintain_index merge
+    subcommand, served by query_index — all from the zip only."""
+    zip_path = str(tmp_path / "tse_spark.zip")
+    _package(zip_path)
+
+    from tse_spark import fixtures
+
+    pa = str(tmp_path / "pages_a.parquet")
+    pb = str(tmp_path / "pages_b.parquet")
+    # microsecond timestamps: Spark cannot read TIMESTAMP(NANOS)
+    fixtures.gen_pages(100, start=0).to_parquet(
+        pa, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    fixtures.gen_pages(80, start=100).to_parquet(
+        pb, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+
+    ia, ib = str(tmp_path / "ia"), str(tmp_path / "ib")
+    for pages, out, shards in ((pa, ia, "2"), (pb, ib, "3")):
+        _submit(
+            [
+                "--py-files", zip_path,
+                "scripts/build_index.py",
+                "--pages", pages, "--out", out, "--shards", shards,
+            ]
+        )
+
+    merged = str(tmp_path / "merged")
+    stdout = _submit(
+        [
+            "--py-files", zip_path,
+            "scripts/maintain_index.py",
+            "--index", ia,
+            "merge", "--with", ib, "--out", merged,
+        ]
+    )
+    info = json.loads(
+        [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert info["cmd"] == "merge" and info["snapshot_id"] == 1
+
+    with open(os.path.join(ia, "meta.json")) as f:
+        na = json.load(f)["n_docs"]
+    with open(os.path.join(ib, "meta.json")) as f:
+        nb = json.load(f)["n_docs"]
+    assert info["n_docs"] == na + nb
+
+    qfile = str(tmp_path / "q.txt")
+    with open(qfile, "w", encoding="utf-8") as f:
+        f.write(fixtures.gen_queries()[0][1] + "\n")
+    stdout = _submit(
+        [
+            "--py-files", zip_path,
+            "scripts/query_index.py",
+            "--index", merged, "--k", "5", "--queries-file", qfile,
+        ]
+    )
+    res = json.loads(
+        [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert len(res["results"]) > 0
+    assert all(s > 0 for _, s in res["results"])
