@@ -4006,6 +4006,25 @@ def _q_anytime_topk(spark, sf):
     return ib.anytime_topk(spark, qi, BM25_QUERY, ANYTIME_RHO, K)
 
 
+ANYTIME_RHOS = [50, 150, 300, 600]
+
+
+def _q_anytime_tradeoff(spark, sf):
+    """Anytime quality-vs-budget curve (X116): overlap@K of the
+    rho-budgeted ranking with the exhaustive quantized ranking at four
+    budgets — the number that picks rho for a latency SLO."""
+    from tse_spark.operators import index_build as ib
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(tf)
+    n, avgdl = ib.corpus_stats(doclen)
+    qi = ib.quantized_impacts(
+        tf, doclen, dfreq, n, avgdl, bits=QUANT_BITS
+    )
+    return ib.anytime_tradeoff(spark, qi, BM25_QUERY, ANYTIME_RHOS, K)
+
+
 def _q_quant_error(spark, sf):
     """Quantizer fidelity report (X102): max/mean absolute error of
     midpoint dequantization vs exact impacts over every posting."""
@@ -4251,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_merged": _q_wand_merged,
         "cache_admission": _q_cache_admission,
         "anytime_topk": _q_anytime_topk,
+        "anytime_tradeoff": _q_anytime_tradeoff,
         # -- driver-verified in earlier rounds (green CORRECTNESS rows) --
         "tf_table": _q_tf_table,
         "df_stats": _q_df_stats,
@@ -5754,6 +5774,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, sum(q)::BIGINT AS qscore FROM ordered
         WHERE rn <= {ANYTIME_RHO}
         GROUP BY doc_id ORDER BY qscore DESC, doc_id LIMIT {K}""",
+        # X116 quality-vs-budget curve: overlap@K with the exhaustive
+        # quantized top-K at each rho
+        "anytime_tradeoff": _TOK
+        + f"""
+        , perterm AS (
+          SELECT tf.doc_id, tf.term,
+                 ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats),
+        mx AS (SELECT max(s) AS m FROM perterm),
+        qq AS (
+          SELECT doc_id, term,
+                 least(255, floor(s / mx.m * 256.0))::BIGINT AS q
+          FROM perterm CROSS JOIN mx
+          WHERE term IN ({terms3})),
+        ordered AS (
+          SELECT doc_id, q,
+                 row_number() OVER (ORDER BY q DESC, term, doc_id) AS rn
+          FROM qq),
+        exact AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, sum(q) AS qs FROM qq GROUP BY doc_id
+            ORDER BY qs DESC, doc_id LIMIT {K})),
+        legs AS (
+          SELECT rho FROM (VALUES {", ".join(f"({r})" for r in sorted(ANYTIME_RHOS))}) v(rho)),
+        curve AS (
+          SELECT legs.rho::BIGINT AS rho,
+                 (SELECT count(*) FROM (
+                    SELECT doc_id FROM (
+                      SELECT doc_id, sum(q) AS qs FROM ordered
+                      WHERE rn <= legs.rho GROUP BY doc_id
+                      ORDER BY qs DESC, doc_id LIMIT {K}) a
+                    JOIN exact USING (doc_id)))::BIGINT AS n_hit
+          FROM legs)
+        SELECT rho, n_hit, round(n_hit / {K}.0, 4) AS overlap
+        FROM curve ORDER BY rho""",
         # X111 truncated RBO@20 between exact BM25 and the quantized
         # integer ranking — both rankings recomputed in SQL
         "quant_rbo": _TOK

@@ -277,6 +277,7 @@ HEADLINE = [
     # round-4 continuation session 2 (segment merge + admission + JASS)
     "cache_admission",
     "anytime_topk",
+    "anytime_tradeoff",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving

@@ -141,3 +141,56 @@ def test_merge_rejects_bad_pairs(spark, segs, tmp_path):
         fixtures.mini_dict_bytes(),
     )
     assert hm.n_docs == ha.n_docs + hv.n_docs
+
+
+def test_merged_index_supports_full_lifecycle(spark, segs, tmp_path):
+    """The merged index is a first-class lifecycle citizen: append,
+    delete, compact all compose on top of an op=merge snapshot, and
+    the final state scores like a from-scratch build over
+    (union + delta - deleted)."""
+    import pyspark.sql.functions as F
+
+    from tse_spark.plans import append as ap
+
+    base, pa, pb, pu, ha, hb = segs
+    out = str(tmp_path / "m_life")
+    hm = mg.merge_indexes(
+        spark, ha.out_dir, hb.out_dir, out, fixtures.mini_dict_bytes()
+    )
+
+    # append a url-disjoint delta on top of the merge
+    pc = str(tmp_path / "pages_c")
+    spark.createDataFrame(
+        fixtures.gen_pages(60, start=300, length_scale=2)
+    ).write.mode("overwrite").parquet(pc)
+    ap.append_pages(spark, out, pc, fixtures.mini_dict_bytes())
+
+    # tombstone a few docs, then fold everything
+    dl.delete_docs(spark, out, doc_ids=[1, 3, 5])
+    h = cm.compact_index(spark, out, fixtures.mini_dict_bytes())
+
+    # rebuild twin over the surviving corpus (delete_docs ids 1/3/5
+    # are segment-A ids, which the merge preserved verbatim)
+    dead_urls = {
+        r["url"]
+        for r in spark.read.parquet(
+            os.path.join(ha.out_dir, "docs")
+        ).filter(F.col("doc_id").isin([1, 3, 5])).collect()
+    }
+    pr = str(tmp_path / "pages_survivors")
+    spark.read.parquet(pu).unionByName(
+        spark.read.parquet(pc)
+    ).filter(~F.col("url").isin(list(dead_urls))).write.mode(
+        "overwrite"
+    ).parquet(pr)
+    hr = _build(
+        spark, str(tmp_path / "rebuild_life"), pr,
+        num_shards=5, block_size=32,
+    )
+    assert h.n_docs == hr.n_docs
+    assert h.avgdl == pytest.approx(hr.avgdl, rel=1e-12)
+    assert _by_url(spark, h) == _by_url(spark, hr)
+    # the commit log tells the whole story
+    with open(os.path.join(out, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["snapshot_id"] == 4  # merge, append, delete, compact

@@ -1009,6 +1009,38 @@ def anytime_topk(
     )
 
 
+def anytime_tradeoff(
+    spark: SparkSession,
+    qimpacts: DataFrame,
+    terms: list[str],
+    rhos: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Quality-vs-budget curve for :func:`anytime_topk` — the number an
+    operator reads before choosing a posting budget: for each rho,
+    overlap@k of the anytime top-k with the exhaustive quantized
+    top-k (the same report shape as ``prune_recall``).  One plan: the
+    budget legs reuse one shared candidate lineage and union into
+    ``(rho, n_hit, overlap)``."""
+    exact = quantized_topk(spark, qimpacts, terms, k).select("doc_id")
+    legs = None
+    for rho in sorted(set(int(r) for r in rhos)):
+        hit = (
+            anytime_topk(spark, qimpacts, terms, rho, k)
+            .join(exact, "doc_id")
+            .agg(F.count(F.lit(1)).alias("__h"))
+            .select(
+                F.lit(rho).cast("long").alias("rho"),
+                F.col("__h").cast("long").alias("n_hit"),
+                F.round(F.col("__h") / F.lit(float(k)), 4).alias(
+                    "overlap"
+                ),
+            )
+        )
+        legs = hit if legs is None else legs.unionAll(hit)
+    return legs
+
+
 def quantization_error(
     tf: DataFrame,
     doclen: DataFrame,
