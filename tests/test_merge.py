@@ -112,6 +112,12 @@ def test_merge_rejects_bad_pairs(spark, segs, tmp_path):
             spark, ha.out_dir, ha.out_dir, str(tmp_path / "m_dup"),
             fixtures.mini_dict_bytes(),
         )
+    # merging INTO an existing index dir must refuse (destructive)
+    with pytest.raises(ValueError, match="already holds"):
+        mg.merge_indexes(
+            spark, ha.out_dir, hb.out_dir, hb.out_dir,
+            fixtures.mini_dict_bytes(),
+        )
     # tokenizer mismatch must refuse
     ws = str(tmp_path / "ws")
     pl.IndexPipeline(

@@ -100,6 +100,13 @@ def merge_indexes(
     """Merge two independently built indexes into ``out_dir``; see the
     module docstring for the contract.  Returns a handle on the merged
     index."""
+    if os.path.exists(os.path.join(out_dir, "meta.json")):
+        raise ValueError(
+            f"merge_indexes: {out_dir} already holds a published index; "
+            "merging would silently overwrite its artifacts — choose a "
+            "fresh out_dir (the merged index is a NEW index with its "
+            "own commit log)"
+        )
     ma, mb = _load_meta(dir_a), _load_meta(dir_b)
     _validate_pair(ma, mb, dir_a, dir_b)
     if dictionary and ma.get("dict_fp") is not None:
