@@ -567,3 +567,45 @@ def test_admission_budget_frac(spark):
         cachesim.static_cache_admission(q, tf)
     with pytest.raises(ValueError, match="exactly one"):
         cachesim.static_cache_admission(q, tf, 100, budget_frac=0.5)
+
+
+def test_admission_plan_warms_the_serving_tier(spark, tmp_path):
+    """X115 -> serving integration: the admitted term set feeds
+    SearchEngine.warm(preload_terms=...), after which queries over
+    admitted terms serve from the driver LRU with the Spark posting
+    path POISONED — the static cache is real, not just a report."""
+    from tse_spark import fixtures
+    from tse_spark.plans import pipeline as pl
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(
+                ["alpha"] * (1 + i % 3)
+                + (["bravo"] if i % 2 == 0 else ["charlie"])
+                + (["delta"] if i % 5 == 0 else [])
+            ))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    h = pl.IndexPipeline(
+        spark, str(tmp_path / "idx"), tokenizer="ws",
+        num_shards=3, block_size=16, num_partitions=2,
+    ).run_from_docs(docs, input_key="adm", resume=False)
+
+    tf = ib.build_tf_ws(docs)
+    qtf = spark.createDataFrame(
+        [("alpha", 30), ("bravo", 8), ("delta", 5)],
+        "term string, qtf long",
+    )
+    plan = cachesim.static_cache_admission(qtf, tf, budget_frac=1.0)
+    admitted = [r["term"] for r in plan.collect()]
+    assert set(admitted) == {"alpha", "bravo", "delta"}
+
+    h.engine.warm(preload_terms=admitted)
+    h.engine.postings = None  # any posting fetch would now throw
+    res = h.engine.search_local("alpha bravo", 5)
+    assert len(res) == 5 and all(s > 0 for _, s in res)
+    # an unadmitted term forces a fetch against the poisoned path
+    with pytest.raises(Exception):
+        h.engine.search_local("alpha charlie", 5)
