@@ -2046,6 +2046,25 @@ KMEANS_ITERS = 2
 SEMDEDUP_TAU = 0.35
 
 
+_KMEANS_CACHE: dict[str, list] = {}
+
+
+def _kmeans_cents(spark, sf):
+    """One trained quantizer per sf (clustering.kmeans_train):
+    `kmeans_clusters`, `kmeans_report` and `semantic_dedup` all
+    consume the SAME generation's centroids, so training the
+    2-iteration Lloyd loop once per consumer would triple the most
+    expensive clustering job for identical k*dim floats — the
+    pagerank-prior sharing pattern."""
+    if sf not in _KMEANS_CACHE:
+        from tse_spark.operators import clustering
+
+        _KMEANS_CACHE[sf] = clustering.kmeans_train(
+            _t(spark, sf, "embeddings"), KMEANS_K, KMEANS_ITERS, EMB_DIM
+        )
+    return _KMEANS_CACHE[sf]
+
+
 def _q_kmeans_clusters(spark, sf):
     """Trained k-means assignment (Lloyd, 2 iterations from the
     deterministic vec_id<k seeds; fixed-point centroid updates so the
@@ -2055,7 +2074,8 @@ def _q_kmeans_clusters(spark, sf):
     from tse_spark.operators import clustering
 
     return clustering.kmeans_clusters(
-        _t(spark, sf, "embeddings"), KMEANS_K, KMEANS_ITERS, EMB_DIM
+        _t(spark, sf, "embeddings"), KMEANS_K, KMEANS_ITERS, EMB_DIM,
+        centroids=_kmeans_cents(spark, sf),
     )
 
 
@@ -2065,7 +2085,8 @@ def _q_kmeans_report(spark, sf):
     from tse_spark.operators import clustering
 
     return clustering.kmeans_report(
-        _t(spark, sf, "embeddings"), KMEANS_K, KMEANS_ITERS, EMB_DIM
+        _t(spark, sf, "embeddings"), KMEANS_K, KMEANS_ITERS, EMB_DIM,
+        centroids=_kmeans_cents(spark, sf),
     )
 
 
@@ -2081,6 +2102,7 @@ def _q_semantic_dedup(spark, sf):
         KMEANS_ITERS,
         EMB_DIM,
         SEMDEDUP_TAU,
+        centroids=_kmeans_cents(spark, sf),
     )
 
 

@@ -129,24 +129,28 @@ def kmeans_train(
 
 
 def kmeans_clusters(
-    emb: DataFrame, k: int = 8, n_iters: int = 2, dim: int = 64
+    emb: DataFrame, k: int = 8, n_iters: int = 2, dim: int = 64,
+    centroids: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """(vec_id, cell) after ``n_iters`` Lloyd rounds — the trained
     cluster assignment (the input the IVF build would consume as its
-    coarse quantizer, and SemDeDup as its partition)."""
-    cents = kmeans_train(emb, k, n_iters, dim)
+    coarse quantizer, and SemDeDup as its partition).  ``centroids``
+    skips training (one generation's trained quantizer is shared by
+    clusters/report/dedup consumers — the pagerank-prior pattern)."""
+    cents = centroids or kmeans_train(emb, k, n_iters, dim)
     return kmeans_assign(emb, cents).select("vec_id", "cell")
 
 
 def kmeans_report(
-    emb: DataFrame, k: int = 8, n_iters: int = 2, dim: int = 64
+    emb: DataFrame, k: int = 8, n_iters: int = 2, dim: int = 64,
+    centroids: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """Per-cell training report: size + mean intra-cell squared
     distance (inertia/n), rounded — the convergence scoreboard.  The
     mean goes through the same fixed-point law as the centroid update
     (floor(d2 * 10^6 + 0.5) summed as BIGINT) so it is exact in any
     aggregation order and the oracle reproduces it bit-for-bit."""
-    cents = kmeans_train(emb, k, n_iters, dim)
+    cents = centroids or kmeans_train(emb, k, n_iters, dim)
     a = kmeans_assign(emb, cents)
     # distance to own centroid: index the per-cell distance array by
     # the assigned cell — one projection, no join back to centroids
@@ -174,6 +178,7 @@ def semantic_dedup(
     n_iters: int = 2,
     dim: int = 64,
     threshold: float = 0.35,
+    centroids: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """SemDeDup: (vec_id, cell, kept) — ``kept = false`` iff a
     LOWER-vec_id vector in the SAME trained cluster has cosine >=
@@ -185,7 +190,7 @@ def semantic_dedup(
     cells fit.  Drop priority is keep-lowest-id, independent of which
     neighbors themselves survive (the published SemDeDup law; makes
     the decision per-pair parallel, no sequential sweep)."""
-    cents = kmeans_train(emb, k, n_iters, dim)
+    cents = centroids or kmeans_train(emb, k, n_iters, dim)
     a = kmeans_assign(emb, cents)
     lhs = a.select(
         F.col("cell").alias("cl"),
