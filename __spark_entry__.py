@@ -1842,6 +1842,65 @@ def _q_phrase_match_pos(spark, sf):
     return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
 
 
+def _pos_merged_cached(spark, sf):
+    """Merged two-segment positional table (X114's positional twin,
+    positions.merge_position_tables): the documents corpus parity-
+    split, each half built as its own position table (different shard
+    grids), folded with the main merge's id-lift law.  Idempotent
+    across process runs (a published op="merge" snapshot
+    short-circuits)."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    from tse_spark.operators import positions as pos
+
+    key = "posmerged:" + sf
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out = f"/tmp/tse_pos_merged_{tag}"
+    meta_path = _os.path.join(out, "meta.json")
+    done = False
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            done = _json.load(f).get("snapshot_op") == "merge"
+    if not done:
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        even = docs.filter(F.col("doc_id") % 2 == 0)
+        odd = docs.filter(F.col("doc_id") % 2 == 1)
+        n = docs.count()
+        shift = int(
+            even.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        ) + 1
+        da, db = f"/tmp/tse_pos_msega_{tag}", f"/tmp/tse_pos_msegb_{tag}"
+        import shutil
+
+        for d in (da, db, out):
+            shutil.rmtree(d, ignore_errors=True)
+        pos.build_position_table(even, da, n_docs=n, num_shards=5)
+        pos.build_position_table(odd, db, n_docs=n, num_shards=3)
+        pos.merge_position_tables(
+            spark, da, db, out, shift=shift, max_doc_id=shift + n
+        )
+    table = pos.load_position_table(spark, out).cache()
+    _INDEX_CACHE[key] = table
+    return table
+
+
+def _q_phrase_pos_merged(spark, sf):
+    """Phrase serving over a MERGED two-segment positional table: the
+    position lists are byte-identical to a union build modulo the
+    deterministic id lift, so the oracle is phrase_match with the
+    same even/odd id translation wand_merged uses."""
+    from tse_spark.operators import positions as pos
+
+    out = pos.phrase_match_positional(
+        _pos_merged_cached(spark, sf), PHRASE_QUERY
+    )
+    return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
 def _q_phrase_pos_compacted(spark, sf):
     """Positional-table LIFECYCLE serving (operators/positions.py
     compact_position_table): build over half the corpus, O(delta)
@@ -4293,6 +4352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_admission": _q_cache_admission,
         "anytime_topk": _q_anytime_topk,
         "anytime_tradeoff": _q_anytime_tradeoff,
+        "phrase_pos_merged": _q_phrase_pos_merged,
         # -- driver-verified in earlier rounds (green CORRECTNESS rows) --
         "tf_table": _q_tf_table,
         "df_stats": _q_df_stats,
@@ -7143,6 +7203,28 @@ def oracle_sql() -> dict[str, str]:
     # the full-scan phrase matcher — the oracle is shared
     out["phrase_match_indexed"] = out["phrase_match"]
     out["phrase_match_pos"] = out["phrase_match"]
+    # X114 positional twin: phrase_match law + the wand_merged id lift
+    out["phrase_pos_merged"] = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> strlen(x) > 0) AS arr
+      FROM documents),
+    pos AS (
+      SELECT doc_id, arr,
+             unnest(generate_series(1, len(arr) - 1)) AS i
+      FROM t),
+    hits AS (
+      SELECT doc_id, count(*)::BIGINT AS n_hits FROM pos
+      WHERE arr[i] = '{PHRASE_QUERY.split()[0]}'
+        AND arr[i + 1] = '{PHRASE_QUERY.split()[1]}'
+      GROUP BY 1),
+    mshift AS (
+      SELECT max(doc_id) + 1 AS sh FROM documents WHERE doc_id % 2 = 0)
+    SELECT CASE WHEN h.doc_id % 2 = 0 THEN h.doc_id
+                ELSE h.doc_id + m.sh END AS doc_id,
+           h.n_hits
+    FROM hits h CROSS JOIN mshift m"""
     # X108: the next-word index must reproduce the scan law exactly
     out["phrase_nextword"] = out["phrase_match"]
     p3 = PHRASE3_QUERY.split()

@@ -278,6 +278,7 @@ HEADLINE = [
     "cache_admission",
     "anytime_topk",
     "anytime_tradeoff",
+    "phrase_pos_merged",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving
@@ -711,6 +712,7 @@ def run_headline(spark) -> None:
         entrymod._tomb_index(spark, SF_DIR, compacted=True)
         entrymod._recrawl_index(spark, SF_DIR)
         entrymod._merged_index(spark, SF_DIR)
+        entrymod._pos_merged_cached(spark, SF_DIR)
         RESULT["lifecycle_fixture_build_s"] = round(time.time() - t0, 1)
     except Exception as e:
         RESULT["lifecycle_fixture_build_s"] = f"error: {e}"[:200]

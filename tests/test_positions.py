@@ -457,3 +457,54 @@ def test_phrase_slop_matches_literal_truth(spark, pos_docs, pos_index):
             for r in P.phrase_match_slop(pos_index, phrase, slop).collect()
         }
         assert got == want, (phrase, slop)
+
+
+def test_position_table_merge_equals_union_build(spark, tmp_path):
+    """X114's positional twin (P.merge_position_tables): two
+    independently built position tables fold into one; phrase and
+    proximity serving over the merged table equals a from-scratch
+    build over the union corpus, modulo the deterministic id lift of
+    segment B."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    even = docs.filter("doc_id % 2 = 0")
+    odd = docs.filter("doc_id % 2 = 1")
+    da, db = str(tmp_path / "pa"), str(tmp_path / "pb")
+    P.build_position_table(even, da, n_docs=250, num_shards=4)
+    P.build_position_table(odd, db, n_docs=250, num_shards=3)
+    shift = even.agg(F.max("doc_id")).collect()[0][0] + 1
+    out = str(tmp_path / "pm")
+    P.merge_position_tables(
+        spark, da, db, out, shift=shift, max_doc_id=shift + 499
+    )
+    merged = P.load_position_table(spark, out)
+    remapped = docs.withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.col("doc_id")).otherwise(
+            F.col("doc_id") + shift
+        ),
+    )
+    for phrase in ["spark join", "the the"]:
+        got = _collect(P.phrase_match_positional(merged, phrase))
+        want = _collect(textops.phrase_match(remapped, phrase))
+        assert got == want and got
+    gotp = {
+        (r["doc_id"], r["n_pairs"])
+        for r in P.proximity_count(merged, "spark", "join", 4).collect()
+    }
+    wantp = {
+        (r["doc_id"], r["n_pairs"])
+        for r in P.proximity_count(
+            P.build_position_index(remapped, 1000), "spark", "join", 4
+        ).collect()
+    }
+    assert gotp == wantp and gotp
+    # one row per (term, shard) in the merged grid
+    dup = merged.groupBy("term", "shard").count().filter("count > 1")
+    assert dup.count() == 0
+    # merging into a populated dir refuses
+    with pytest.raises(ValueError, match="already holds"):
+        P.merge_position_tables(
+            spark, da, db, out, shift=shift, max_doc_id=shift + 499
+        )

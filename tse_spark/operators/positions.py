@@ -393,6 +393,13 @@ def reencode_position_shards(
             cnts = np.concatenate(c_l)
             posflat = np.concatenate(p_l)
             ridx = np.concatenate(r_l)
+            if "id_shift" in pdf.columns:
+                # per-row constant doc-id translation (segment merge,
+                # merge_position_tables): positions are doc-relative
+                # and untouched; only the doc axis lifts
+                sh = pdf["id_shift"].to_numpy(dtype=np.int64)
+                if sh.any():
+                    docs = docs + sh[ridx]
             if b_ex is not None:
                 ex = b_ex.value
                 pos_ = np.searchsorted(ex, docs)
@@ -621,6 +628,79 @@ def compact_position_table(
     if gc:
         for d in old_dirs:
             shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+    return out_dir
+
+
+def merge_position_tables(
+    spark,
+    dir_a: str,
+    dir_b: str,
+    out_dir: str,
+    shift: int,
+    max_doc_id: int,
+    num_shards: int | None = None,
+) -> str:
+    """Cross-segment merge of two positional tables — the positional
+    twin of :func:`tse_spark.plans.merge.merge_indexes`, run in
+    LOCKSTEP with it: ``shift`` MUST be the main merge's doc-id lift
+    (max_doc_id(A) + 1) so phrase serving and BM25 serving agree on
+    every id.  Segment A's rows pass through unshifted, B's carry an
+    ``id_shift`` column into the shared re-encode kernel; positions
+    are doc-relative and never change.  Publishes ``out_dir`` as an
+    op="merge" snapshot v1 with a uniform merged shard grid.
+
+    Preconditions mirror the main merge: same tokenizer, and a fresh
+    out_dir (a populated one is a loud error)."""
+    import json
+
+    from tse_spark.plans import snapshots as sn
+
+    if os.path.exists(os.path.join(out_dir, "meta.json")):
+        raise ValueError(
+            f"merge_position_tables: {out_dir} already holds a "
+            "published table; choose a fresh out_dir"
+        )
+    with open(os.path.join(dir_a, "meta.json")) as f:
+        ma = json.load(f)
+    with open(os.path.join(dir_b, "meta.json")) as f:
+        mb = json.load(f)
+    ta = ma.get("tokenizer", "whitespace_lower")
+    tb = mb.get("tokenizer", "whitespace_lower")
+    if ta != tb:
+        raise ValueError(
+            f"merge_position_tables: tokenizer mismatch ({ta} != {tb})"
+        )
+    n_sh = num_shards or max(
+        int(ma.get("num_shards", 32)), int(mb.get("num_shards", 32))
+    )
+    new_range = max(1, -(-(int(max_doc_id) + 1) // n_sh))
+    rows_a = load_position_table(spark, dir_a).withColumn(
+        "id_shift", F.lit(0).cast("long")
+    )
+    rows_b = load_position_table(spark, dir_b).withColumn(
+        "id_shift", F.lit(int(shift)).cast("long")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        reencode_position_shards(rows_a.unionByName(rows_b), new_range)
+        .repartitionByRange(n_sh, "term")
+        .sortWithinPartitions("term", "shard")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "data"))
+    )
+    meta = {
+        "kind": "positional",
+        "n_docs": int(ma.get("n_docs", 0)) + int(mb.get("n_docs", 0)),
+        "num_shards": n_sh,
+        "shard_range": new_range,
+        "tokenizer": ta,
+        "data_dirs": ["data"],
+        "merged_from": [
+            {"dir": dir_a, "shift": 0},
+            {"dir": dir_b, "shift": int(shift)},
+        ],
+    }
+    sn.publish_meta(out_dir, meta, op="merge")
     return out_dir
 
 
