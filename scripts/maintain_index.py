@@ -19,9 +19,10 @@ Subcommands:
   vacuum-cache  sweep the shared serving cache (query_index
              --cache-root): drop superseded snapshot keys, keep the
              current key within --budget-mb by recency
-  merge      fold another independently built segment into a NEW
+  merge      fold other independently built segments into a NEW
              index dir without re-tokenizing anything (--with B
-             --out merged; see tse_spark/plans/merge.py)
+             [--with C ...] --out merged — N segments, ONE re-encode
+             pass; see tse_spark/plans/merge.py)
 
 Every mutating subcommand commits through the snapshot-stamped atomic
 meta publish (tse_spark/plans/snapshots.py), so each run appends one
@@ -93,7 +94,10 @@ def main(argv: list[str] | None = None) -> int:
         "survive), --with is segment B (ids lift above A), --out "
         "receives the merged index; no documents are re-tokenized",
     )
-    mg_p.add_argument("--with", dest="with_dir", required=True)
+    mg_p.add_argument(
+        "--with", dest="with_dirs", required=True, action="append",
+        help="segment to fold in; repeat for an N-way one-pass merge",
+    )
     mg_p.add_argument("--out", required=True)
     mg_p.add_argument("--num-shards", type=int, default=None)
     mg_p.add_argument(
@@ -171,8 +175,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "merge":
         from tse_spark.plans import merge as mmod
 
-        h = mmod.merge_indexes(
-            spark, args.index, args.with_dir, args.out,
+        h = mmod.merge_indexes_many(
+            spark, [args.index, *args.with_dirs], args.out,
             dictionary, num_shards=args.num_shards,
             check_url_disjoint=not args.skip_url_check,
         )

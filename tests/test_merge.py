@@ -107,7 +107,7 @@ def test_merge_equals_union_rebuild(spark, segs, tmp_path):
 def test_merge_rejects_bad_pairs(spark, segs, tmp_path):
     base, pa, pb, pu, ha, hb = segs
     # overlapping urls (A merged with itself) must refuse
-    with pytest.raises(ValueError, match="urls exist in BOTH"):
+    with pytest.raises(ValueError, match="urls exist in more than"):
         mg.merge_indexes(
             spark, ha.out_dir, ha.out_dir, str(tmp_path / "m_dup"),
             fixtures.mini_dict_bytes(),
@@ -200,3 +200,36 @@ def test_merged_index_supports_full_lifecycle(spark, segs, tmp_path):
     with open(os.path.join(out, "meta.json")) as f:
         meta = json.load(f)
     assert meta["snapshot_id"] == 4  # merge, append, delete, compact
+
+
+def test_three_way_merge_equals_union_rebuild(spark, segs, tmp_path):
+    """N-way merge in ONE re-encode pass (merge_indexes_many): three
+    segments fold together with cumulative id lifts and score exactly
+    like the union rebuild."""
+    base, pa, pb, pu, ha, hb = segs
+    d = str(tmp_path / "c")
+    spark.createDataFrame(
+        fixtures.gen_pages(90, start=300, length_scale=3)
+    ).write.mode("overwrite").parquet(d)
+    hc = _build(spark, str(tmp_path / "ic"), d, num_shards=2, block_size=64)
+    hm = mg.merge_indexes_many(
+        spark, [ha.out_dir, hb.out_dir, hc.out_dir],
+        str(tmp_path / "m3"), fixtures.mini_dict_bytes(),
+    )
+    pall = str(tmp_path / "pall")
+    spark.read.parquet(pu).unionByName(
+        spark.read.parquet(d)
+    ).write.mode("overwrite").parquet(pall)
+    hr = _build(
+        spark, str(tmp_path / "r3"), pall, num_shards=5, block_size=32
+    )
+    assert hm.n_docs == hr.n_docs == ha.n_docs + hb.n_docs + hc.n_docs
+    assert hm.avgdl == pytest.approx(hr.avgdl, rel=1e-12)
+    assert _by_url(spark, hm) == _by_url(spark, hr)
+    with open(os.path.join(hm.out_dir, "meta.json")) as f:
+        mf = json.load(f)["merged_from"]
+    assert [e["shift"] for e in mf] == [
+        0,
+        ha.meta["max_doc_id"] + 1,
+        ha.meta["max_doc_id"] + 1 + hb.meta["max_doc_id"] + 1,
+    ]
