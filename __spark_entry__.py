@@ -2885,6 +2885,7 @@ def _q_ivf_ann_indexed(spark, sf):
 
 _PAGERANK_CACHE: dict[str, DataFrame] = {}
 _CLICKDIST_CACHE: dict[str, DataFrame] = {}
+_TRUSTRANK_CACHE: dict[str, DataFrame] = {}
 _GRAPH_CACHE: dict[str, tuple] = {}
 
 
@@ -3101,7 +3102,12 @@ def _q_trustrank(spark, sf):
     graph as pagerank — teleport AND dangling mass land only on the
     seeds, so link spam unreachable from the seed set scores exactly
     0.  The oracle is the same unrolled iteration with the seeded
-    teleport vector."""
+    teleport vector.
+
+    Cached per sf like `pagerank`: `spam_mass` consumes the SAME
+    trust vector."""
+    if sf in _TRUSTRANK_CACHE:
+        return _TRUSTRANK_CACHE[sf]
     from tse_spark.operators import linkrank
 
     docs, edges = _graph(spark, sf)
@@ -3109,7 +3115,36 @@ def _q_trustrank(spark, sf):
     ranks = linkrank.trustrank(
         docs, edges, seeds, n_iter=3, damping=0.85, id_col="doc_id"
     )
-    return ranks.select("doc_id", F.round("rank", 6).alias("trust"))
+    out = ranks.select(
+        "doc_id", F.round("rank", 6).alias("trust")
+    ).cache()
+    _TRUSTRANK_CACHE[sf] = out
+    return out
+
+
+def _q_spam_mass(spark, sf):
+    """Relative spam mass (X117 — Gyongyi, Garcia-Molina & Pedersen,
+    VLDB'06 "Link spam detection based on mass estimation"):
+    (pagerank - trustrank) / pagerank per page, both probability
+    vectors from the SAME cached graph priors — pages whose authority
+    arrives mostly from outside the trusted seed neighborhood score
+    toward 1 (pure link spam scores exactly 1: trust is 0 there).
+    Top-50 most-spammy pages, the demotion/review queue."""
+    pr = _q_pagerank(spark, sf)
+    tr = _q_trustrank(spark, sf)
+    return (
+        pr.join(tr, "doc_id")
+        .select(
+            "doc_id",
+            "rank",
+            "trust",
+            F.round(
+                (F.col("rank") - F.col("trust")) / F.col("rank"), 6
+            ).alias("spam_mass"),
+        )
+        .orderBy(F.desc("spam_mass"), "doc_id")
+        .limit(50)
+    )
 
 
 def _q_crawl_schedule(spark, sf):
@@ -3801,6 +3836,28 @@ def _q_bm25_pagerank(spark, sf):
     )
 
 
+def _q_bm25_urlprior(spark, sf):
+    """Entry-page prior fusion (X118, textops.url_prior_boost —
+    Kraaij/Westerveld/Hiemstra SIGIR'02): top-50 BM25 candidates
+    rescored by the URL-depth document prior over the synthesized
+    urls — the navigational-query combine next to freshness
+    (bm25_fresh) and authority (bm25_pagerank)."""
+    from tse_spark.operators import index_build as ib
+    from tse_spark.operators import textops
+
+    tf = _tf_ws_cached(spark, sf)
+    doclen = ib.build_doclen(tf)
+    dfreq = ib.build_df_stats(
+        tf.filter(F.col("term").isin(sorted(set(BM25_QUERY))))
+    )
+    n, avgdl = ib.corpus_stats(doclen)
+    top = ib.bm25_topk(spark, tf, doclen, dfreq, n, avgdl, BM25_QUERY, 50)
+    urls = _t(spark, sf, "documents").select(
+        "doc_id", _synth_url_col().alias("url")
+    )
+    return textops.url_prior_boost(top, urls, K)
+
+
 MMR_LAM = 0.75
 MMR_CAND = 20
 
@@ -4353,6 +4410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anytime_topk": _q_anytime_topk,
         "anytime_tradeoff": _q_anytime_tradeoff,
         "phrase_pos_merged": _q_phrase_pos_merged,
+        "spam_mass": _q_spam_mass,
+        "bm25_urlprior": _q_bm25_urlprior,
         # -- driver-verified in earlier rounds (green CORRECTNESS rows) --
         "tf_table": _q_tf_table,
         "df_stats": _q_df_stats,
@@ -7918,6 +7977,17 @@ def oracle_sql() -> dict[str, str]:
     out["hits_scores"] = _hits_oracle_sql()
     out["click_distance"] = _click_distance_oracle_sql()
     out["trustrank"] = _trustrank_oracle_sql()
+    # X117 relative spam mass: both priors' full unrolled oracles
+    # nested as derived CTEs, fused from the same ROUNDED vectors the
+    # engine caches
+    out["spam_mass"] = f"""
+    WITH pr AS ({_pagerank_oracle_sql()}),
+         tr AS ({_trustrank_oracle_sql()})
+    SELECT pr.doc_id, pr.rank, tr.trust,
+           round((pr.rank - tr.trust) / pr.rank, 6) AS spam_mass
+    FROM pr JOIN tr USING (doc_id)
+    ORDER BY round((pr.rank - tr.trust) / pr.rank, 6) DESC, doc_id
+    LIMIT 50"""
     # crawl scheduling: pagerank + click-distance unrolled CTEs share
     # one graph law (cd*/cnd* names keep the click recursion clear of
     # the pagerank CTEs), then the politeness window + ordered cut
@@ -8373,6 +8443,27 @@ def oracle_sql() -> dict[str, str]:
     FROM cand c JOIN r3 r ON r.id = c.doc_id CROSS JOIN n
     ORDER BY round(c.score * (1.0 + n.n * round(r.r, 6)), 4) DESC,
              c.doc_id
+    LIMIT {K}"""
+    )
+    # X118 entry-page prior: same candidate window, url-depth law
+    out["bm25_urlprior"] = (
+        _TOK
+        + bm25_3
+        + f"""
+    , cand AS (
+      SELECT doc_id, sum(s) AS score
+      FROM perterm GROUP BY doc_id
+      ORDER BY sum(s) DESC, doc_id LIMIT 50),
+    u AS (SELECT doc_id, {_SYNTH_URL_EXPR} AS url FROM documents),
+    pri AS (
+      SELECT doc_id,
+             (CASE WHEN url LIKE '%?%' THEN 0.5 ELSE 1.0 END)
+               / (1.0 + (len(regexp_split_to_array(url, '/')) - 3))
+               AS p
+      FROM u)
+    SELECT c.doc_id, round(c.score * pri.p, 4) AS score
+    FROM cand c JOIN pri USING (doc_id)
+    ORDER BY round(c.score * pri.p, 4) DESC, c.doc_id
     LIMIT {K}"""
     )
     # MMR diversified page: candidates + candidate-pair tf cosines,

@@ -279,6 +279,8 @@ HEADLINE = [
     "anytime_topk",
     "anytime_tradeoff",
     "phrase_pos_merged",
+    "spam_mass",
+    "bm25_urlprior",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving

@@ -667,6 +667,40 @@ def recency_boost(
     )
 
 
+def url_depth_prior(url_col) -> "F.Column":
+    """URL-form document prior (Kraaij, Westerveld & Hiemstra,
+    SIGIR'02 "The importance of prior probabilities for entry page
+    search"): shallow urls are far likelier entry/landing pages, so
+    P(d) ∝ 1/(1 + path_depth), with a 0.5 penalty for query-string
+    urls (their finding: ROOT ≫ SUBROOT ≫ PATH ≫ FILE priors; this is
+    the smooth depth-law flavor of the same signal).  Rational
+    arithmetic only, so every engine reproduces the doubles exactly."""
+    depth = (F.size(F.split(url_col, "/")) - 3).cast("double")
+    qpen = F.when(url_col.contains("?"), F.lit(0.5)).otherwise(F.lit(1.0))
+    return qpen / (F.lit(1.0) + depth)
+
+
+def url_prior_boost(
+    ranked: DataFrame, urls: DataFrame, k: int = 10
+) -> DataFrame:
+    """Entry-page prior fusion: rerank a candidate list (doc_id,
+    score) by ``boosted = round(score * url_depth_prior(url), 4)`` —
+    the navigational-query combine next to recency_boost (freshness)
+    and linkrank.authority_boost (links).  Same rerank-window design:
+    the candidate ids broadcast-join the (doc_id, url) relation; the
+    corpus is never rescanned."""
+    pri = urls.select(
+        "doc_id", url_depth_prior(F.col("url")).alias("__pri")
+    )
+    b = F.round(F.col("score") * F.col("__pri"), 4)
+    return (
+        ranked.join(pri, "doc_id")
+        .select("doc_id", b.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def related_terms(
     tf: DataFrame, terms: list[str], k: int = 10
 ) -> DataFrame:
