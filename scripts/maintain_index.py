@@ -104,6 +104,11 @@ def main(argv: list[str] | None = None) -> int:
         "--skip-url-check", action="store_true",
         help="caller vouches the segments are url-disjoint",
     )
+    mg_p.add_argument(
+        "--reconcile", action="store_true",
+        help="segments may share urls: latest warc_ts per url wins, "
+        "superseded copies drop physically in the same pass",
+    )
     args = ap.parse_args(argv)
 
     from tse_spark.plans import snapshots as sn
@@ -175,11 +180,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "merge":
         from tse_spark.plans import merge as mmod
 
-        h = mmod.merge_indexes_many(
-            spark, [args.index, *args.with_dirs], args.out,
-            dictionary, num_shards=args.num_shards,
-            check_url_disjoint=not args.skip_url_check,
-        )
+        if args.reconcile:
+            h = mmod.reconcile_merge(
+                spark, [args.index, *args.with_dirs], args.out,
+                dictionary, num_shards=args.num_shards,
+            )
+        else:
+            h = mmod.merge_indexes_many(
+                spark, [args.index, *args.with_dirs], args.out,
+                dictionary, num_shards=args.num_shards,
+                check_url_disjoint=not args.skip_url_check,
+            )
         print(
             json.dumps(
                 {

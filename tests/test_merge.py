@@ -233,3 +233,59 @@ def test_three_way_merge_equals_union_rebuild(spark, segs, tmp_path):
         ha.meta["max_doc_id"] + 1,
         ha.meta["max_doc_id"] + 1 + hb.meta["max_doc_id"] + 1,
     ]
+
+
+def test_reconcile_merge_latest_per_url_wins(spark, segs, tmp_path):
+    """reconcile_merge over OVERLAPPING segments: segment B re-crawls
+    a third of segment A's urls later with changed text (and one url
+    earlier — must lose); the one-shot merge equals a from-scratch
+    build over the latest-per-url corpus."""
+    import pyspark.sql.functions as F
+
+    base, pa, pb, pu, ha, hb = segs
+    pages_a = spark.read.parquet(pa)
+
+    # segment C: re-crawl of A's doc_id%3==0 urls, two months later,
+    # text gains ' spark spark'; A's doc_id%3==1 urls re-arrive STALE
+    # (older ts, junk text — must lose); plus fresh urls
+    # build_docs passes a provided text column through untouched, so
+    # the re-crawl variants only need text+warc_ts changed
+    h = F.abs(F.hash("url")) % 3
+    newer = pages_a.filter(h == 0).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 60 DAYS")
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" spark spark")))
+    stale = pages_a.filter(h == 1).withColumn(
+        "warc_ts", F.col("warc_ts") - F.expr("INTERVAL 60 DAYS")
+    ).withColumn("text", F.lit("stale stale"))
+    fresh = spark.createDataFrame(
+        fixtures.gen_pages(50, start=600, length_scale=1)
+    )
+    pc = str(tmp_path / "pages_c")
+    newer.unionByName(stale).unionByName(
+        fresh.select(*newer.columns)
+    ).write.mode("overwrite").parquet(pc)
+    hc = _build(spark, str(tmp_path / "ic"), pc, num_shards=4, block_size=32)
+
+    hm = mg.reconcile_merge(
+        spark, [ha.out_dir, hc.out_dir], str(tmp_path / "rm"),
+        fixtures.mini_dict_bytes(),
+    )
+
+    # rebuild twin: latest copy per url across both page sets
+    from pyspark.sql.window import Window
+
+    allp = pages_a.unionByName(spark.read.parquet(pc))
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    latest = (
+        allp.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+    pl_dir = str(tmp_path / "pages_latest")
+    latest.write.mode("overwrite").parquet(pl_dir)
+    hr = _build(
+        spark, str(tmp_path / "rr"), pl_dir, num_shards=5, block_size=32
+    )
+    assert hm.n_docs == hr.n_docs
+    assert hm.avgdl == pytest.approx(hr.avgdl, rel=1e-12)
+    assert _by_url(spark, hm) == _by_url(spark, hr)

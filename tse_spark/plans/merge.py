@@ -96,6 +96,14 @@ def _validate_segment(m0: dict, m: dict, d0: str, d: str) -> None:
         )
 
 
+def _shifts_of(metas: "list[dict]") -> "list[int]":
+    """Cumulative id lifts: segment 0 keeps its ids."""
+    shifts = [0]
+    for m in metas[:-1]:
+        shifts.append(shifts[-1] + int(m["max_doc_id"]) + 1)
+    return shifts
+
+
 def merge_indexes_many(
     spark: SparkSession,
     dirs: "list[str]",
@@ -103,6 +111,8 @@ def merge_indexes_many(
     dictionary: frozenset[bytes] = frozenset(),
     num_shards: int | None = None,
     check_url_disjoint: bool = True,
+    _excluded=None,
+    _dead_stats: "tuple[int, int] | None" = None,
 ) -> "pl.IndexHandle":
     """Merge N (>= 2) independently built indexes into ``out_dir`` in
     ONE re-encode pass; see the module docstring for the contract.
@@ -159,16 +169,21 @@ def merge_indexes_many(
                 "(re-crawls need upsert_pages semantics, not a merge)"
             )
 
-    # cumulative id lifts: segment 0 keeps its ids
-    shifts = [0]
-    for m in metas[:-1]:
-        shifts.append(shifts[-1] + int(m["max_doc_id"]) + 1)
+    shifts = _shifts_of(metas)
     max_doc_id = shifts[-1] + int(metas[-1]["max_doc_id"])
     n_docs = sum(int(m["n_docs"]) for m in metas)
     total_dl = sum(
         int(m.get("total_dl", round(float(m["avgdl"]) * int(m["n_docs"]))))
         for m in metas
     )
+    if _dead_stats is not None:
+        # reconcile_merge: superseded re-crawl copies leave the
+        # postings physically during the re-encode below, and their
+        # EXACT (doc count, token total) contribution leaves the
+        # corpus stats — the published index equals a rebuild over
+        # the winners (compact_index's tombstone-fold law)
+        n_docs -= int(_dead_stats[0])
+        total_dl -= int(_dead_stats[1])
     avgdl = total_dl / n_docs if n_docs else 0.0
     n_sh = num_shards or max(int(m.get("num_shards", 32)) for m in metas)
     block_size = max(int(m.get("block_size", 128)) for m in metas)
@@ -183,7 +198,7 @@ def merge_indexes_many(
 
     os.makedirs(out_dir, exist_ok=True)
     po.reencode_shards(
-        posts, avgdl, shard_range, block_size
+        posts, avgdl, shard_range, block_size, excluded=_excluded
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
 
     merged_postings = spark.read.parquet(os.path.join(out_dir, "postings"))
@@ -198,6 +213,11 @@ def merge_indexes_many(
                 "doc_id", (F.col("doc_id") + F.lit(int(sh))).cast("long")
             )
             alld = s if alld is None else alld.unionByName(s)
+        if _excluded is not None and len(_excluded):
+            dead = spark.createDataFrame(
+                [(int(x),) for x in _excluded], "doc_id long"
+            )
+            alld = alld.join(F.broadcast(dead), "doc_id", "left_anti")
         alld.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
 
     meta = {
@@ -238,4 +258,104 @@ def merge_indexes(
     return merge_indexes_many(
         spark, [dir_a, dir_b], out_dir, dictionary,
         num_shards=num_shards, check_url_disjoint=check_url_disjoint,
+    )
+
+
+def reconcile_merge(
+    spark: SparkSession,
+    dirs: "list[str]",
+    out_dir: str,
+    dictionary: frozenset[bytes] = frozenset(),
+    num_shards: int | None = None,
+) -> "pl.IndexHandle":
+    """Merge segments whose url sets OVERLAP: the latest crawl of each
+    url wins (max warc_ts; ties break to the later segment, then the
+    higher doc id — fully deterministic), superseded copies leave the
+    postings PHYSICALLY during the same single re-encode pass (the
+    ``excluded`` drop compaction already uses), and the corpus stats
+    subtract the losers' exact token contribution (compact_index's
+    tombstone-fold law: tokenize only the dead docs), so the published
+    index equals a from-scratch build over the latest-per-url corpus —
+    ``upsert_pages`` + ``compact`` semantics, but across independently
+    built segments in one shot.
+
+    Requires every segment to carry a docs table with (url, warc_ts)
+    — reconciliation is by definition a document-identity decision.
+    The loser id set is collected to the driver (np.int64 array, same
+    "small by contract" assumption as tombstones: overlap is the
+    re-crawled fraction, not the corpus)."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    metas = [_load_meta(d) for d in dirs]
+    shifts = _shifts_of(metas)
+    union = None
+    for i, (d, m, sh) in enumerate(zip(dirs, metas, shifts)):
+        ds = [os.path.join(d, x) for x in m.get("docs_dirs", ["docs"])]
+        if not all(os.path.exists(p) for p in ds):
+            raise ValueError(
+                f"reconcile_merge: {d} has no docs table; "
+                "latest-per-url reconciliation needs (url, warc_ts)"
+            )
+        df = spark.read.parquet(*ds)
+        if "url" not in df.columns or "warc_ts" not in df.columns:
+            raise ValueError(
+                f"reconcile_merge: {d}'s docs table lacks url/warc_ts"
+            )
+        part = df.select(
+            (F.col("doc_id") + F.lit(int(sh))).cast("long").alias("gid"),
+            "url",
+            "warc_ts",
+            F.lit(i).alias("seg"),
+        )
+        union = part if union is None else union.unionByName(part)
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc("seg"), F.desc("gid")
+    )
+    losers = (
+        union.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select("gid", "seg")
+    )
+    rows = losers.collect()
+    excluded = np.unique(np.array([r["gid"] for r in rows], dtype=np.int64))
+
+    # exact dead stats: tokenize ONLY the losers, per segment, with
+    # the segments' own tokenizer (docs with zero eligible tokens
+    # never counted toward n_docs/avgdl, so only token-bearing losers
+    # subtract) — identical to compact_index's dead-doc law
+    n_dead = dead_dl = 0
+    if len(excluded):
+        b_dict = spark.sparkContext.broadcast(dictionary)
+        for i, (d, m, sh) in enumerate(zip(dirs, metas, shifts)):
+            local_ids = [
+                (int(r["gid"]) - int(sh),) for r in rows if r["seg"] == i
+            ]
+            if not local_ids:
+                continue
+            ds = [os.path.join(d, x) for x in m.get("docs_dirs", ["docs"])]
+            # broadcast semi-join, never a giant IN literal: the loser
+            # set can be crawl-sized in a full re-crawl reconcile
+            dead_ids = spark.createDataFrame(local_ids, "doc_id long")
+            dead_docs = spark.read.parquet(*ds).join(
+                F.broadcast(dead_ids), "doc_id", "semi"
+            )
+            tf, doc_major = pl.build_tf_for(
+                dead_docs, m.get("tokenizer", "tse"), b_dict
+            )
+            row = (
+                pl.dl_per_doc_for(tf, doc_major)
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+                .collect()[0]
+            )
+            n_dead += int(row["n"])
+            dead_dl += int(row["s"] or 0)
+
+    return merge_indexes_many(
+        spark, dirs, out_dir, dictionary,
+        num_shards=num_shards,
+        check_url_disjoint=False,
+        _excluded=excluded if len(excluded) else None,
+        _dead_stats=(n_dead, dead_dl),
     )
