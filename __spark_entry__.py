@@ -4157,9 +4157,12 @@ def _q_anytime_tradeoff(spark, sf):
     doclen = ib.build_doclen(tf)
     dfreq = ib.build_df_stats(tf)
     n, avgdl = ib.corpus_stats(doclen)
+    # cache the code relation: the 4 budget legs + the exhaustive leg
+    # each embed this subtree, and union branches do not share
+    # subplans — without the cache the quantization recomputes 5x
     qi = ib.quantized_impacts(
         tf, doclen, dfreq, n, avgdl, bits=QUANT_BITS
-    )
+    ).cache()
     return ib.anytime_tradeoff(spark, qi, BM25_QUERY, ANYTIME_RHOS, K)
 
 
