@@ -19,6 +19,8 @@ Subcommands:
   vacuum-cache  sweep the shared serving cache (query_index
              --cache-root): drop superseded snapshot keys, keep the
              current key within --budget-mb by recency
+  absorb     O(segment) append of a pre-built index into --index
+             (no re-tokenization, target bytes untouched)
   merge      fold other independently built segments into a NEW
              index dir without re-tokenizing anything (--with B
              [--with C ...] --out merged — N segments, ONE re-encode
@@ -104,6 +106,13 @@ def main(argv: list[str] | None = None) -> int:
         "--skip-url-check", action="store_true",
         help="caller vouches the segments are url-disjoint",
     )
+    ab_p = sub.add_parser(
+        "absorb",
+        help="O(segment) append of a PRE-BUILT index into --index: "
+        "the target's bytes are never rewritten, the segment is "
+        "never re-tokenized (plans/merge.absorb_segment)",
+    )
+    ab_p.add_argument("--segment", required=True)
     mg_p.add_argument(
         "--reconcile", action="store_true",
         help="segments may share urls: latest warc_ts per url wins, "
@@ -176,6 +185,23 @@ def main(argv: list[str] | None = None) -> int:
         )
         _qp, qmeta = qz.load_quantized_index(spark, args.index)
         print(json.dumps({"cmd": "quantize", **qmeta}))
+        return 0
+    if args.cmd == "absorb":
+        from tse_spark.plans import merge as mmod
+
+        h = mmod.absorb_segment(
+            spark, args.index, args.segment, dictionary
+        )
+        print(
+            json.dumps(
+                {
+                    "cmd": "absorb",
+                    "n_docs": h.n_docs,
+                    "avgdl": h.avgdl,
+                    "snapshot_id": h.meta.get("snapshot_id"),
+                }
+            )
+        )
         return 0
     if args.cmd == "merge":
         from tse_spark.plans import merge as mmod

@@ -289,3 +289,51 @@ def test_reconcile_merge_latest_per_url_wins(spark, segs, tmp_path):
     assert hm.n_docs == hr.n_docs
     assert hm.avgdl == pytest.approx(hr.avgdl, rel=1e-12)
     assert _by_url(spark, hm) == _by_url(spark, hr)
+
+
+def test_absorb_segment_equals_append_pages(spark, segs, tmp_path):
+    """absorb_segment (O(segment) append of a PRE-BUILT index) must
+    publish the same index state append_pages reaches from the
+    segment's raw pages: same n_docs/total_dl/avgdl, same term_stats,
+    same by-url serving — with zero tokenization and the target's
+    old bytes untouched."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tse_spark.plans import append as ap
+
+    base, pa, pb, pu, ha, hb = segs
+    t_abs = str(tmp_path / "t_abs")
+    t_app = str(tmp_path / "t_app")
+    shutil.copytree(ha.out_dir, t_abs)
+    shutil.copytree(ha.out_dir, t_app)
+
+    old_postings = sorted(
+        os.listdir(os.path.join(t_abs, "postings"))
+    )
+    h1 = mg.absorb_segment(spark, t_abs, hb.out_dir, fixtures.mini_dict_bytes())
+    h2 = ap.append_pages(spark, t_app, pb, fixtures.mini_dict_bytes())
+
+    assert h1.n_docs == h2.n_docs
+    assert h1.avgdl == pytest.approx(h2.avgdl, rel=1e-12)
+    assert h1.meta["total_dl"] == h2.meta["total_dl"]
+    s1 = {r["term"]: (r["df"], r["cf"]) for r in h1.term_stats.collect()}
+    s2 = {r["term"]: (r["df"], r["cf"]) for r in h2.term_stats.collect()}
+    assert s1 == s2
+    assert _by_url(spark, h1) == _by_url(spark, h2)
+    # the target's original posting files were never rewritten
+    assert sorted(os.listdir(os.path.join(t_abs, "postings"))) == old_postings
+    with open(os.path.join(t_abs, "meta.json")) as f:
+        m = json.load(f)
+    assert m["snapshot_op"] == "absorb"
+    assert any(a.get("op") == "absorb" for a in m["appends"])
+    # overlap refuses (absorbing the same segment again)
+    with pytest.raises(ValueError, match="urls exist in both"):
+        mg.absorb_segment(
+            spark, t_abs, hb.out_dir, fixtures.mini_dict_bytes()
+        )
+    # lifecycle continues: compacting the absorbed index folds the
+    # delta dirs and preserves rankings
+    hc = cm.compact_index(spark, t_abs, fixtures.mini_dict_bytes())
+    assert _by_url(spark, hc) == _by_url(spark, h2)

@@ -359,3 +359,144 @@ def reconcile_merge(
         _excluded=excluded if len(excluded) else None,
         _dead_stats=(n_dead, dead_dl),
     )
+
+
+def absorb_segment(
+    spark: SparkSession,
+    out_dir: str,
+    seg_dir: str,
+    dictionary: frozenset[bytes] = frozenset(),
+) -> "pl.IndexHandle":
+    """O(segment) append of a PRE-BUILT index into a live one — the
+    missing quadrant between append_pages (tokenizes a pages delta)
+    and merge_indexes (creates a new index): the target's bytes are
+    never rewritten, the segment is never re-tokenized.
+
+    The segment's (term, shard) rows re-encode ONCE — ids lifted to
+    the target's next free shard_range multiple (append's base law,
+    so every delta row lands in a shard strictly above all existing
+    ones and both serving paths compose disjoint shards unchanged),
+    blocks re-referenced to the target's ``enc_avgdl`` (uniform
+    block-max reference point, same as append's delta encode) —
+    and land in ``postings_delta_{base}``.  Corpus stats merge from
+    the segment's own EXACT integers (n_docs / total_dl from its
+    meta: zero tokenization anywhere), term_stats recompute into a
+    versioned dir, and everything becomes visible through the single
+    snapshot-stamped meta publish (op="absorb") with the same
+    crash-atomicity contract as append_pages.
+
+    Preconditions: same tokenizer + dictionary fingerprint, both
+    unpruned, segment tombstone-free, url-disjoint from the target
+    (checked when both carry docs tables; re-crawl overlap is
+    upsert_pages' job), and the segment must carry a docs table if
+    the target does (rendering/lifecycle paths read it)."""
+    from tse_spark.plans import append as ap
+
+    meta = ap._load_validated_meta(out_dir, dictionary, "absorb_segment")
+    seg = _load_meta(seg_dir)
+    _validate_segment(meta, seg, out_dir, seg_dir)
+
+    def _docs_of(base, m):
+        ds = [os.path.join(base, d) for d in m.get("docs_dirs", ["docs"])]
+        if not all(os.path.exists(p) for p in ds):
+            return None
+        return spark.read.parquet(*ds)
+
+    tgt_docs, seg_docs = _docs_of(out_dir, meta), _docs_of(seg_dir, seg)
+    if tgt_docs is not None and seg_docs is None:
+        raise ValueError(
+            f"absorb_segment: {seg_dir} has no docs table but the "
+            "target serves from one; build the segment with docs"
+        )
+    if (
+        tgt_docs is not None
+        and seg_docs is not None
+        and "url" in tgt_docs.columns
+        and "url" in seg_docs.columns
+    ):
+        n_overlap = (
+            tgt_docs.select("url")
+            .join(seg_docs.select("url"), "url")
+            .count()
+        )
+        if n_overlap:
+            raise ValueError(
+                f"absorb_segment: {n_overlap} urls exist in both the "
+                "target and the segment; re-crawls need upsert_pages "
+                "semantics"
+            )
+
+    n0 = int(meta["n_docs"])
+    avgdl0 = float(meta["avgdl"])
+    enc_avgdl = float(meta.get("enc_avgdl", avgdl0))
+    docs_dirs = meta.get("docs_dirs", ["docs"])
+    postings_dirs = meta.get("postings_dirs", ["postings"])
+    base, shard_range = ap._next_base(spark, out_dir, meta)
+
+    seg_posts = spark.read.parquet(
+        *[os.path.join(seg_dir, d) for d in seg.get("postings_dirs", ["postings"])]
+    ).withColumn("id_shift", F.lit(int(base)).cast("long"))
+    postings_delta = f"postings_delta_{base}"
+    po.reencode_shards(
+        seg_posts, enc_avgdl, shard_range,
+        int(meta.get("block_size", 128)),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, postings_delta))
+
+    docs_delta = None
+    if seg_docs is not None:
+        docs_delta = f"docs_delta_{base}"
+        seg_docs.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(int(base))).cast("long")
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, docs_delta))
+
+    stats_dir = f"term_stats_v{base}"
+    all_postings = spark.read.parquet(
+        *[os.path.join(out_dir, d) for d in postings_dirs + [postings_delta]]
+    )
+    po.term_stats(all_postings).write.mode("overwrite").parquet(
+        os.path.join(out_dir, stats_dir)
+    )
+
+    n_delta = int(seg["n_docs"])
+    seg_dl = int(
+        seg.get("total_dl", round(float(seg["avgdl"]) * n_delta))
+    )
+    n1 = n0 + n_delta
+    meta["n_docs"] = n1
+    meta["total_dl"] = (
+        int(meta.get("total_dl", round(avgdl0 * n0))) + seg_dl
+    )
+    meta["avgdl"] = meta["total_dl"] / max(1, n1)
+    meta["max_doc_id"] = base + int(seg["max_doc_id"])
+    meta["enc_avgdl"] = enc_avgdl
+    meta["shard_range"] = shard_range
+    if docs_delta is not None:
+        meta["docs_dirs"] = docs_dirs + [docs_delta]
+    meta["postings_dirs"] = postings_dirs + [postings_delta]
+    meta["term_stats_dir"] = stats_dir
+    meta.setdefault("appends", []).append(
+        {
+            "segment": seg_dir,
+            "segment_snapshot_id": seg.get("snapshot_id"),
+            "n_docs": n_delta,
+            "base": base,
+            "op": "absorb",
+        }
+    )
+    fp = meta.get("fingerprint")
+    if fp and not str(fp).startswith("appended:"):
+        meta["fingerprint"] = f"appended:{fp}"
+    man = cp.Manifest(out_dir)
+    for st in man.stages.values():
+        sfp = st.get("fingerprint")
+        if sfp and not str(sfp).startswith("appended:"):
+            st["fingerprint"] = f"appended:{sfp}"
+    man.save()
+
+    from tse_spark.plans import snapshots as sn
+
+    sn.publish_meta(
+        out_dir, meta, op="absorb",
+        expect_snapshot_id=meta.get("snapshot_id", 0),
+    )
+    return pl.load_index(spark, out_dir, dictionary)
