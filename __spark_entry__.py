@@ -920,6 +920,55 @@ def _merged_index(spark, sf):
     return h
 
 
+def _absorbed_index(spark, sf):
+    """Live-index absorption lifecycle (plans/merge.absorb_segment):
+    segment A (even source ids, the same dir _merged_index builds)
+    COPIED to a fresh target, then segment B (odds) absorbed into it —
+    O(segment) append of a pre-built index, target bytes untouched.
+    Ids: evens verbatim; odds lift to the target's next free
+    shard_range multiple (append's base law).  Idempotent across
+    process runs (a published op="absorb" snapshot short-circuits)."""
+    import hashlib
+    import json as _json
+    import os as _os
+    import shutil
+
+    from tse_spark.plans import merge as mmod
+    from tse_spark.plans import pipeline as pl
+
+    key = "absorbed:" + sf
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out = f"/tmp/tse_ws_absorbed_{tag}"
+    meta_path = _os.path.join(out, "meta.json")
+    done = False
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            done = _json.load(f).get("snapshot_op") == "absorb"
+    if done:
+        h = pl.load_index(spark, out)
+    else:
+        _merged_index(spark, sf)  # builds the two segment dirs
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(f"/tmp/tse_ws_msega_{tag}", out)
+        h = mmod.absorb_segment(spark, out, f"/tmp/tse_ws_msegb_{tag}")
+    _INDEX_CACHE[key] = h
+    return h
+
+
+def _q_wand_absorbed(spark, sf):
+    """WAND serving after a live-index absorption: scores are the
+    full-corpus exhaustive BM25 (absorb == append == rebuild for
+    url-disjoint segments), ids translate by append's base law —
+    odds lift to ceil((max_even+1)/R)*R with R = ceil(n_even/5)
+    (the segment build's shard_range), which the oracle computes in
+    integer SQL."""
+    h = _absorbed_index(spark, sf)
+    out = h.engine.search(" ".join(BM25_QUERY), K)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_wand_merged(spark, sf):
     """WAND serving over a merged two-segment index (X114): because
     merge == rebuild over the union corpus and the union IS the full
@@ -4413,6 +4462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anytime_topk": _q_anytime_topk,
         "anytime_tradeoff": _q_anytime_tradeoff,
         "phrase_pos_merged": _q_phrase_pos_merged,
+        "wand_absorbed": _q_wand_absorbed,
         "spam_mass": _q_spam_mass,
         "bm25_urlprior": _q_bm25_urlprior,
         # -- driver-verified in earlier rounds (green CORRECTNESS rows) --
@@ -5655,6 +5705,25 @@ def oracle_sql() -> dict[str, str]:
         # bm25_topk's; only ids moved — segment A (even source ids)
         # keeps them, segment B (odd) lifts by max-even+1, and the
         # engine tie-breaks on the MERGED id
+        # absorb: same scores as wand_merged, but the odd-id lift uses
+        # append's base law (next shard_range multiple above max even)
+        "wand_absorbed": _TOK
+        + bm25_3
+        + """
+        , bmscore AS (
+          SELECT doc_id, sum(s) AS score FROM perterm GROUP BY doc_id),
+        seg AS (
+          SELECT count(*)::BIGINT AS n, max(doc_id)::BIGINT AS mx
+          FROM documents WHERE doc_id % 2 = 0),
+        mshift AS (
+          SELECT (((mx + ((n + 4) // 5)) // ((n + 4) // 5))
+                   * ((n + 4) // 5))::BIGINT AS sh
+          FROM seg)
+        SELECT CASE WHEN b.doc_id % 2 = 0 THEN b.doc_id
+                    ELSE b.doc_id + m.sh END AS doc_id,
+               round(b.score, 4) AS score
+        FROM bmscore b CROSS JOIN mshift m
+        ORDER BY b.score DESC, 1 LIMIT 10""",
         "wand_merged": _TOK
         + bm25_3
         + """

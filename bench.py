@@ -281,6 +281,7 @@ HEADLINE = [
     "phrase_pos_merged",
     "spam_mass",
     "bm25_urlprior",
+    "wand_absorbed",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving
@@ -715,6 +716,7 @@ def run_headline(spark) -> None:
         entrymod._recrawl_index(spark, SF_DIR)
         entrymod._merged_index(spark, SF_DIR)
         entrymod._pos_merged_cached(spark, SF_DIR)
+        entrymod._absorbed_index(spark, SF_DIR)
         RESULT["lifecycle_fixture_build_s"] = round(time.time() - t0, 1)
     except Exception as e:
         RESULT["lifecycle_fixture_build_s"] = f"error: {e}"[:200]

@@ -38,7 +38,7 @@ GROUPS = {
     # only appear with multiple shards per segment), the admission
     # scan (bucket boundaries shift with the ratio distribution), and
     # the anytime cutoff (the boundary code stratum grows with df)
-    "r4c3": ["wand_merged", "cache_admission", "anytime_topk"],
+    "r4c3": ["wand_merged", "cache_admission", "anytime_topk", "wand_absorbed"],
 }
 
 
