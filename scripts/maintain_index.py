@@ -106,6 +106,11 @@ def main(argv: list[str] | None = None) -> int:
         "--skip-url-check", action="store_true",
         help="caller vouches the segments are url-disjoint",
     )
+    mg_p.add_argument(
+        "--reconcile", action="store_true",
+        help="segments may share urls: latest warc_ts per url wins, "
+        "superseded copies drop physically in the same pass",
+    )
     ab_p = sub.add_parser(
         "absorb",
         help="O(segment) append of a PRE-BUILT index into --index: "
@@ -113,11 +118,6 @@ def main(argv: list[str] | None = None) -> int:
         "never re-tokenized (plans/merge.absorb_segment)",
     )
     ab_p.add_argument("--segment", required=True)
-    mg_p.add_argument(
-        "--reconcile", action="store_true",
-        help="segments may share urls: latest warc_ts per url wins, "
-        "superseded copies drop physically in the same pass",
-    )
     args = ap.parse_args(argv)
 
     from tse_spark.plans import snapshots as sn

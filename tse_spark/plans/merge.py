@@ -96,11 +96,36 @@ def _validate_segment(m0: dict, m: dict, d0: str, d: str) -> None:
         )
 
 
-def _shifts_of(metas: "list[dict]") -> "list[int]":
-    """Cumulative id lifts: segment 0 keeps its ids."""
+def _max_ids_of(
+    spark: SparkSession, dirs: "list[str]", metas: "list[dict]"
+) -> "list[int]":
+    """Per-segment max doc id, with the same legacy-meta fallback as
+    append._next_base (append.py:99): metas written before max_doc_id
+    existed undercount via n_docs - 1 when the ws tokenizer dropped
+    termless docs, so ask the segment's docs table for the true max."""
+    out = []
+    for d, m in zip(dirs, metas):
+        if "max_doc_id" in m:
+            out.append(int(m["max_doc_id"]))
+            continue
+        ds = [os.path.join(d, x) for x in m.get("docs_dirs", ["docs"])]
+        if not all(os.path.exists(p) for p in ds):
+            raise ValueError(
+                f"merge: {d}'s meta lacks max_doc_id and it has no "
+                "docs table to recover it from; rebuild the segment "
+                "(or republish its meta) before merging"
+            )
+        docs = spark.read.parquet(*ds)
+        out.append(int(docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]))
+    return out
+
+
+def _shifts_of(max_ids: "list[int]") -> "list[int]":
+    """Cumulative id lifts from per-segment max ids: segment 0 keeps
+    its ids."""
     shifts = [0]
-    for m in metas[:-1]:
-        shifts.append(shifts[-1] + int(m["max_doc_id"]) + 1)
+    for mx in max_ids[:-1]:
+        shifts.append(shifts[-1] + int(mx) + 1)
     return shifts
 
 
@@ -152,6 +177,25 @@ def merge_indexes_many(
     have_docs = all(
         d is not None and "url" in d.columns for d in docs
     )
+    if check_url_disjoint and not have_docs and any(
+        d is not None for d in docs
+    ):
+        # Some segment HAS a docs table but the check still can't run
+        # (another segment lacks docs, or a docs table has no url
+        # column).  Silently skipping would read as "checked and
+        # disjoint" — say so instead.  (The all-postings-only case is
+        # the documented run_from_docs contract: url-disjointness is
+        # the caller's responsibility, no warning.)
+        import warnings
+
+        warnings.warn(
+            "merge_indexes: check_url_disjoint=True but not every "
+            "segment can supply a url column — the overlap check was "
+            "SKIPPED; verify url-disjointness upstream or pass "
+            "check_url_disjoint=False to acknowledge",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if check_url_disjoint and have_docs:
         # one grouped count over the union of url projections —
         # vocabulary-of-urls work, no posting bytes touched, and O(N)
@@ -169,8 +213,9 @@ def merge_indexes_many(
                 "(re-crawls need upsert_pages semantics, not a merge)"
             )
 
-    shifts = _shifts_of(metas)
-    max_doc_id = shifts[-1] + int(metas[-1]["max_doc_id"])
+    max_ids = _max_ids_of(spark, dirs, metas)
+    shifts = _shifts_of(max_ids)
+    max_doc_id = shifts[-1] + max_ids[-1]
     n_docs = sum(int(m["n_docs"]) for m in metas)
     total_dl = sum(
         int(m.get("total_dl", round(float(m["avgdl"]) * int(m["n_docs"]))))
@@ -289,7 +334,7 @@ def reconcile_merge(
     from pyspark.sql.window import Window
 
     metas = [_load_meta(d) for d in dirs]
-    shifts = _shifts_of(metas)
+    shifts = _shifts_of(_max_ids_of(spark, dirs, metas))
     union = None
     for i, (d, m, sh) in enumerate(zip(dirs, metas, shifts)):
         ds = [os.path.join(d, x) for x in m.get("docs_dirs", ["docs"])]
@@ -467,7 +512,7 @@ def absorb_segment(
         int(meta.get("total_dl", round(avgdl0 * n0))) + seg_dl
     )
     meta["avgdl"] = meta["total_dl"] / max(1, n1)
-    meta["max_doc_id"] = base + int(seg["max_doc_id"])
+    meta["max_doc_id"] = base + _max_ids_of(spark, [seg_dir], [seg])[0]
     meta["enc_avgdl"] = enc_avgdl
     meta["shard_range"] = shard_range
     if docs_delta is not None:
