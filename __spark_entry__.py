@@ -2313,9 +2313,12 @@ def _q_media_gif_roundtrip(spark, sf):
     task (multimodal.encode_gif), then decode_image_features with the
     stdlib backend LZW-decodes those bytes back — the oracle recomputes
     the expected features from the pixel law, so any bit drift in
-    either LZW direction hash-mismatches.  400 rows at every sf (the
-    codec cost is per-pixel Python; coverage, not throughput — the
-    throughput media path stays the fake/pillow backends)."""
+    either LZW direction hash-mismatches.  400 rows at every sf.  Both
+    timed directions are vectorized: encode is the literal-code LZW
+    (numpy bit-packing, no per-pixel Python) and decode's phase-1 code
+    extraction + literal fast path are numpy; only genuinely
+    compressed foreign streams fall back to the sequential table walk
+    (multimodal._lzw_decode_gif)."""
     from tse_spark.operators import multimodal as mm
 
     out = mm.decode_image_features(

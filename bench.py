@@ -328,6 +328,51 @@ def flush() -> None:
     print(json.dumps(RESULT), flush=True)
 
 
+def _rotation_ages(timed_now: dict) -> dict:
+    """Rounds-since-last-positive-timing per battery member, from the
+    committed BENCH_r*.json trail plus THIS run (VERDICT r04 #5: the
+    2-round rotation guarantee must be asserted, not assumed — a
+    member whose age exceeds 2 means the budget truncated both halves
+    it sat in, and its perf evidence has gone stale)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r0*(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except Exception:
+            continue
+        qs = {}
+        if isinstance(d.get("parsed"), dict):
+            qs = d["parsed"].get("queries") or {}
+        if not qs:
+            # older rounds carry only the raw stdout tail
+            mm = re.search(r'"queries":\s*\{([^}]*)\}', d.get("tail") or "")
+            if mm:
+                qs = {
+                    k: float(v)
+                    for k, v in re.findall(
+                        r'"([a-z0-9_]+)":\s*(-?[0-9.]+)', mm.group(1)
+                    )
+                }
+        for k, v in qs.items():
+            if isinstance(v, (int, float)) and v > 0:
+                last[k] = max(last.get(k, 0), rnd)
+    for k, v in timed_now.items():
+        if isinstance(v, (int, float)) and v > 0:
+            last[k] = max(last.get(k, 0), ROUND)
+    # members absent from every record (added this round but untimed,
+    # or perpetually budget-skipped) age as "since round 0"
+    return {m: ROUND - last.get(m, 0) for m in HEADLINE}
+
+
 def left() -> float:
     return BUDGET - (time.time() - T0)
 
@@ -800,6 +845,21 @@ def run_headline(spark) -> None:
             evidence[name] = {"steal": round(steal, 3), "contended": False}
         RESULT["value"] = round(sum(t for t in times.values() if t > 0), 3)
         flush()
+    # rotation-coverage assertion: every member must have a positive
+    # reading within the last 2 rounds (the rotation's guarantee);
+    # stale members are named in the JSON and on stderr so a silent
+    # coverage hole can't read as "timed everything"
+    ages = _rotation_ages(times)
+    stale = sorted(m for m, a in ages.items() if a > 2)
+    RESULT["battery_rotation"]["max_age_rounds"] = max(ages.values())
+    RESULT["battery_rotation"]["stale_members"] = stale
+    if stale:
+        print(
+            f"ROTATION STALE: {len(stale)} members have no positive "
+            f"timing within 2 rounds: {stale}",
+            file=sys.stderr,
+            flush=True,
+        )
     flush()
 
 

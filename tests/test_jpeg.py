@@ -94,14 +94,12 @@ def test_huffman_encode_decode_identity_on_blocks():
         pred = jpeg._encode_block(w, zz, pred, dc_codes, ac_codes)
     data = w.flush() + b"\xff\xd9"
     br = jpeg._BitReader(data, 0)
-    q1 = np.ones((8, 8), dtype=np.int64)
+    dc_lut = jpeg._build_lut(dc_tab)
+    ac_lut = jpeg._build_lut(ac_tab)
     pred = 0
     for zz in blocks:
-        block, pred = jpeg._decode_block(br, pred, dc_tab, ac_tab, q1)
-        got = np.round(jpeg._A @ block @ jpeg._A.T).astype(np.int64)
-        want = np.zeros(64, dtype=np.int64)
-        want[jpeg.ZIGZAG] = zz
-        assert (got.ravel() == want).all()
+        got, pred = jpeg._decode_block(br, pred, dc_lut, ac_lut)
+        assert (got == zz).all()
 
 
 def test_byte_stuffing_roundtrip():

@@ -217,51 +217,125 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Entropy-stream reader: un-stuffs 0xFF00, surfaces RSTn markers."""
+    """Entropy-stream reader: un-stuffs 0xFF00, surfaces RSTn markers.
+
+    The whole scan is pre-split ONCE into marker-delimited segments
+    (0xFF00 un-stuffed as it goes), so steady-state reads refill a
+    32-bit-at-a-time accumulator instead of walking the stream one
+    byte per bit — the per-symbol cost is a couple of int ops, and
+    :func:`_build_lut`'s 16-bit window decode rides on ``peek16``."""
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
+        segs: list[tuple[bytes, int | None]] = []
+        cur = bytearray()
+        p, n = pos, len(data)
+        while True:
+            q = data.find(b"\xff", p)
+            if q < 0:
+                cur += data[p:n]
+                segs.append((bytes(cur), None))  # ran out with no marker
+                break
+            cur += data[p:q]
+            nxt = data[q + 1] if q + 1 < n else 0xD9
+            if nxt == 0x00:  # byte stuffing
+                cur.append(0xFF)
+                p = q + 2
+                continue
+            segs.append((bytes(cur), nxt))
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: the scan continues after it
+                cur = bytearray()
+                p = q + 2
+                continue
+            break  # any other marker ends the entropy scan
+        self.segments = segs
+        self.seg_i = 0
+        self._load()
+
+    def _load(self) -> None:
+        buf, marker = self.segments[self.seg_i]
+        self.buf = buf
+        self.bytepos = 0
         self.acc = 0
         self.nbits = 0
-        self.marker: int | None = None
+        self.marker: int | None = marker
 
-    def _fill(self) -> None:
-        d = self.data
-        if self.pos >= len(d):
+    def _refill(self, need: int) -> bool:
+        while self.nbits < need:
+            avail = len(self.buf) - self.bytepos
+            if avail <= 0:
+                return False
+            take = 4 if avail >= 4 else avail
+            self.acc = (self.acc << (8 * take)) | int.from_bytes(
+                self.buf[self.bytepos : self.bytepos + take], "big"
+            )
+            self.nbits += 8 * take
+            self.bytepos += take
+        return True
+
+    def _hit(self):
+        if self.marker is None:
             raise ValueError("truncated JPEG entropy stream")
-        b = d[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            nxt = d[self.pos] if self.pos < len(d) else 0xD9
-            if nxt == 0x00:
-                self.pos += 1
-            else:  # a real marker terminates the current bit run
-                self.marker = nxt
-                raise _MarkerHit()
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+        raise _MarkerHit()
 
     def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
+        if not self._refill(1):
+            self._hit()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        b = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return b
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        if not self._refill(n):
+            self._hit()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
+    def peek16(self) -> int:
+        """Next 16 bits without consuming; past the real end the
+        window pads with 1-bits (the flush pad law) — ``consume``
+        still refuses to eat fabricated bits."""
+        if not self._refill(16):
+            pad = 16 - self.nbits
+            return ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        if self.nbits < n:
+            self._hit()
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
     def align_after_marker(self) -> int:
-        """Consume the pending marker (pos sits on its second byte)."""
+        """Consume the pending marker and continue in the next
+        segment (empty after the scan's terminating marker)."""
         m = self.marker
-        self.marker = None
-        self.pos += 1
-        self.acc = 0
-        self.nbits = 0
+        self.seg_i += 1
+        if self.seg_i < len(self.segments):
+            self._load()
+        else:
+            self.buf = b""
+            self.bytepos = 0
+            self.acc = 0
+            self.nbits = 0
+            self.marker = None
         return m if m is not None else 0
+
+
+def _build_lut(tab: dict) -> np.ndarray:
+    """16-bit-window Huffman LUT: entry = (value << 8) | code_length,
+    0 = invalid.  Every code (max 16 bits per T.81) owns the
+    contiguous slice of windows sharing its prefix, so construction is
+    one slice-assign per code."""
+    lut = np.zeros(65536, dtype=np.int32)
+    for (ln, code), v in tab.items():
+        start = code << (16 - ln)
+        lut[start : start + (1 << (16 - ln))] = (v << 8) | ln
+    return lut
 
 
 class _MarkerHit(Exception):
@@ -312,6 +386,50 @@ def _fdct_quant(block: np.ndarray, q: np.ndarray) -> np.ndarray:
     return np.round(coef / q).astype(np.int64)
 
 
+def _fdct_quant_batch(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) uint8 blocks -> (n, 64) zigzagged quantized
+    coefficients in ONE einsum: the whole plane's DCT/quantize/zigzag
+    runs as three vectorized ops instead of a per-block Python loop —
+    only the entropy coding (whose Huffman state chains block to
+    block) stays sequential."""
+    s = blocks.astype(np.float64) - 128.0
+    coef = np.einsum("ij,njk,lk->nil", _A, s, _A, optimize=True)
+    return (
+        np.round(coef / q).astype(np.int64).reshape(len(s), 64)[:, ZIGZAG]
+    )
+
+
+def _scan_order(
+    grid_c: int, mcus_y: int, mcus_x: int, cv: int, ch: int
+) -> np.ndarray:
+    """Flat block indices of a component's block grid in interleaved
+    scan order (my, mx, by, bx) — shared by the encoder's gather and
+    the decoder's scatter."""
+    r = (
+        np.arange(mcus_y)[:, None, None, None] * cv
+        + np.arange(cv)[None, None, :, None]
+    )
+    c = (
+        np.arange(mcus_x)[None, :, None, None] * ch
+        + np.arange(ch)[None, None, None, :]
+    )
+    return (r * grid_c + c).ravel()
+
+
+def _plane_blocks_in_scan_order(
+    plane: np.ndarray, mcus_y: int, mcus_x: int, cv: int, ch: int
+) -> np.ndarray:
+    """(n_blocks, 8, 8) view of a padded component plane ordered
+    exactly as the interleaved scan emits them: (my, mx, by, bx)."""
+    grid_r, grid_c = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        plane.reshape(grid_r, 8, grid_c, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(grid_r * grid_c, 8, 8)
+    )
+    return blocks[_scan_order(grid_c, mcus_y, mcus_x, cv, ch)]
+
+
 def _encode_block(
     w: _BitWriter,
     zz: np.ndarray,
@@ -326,27 +444,24 @@ def _encode_block(
     w.write(code, ln)
     if t:
         w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-    run = 0
-    last_nz = 0
-    for k in range(63, 0, -1):
-        if zz[k]:
-            last_nz = k
-            break
-    for k in range(1, last_nz + 1):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+    # walk only the NONZERO AC positions (numpy finds them): typical
+    # quantized blocks are mostly zero, so this is per-symbol-emitted
+    # work, not a fixed 63-iteration scan
+    nz = np.flatnonzero(zz[1:]) + 1
+    prev_k = 0
+    for k in nz.tolist():
+        run = k - prev_k - 1
         while run >= 16:
             code, ln = ac_codes[0xF0]  # ZRL
             w.write(code, ln)
             run -= 16
+        v = int(zz[k])
         t = _category(v)
         code, ln = ac_codes[(run << 4) | t]
         w.write(code, ln)
         w.write(v if v >= 0 else v + (1 << t) - 1, t)
-        run = 0
-    if last_nz != 63:
+        prev_k = k
+    if prev_k != 63:
         code, ln = ac_codes[0x00]  # EOB
         w.write(code, ln)
     return dc
@@ -410,22 +525,28 @@ def encode_jpeg(
     bw = _BitWriter()
     preds = [0] * len(comps)
     qtabs = [qlum, qchr]
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci, (_, ch, cv, tq) in enumerate(comps):
-                plane = padded[ci]
+    # phase 1 (vectorized): every component's DCT/quantize/zigzag in
+    # one batch, blocks pre-ordered exactly as the interleaved scan
+    # wants them; phase 2 walks blocks for the Huffman emit only
+    zzs = [
+        _fdct_quant_batch(
+            _plane_blocks_in_scan_order(padded[ci], mcus_y, mcus_x, cv, ch),
+            qtabs[tq],
+        )
+        for ci, (_, ch, cv, tq) in enumerate(comps)
+    ]
+    ptrs = [0] * len(comps)
+    for _my in range(mcus_y):
+        for _mx in range(mcus_x):
+            for ci, (_, ch, cv, _tq) in enumerate(comps):
                 dc_codes = dc_l if ci == 0 else dc_c
                 ac_codes = ac_l if ci == 0 else ac_c
-                for by in range(cv):
-                    for bx in range(ch):
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        block = plane[y0:y0 + 8, x0:x0 + 8]
-                        coef = _fdct_quant(block, qtabs[tq])
-                        zz = coef.ravel()[ZIGZAG]
-                        preds[ci] = _encode_block(
-                            bw, zz, preds[ci], dc_codes, ac_codes
-                        )
+                p0 = ptrs[ci]
+                for zz in zzs[ci][p0 : p0 + cv * ch]:
+                    preds[ci] = _encode_block(
+                        bw, zz, preds[ci], dc_codes, ac_codes
+                    )
+                ptrs[ci] = p0 + cv * ch
     scan = bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -470,27 +591,28 @@ def encode_jpeg(
 def _decode_block(
     br: _BitReader,
     pred: int,
-    dc_tab: dict,
-    ac_tab: dict,
-    q: np.ndarray,
+    dc_lut: np.ndarray,
+    ac_lut: np.ndarray,
 ) -> tuple[np.ndarray, int]:
-    def huff(tab: dict) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | br.bit()
-            v = tab.get((ln, code))
-            if v is not None:
-                return v
-        raise ValueError("invalid Huffman code in entropy stream")
+    """One block's quantized zigzag coefficients (no IDCT here — the
+    caller batches the IDCT over the whole scan).  Each Huffman symbol
+    is ONE 16-bit-window LUT probe instead of a bit-by-bit tree walk."""
+    def huff(lut: np.ndarray) -> int:
+        e = int(lut[br.peek16()])
+        ln = e & 0xFF
+        if ln == 0:
+            raise ValueError("invalid Huffman code in entropy stream")
+        br.consume(ln)
+        return e >> 8
 
     zz = np.zeros(64, dtype=np.int64)
-    t = huff(dc_tab)
+    t = huff(dc_lut)
     diff = _extend(br.bits(t), t) if t else 0
     dc = pred + diff
     zz[0] = dc
     k = 1
     while k < 64:
-        rs = huff(ac_tab)
+        rs = huff(ac_lut)
         r, s = rs >> 4, rs & 0x0F
         if s == 0:
             if r == 15:  # ZRL
@@ -502,10 +624,7 @@ def _decode_block(
             raise ValueError("AC run past end of block")
         zz[k] = _extend(br.bits(s), s)
         k += 1
-    coef = np.zeros(64, dtype=np.float64)
-    coef[ZIGZAG] = zz * q.ravel()[ZIGZAG]
-    block = _A.T @ coef.reshape(8, 8) @ _A
-    return block, dc
+    return zz, dc
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -607,15 +726,16 @@ def _decode_scan(
     vmax = max(m[2] for m, _, _ in scomp)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
-        for (_, ch, cv, _), _, _ in scomp
-    ]
     br = _BitReader(data, pos)
+    dc_luts = {td: _build_lut(dc_tabs[td]) for _, td, _ in scomp}
+    ac_luts = {ta: _build_lut(ac_tabs[ta]) for _, _, ta in scomp}
     preds = [0] * len(scomp)
+    # entropy phase collects quantized zigzag coefficients per
+    # component in scan order; dequantize + IDCT run batched below
+    zz_lists: list[list[np.ndarray]] = [[] for _ in scomp]
     mcu_i = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
+    for _my in range(mcus_y):
+        for _mx in range(mcus_x):
             if restart and mcu_i and mcu_i % restart == 0:
                 # byte-align and consume the RSTn marker
                 try:
@@ -626,31 +746,42 @@ def _decode_scan(
                     if not (0xD0 <= m <= 0xD7):
                         raise ValueError("expected RSTn marker")
                 preds = [0] * len(scomp)
-            for ci, ((_, ch, cv, tq), td, ta) in enumerate(scomp):
-                for by in range(cv):
-                    for bx in range(ch):
-                        try:
-                            block, preds[ci] = _decode_block(
-                                br, preds[ci], dc_tabs[td], ac_tabs[ta],
-                                qtabs[tq],
+            for ci, ((_, ch, cv, _tq), td, ta) in enumerate(scomp):
+                for _b in range(cv * ch):
+                    try:
+                        zz, preds[ci] = _decode_block(
+                            br, preds[ci], dc_luts[td], ac_luts[ta]
+                        )
+                    except _MarkerHit:
+                        m = br.align_after_marker()
+                        if 0xD0 <= m <= 0xD7:
+                            preds = [0] * len(scomp)
+                            zz, preds[ci] = _decode_block(
+                                br, 0, dc_luts[td], ac_luts[ta]
                             )
-                        except _MarkerHit:
-                            m = br.align_after_marker()
-                            if 0xD0 <= m <= 0xD7:
-                                preds = [0] * len(scomp)
-                                block, preds[ci] = _decode_block(
-                                    br, 0, dc_tabs[td], ac_tabs[ta],
-                                    qtabs[tq],
-                                )
-                            else:
-                                raise ValueError(
-                                    f"unexpected marker 0xFF{m:02X} "
-                                    "inside scan"
-                                )
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+                        else:
+                            raise ValueError(
+                                f"unexpected marker 0xFF{m:02X} "
+                                "inside scan"
+                            )
+                    zz_lists[ci].append(zz)
             mcu_i += 1
+    planes = []
+    for ci, ((_, ch, cv, tq), _, _) in enumerate(scomp):
+        grid_r, grid_c = mcus_y * cv, mcus_x * ch
+        Z = np.stack(zz_lists[ci])
+        C = np.zeros((len(Z), 64), dtype=np.float64)
+        C[:, ZIGZAG] = Z * qtabs[tq].ravel()[ZIGZAG]
+        blocks = np.einsum(
+            "ji,njk,kl->nil", _A, C.reshape(-1, 8, 8), _A, optimize=True
+        )
+        grid = np.empty((grid_r * grid_c, 8, 8), dtype=np.float64)
+        grid[_scan_order(grid_c, mcus_y, mcus_x, cv, ch)] = blocks
+        planes.append(
+            grid.reshape(grid_r, grid_c, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(grid_r * 8, grid_c * 8)
+        )
     out_planes = []
     for ((_, ch, cv, _), _, _), p in zip(scomp, planes):
         p = np.clip(np.round(p + 128.0), 0, 255)

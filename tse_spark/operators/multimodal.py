@@ -329,33 +329,108 @@ def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode_gif(data: bytes, min_code_size: int) -> np.ndarray:
-    """Inverse of :func:`_lzw_encode_gif` -> uint8 palette indices."""
+def _lzw_encode_gif_literal(indices: np.ndarray) -> bytes:
+    """Vectorized GIF LZW: every pixel emitted as a LITERAL 9-bit code
+    (min code size 8) with a CLEAR every 253 codes so the decoder's
+    table never reaches the width-bump point — the classic
+    "uncompressed GIF" technique, valid LZW any conforming decoder
+    accepts.  ~9/8 bytes per pixel instead of the dict-walk's per-pixel
+    Python: this is the THROUGHPUT encode path (numpy bit-packing, no
+    Python loop over pixels; the only loop is one slice per 253-pixel
+    block).  :func:`_lzw_encode_gif` remains the compressing variant
+    for callers that want small bytes over encode speed."""
+    clear, end = 256, 257
+    # decoder widens when codes-since-clear hits (1<<9) - (256+2) = 254
+    period = 253
+    vals = np.ascontiguousarray(indices, dtype=np.uint16).ravel()
+    chunks = [np.array([clear], np.uint16)]
+    for s in range(0, vals.size, period):
+        chunks.append(vals[s : s + period])
+        chunks.append(np.array([clear], np.uint16))
+    chunks[-1] = np.array([end], np.uint16)
+    codes = np.concatenate(chunks)
+    # LSB-first 9-bit pack: bit-matrix -> flat stream -> little packbits
+    bits = (
+        (codes[:, None] >> np.arange(9, dtype=np.uint16)) & 1
+    ).astype(np.uint8)
+    stream = bits.ravel()
+    pad = (-stream.size) % 8
+    if pad:
+        stream = np.concatenate([stream, np.zeros(pad, np.uint8)])
+    return np.packbits(stream, bitorder="little").tobytes()
+
+
+def _lzw_codes(data: bytes, min_code_size: int) -> np.ndarray:
+    """Vectorized phase 1 of GIF LZW decode: the raw code sequence
+    (CLEARs included, ending at the first END).  The variable code
+    width follows a DETERMINISTIC schedule given the CLEAR positions —
+    width w holds until (1<<w) - (2**mcs + 2) codes have arrived since
+    the last clear (the early-change law) — so codes are extracted a
+    whole width-segment at a time via reshape + dot instead of
+    per-byte Python bit twiddling."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    base_len = (1 << min_code_size) + 2
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    nb = bits.size
+    p = 0
+    width = min_code_size + 1
+    m = 0  # data codes since last clear
+    out: list[np.ndarray] = []
+    while True:
+        until_bump = (
+            ((1 << width) - base_len) - m if width < 12 else 1 << 30
+        )
+        avail = (nb - p) // width
+        if avail <= 0:
+            raise ValueError("truncated GIF LZW stream (no END code)")
+        take = min(avail, until_bump)
+        seg = bits[p : p + take * width].reshape(take, width)
+        codes = seg.astype(np.int32) @ (1 << np.arange(width, dtype=np.int32))
+        ctrl = np.flatnonzero((codes == clear) | (codes == end))
+        if ctrl.size:
+            j = int(ctrl[0])
+            out.append(codes[: j + 1].astype(np.uint16))
+            p += (j + 1) * width
+            if codes[j] == end:
+                return np.concatenate(out)
+            width = min_code_size + 1  # clear: reset the schedule
+            m = 0
+            continue
+        out.append(codes.astype(np.uint16))
+        p += take * width
+        m += take
+        if width < 12 and m == (1 << width) - base_len:
+            width += 1
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> np.ndarray:
+    """Inverse of both GIF encoders -> uint8 palette indices.
+
+    Phase 1 (:func:`_lzw_codes`) extracts the code sequence with numpy.
+    Phase 2: a stream that only ever uses base codes — any literal-only
+    encoder, ours or the wider world's "uncompressed GIF" writers —
+    decodes as a pure cast (no table, no Python loop); streams with
+    dynamic codes fall back to the per-CODE table walk, which is
+    inherently sequential (each entry chains onto an earlier one — at
+    100 TB scale that path routes to a native codec/pillow, and the
+    fallback here is the conformance/coverage twin)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    codes = _lzw_codes(data, min_code_size)[:-1]  # drop the END code
+    dmask = codes != clear
+    if not dmask.any():
+        return np.empty(0, np.uint8)
+    if int(codes[dmask].max()) < clear:
+        # literal-only stream: every code IS one pixel
+        return codes[dmask].astype(np.uint8)
     base = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
     table = list(base)
-    width = min_code_size + 1
-    acc = nbits = pos = 0
     out: list[bytes] = []
     prev: bytes | None = None
-    n = len(data)
-    while True:
-        while nbits < width:
-            if pos >= n:
-                raise ValueError("truncated GIF LZW stream (no END code)")
-            acc |= data[pos] << nbits
-            pos += 1
-            nbits += 8
-        code = acc & ((1 << width) - 1)
-        acc >>= width
-        nbits -= width
+    for code in codes.tolist():
         if code == clear:
             table = list(base)
-            width = min_code_size + 1
             prev = None
             continue
-        if code == end:
-            break
         if prev is None:
             entry = table[code]
         elif code < len(table):
@@ -367,22 +442,22 @@ def _lzw_decode_gif(data: bytes, min_code_size: int) -> np.ndarray:
         out.append(entry)
         if prev is not None and len(table) < _GIF_MAX_CODE:
             table.append(prev + entry[:1])
-        # early change, one code AHEAD of the table length: the decoder
-        # learns each entry one code later than the encoder defined it,
-        # so it must widen when the NEXT add would hit 2**width — i.e.
-        # at len+1 — to read the encoder's first wider code correctly
-        if len(table) + 1 == (1 << width) and width < 12:
-            width += 1
         prev = entry
     return np.frombuffer(b"".join(out), dtype=np.uint8)
 
 
-def encode_gif(px: np.ndarray) -> bytes:
+def encode_gif(px: np.ndarray, compress: bool = False) -> bytes:
     """Minimal real GIF89a encoder (pure stdlib + the LZW above):
     uint8 (h, w) gray — palette is the 256-gray ramp — or (h, w, 3)
     RGB with at most 256 distinct colors (more raises: route to the
     pillow backend).  Single frame, global color table, no interlace;
-    output opens in any viewer."""
+    output opens in any viewer.
+
+    Default is the VECTORIZED literal-code LZW
+    (:func:`_lzw_encode_gif_literal`, ~9/8 bytes per pixel, no
+    per-pixel Python — the throughput path); ``compress=True`` selects
+    the dict-walk compressing LZW for callers that want small bytes
+    and accept the sequential encode cost."""
     px = np.ascontiguousarray(px, dtype=np.uint8)
     if px.ndim == 2:
         pal = np.repeat(
@@ -398,7 +473,12 @@ def encode_gif(px: np.ndarray) -> bytes:
                 f"GIF palette overflow ({len(pal)} distinct colors > "
                 "256) — use decode_backend='pillow'"
             )
-        pal_bits = max(1, int(len(pal) - 1).bit_length())
+        # the literal encoder's codes are 9-bit (mcs 8), so the color
+        # table must span 256 entries; the compressing path keeps the
+        # tight power-of-two palette
+        pal_bits = (
+            8 if not compress else max(1, int(len(pal) - 1).bit_length())
+        )
         pal = np.vstack(
             [pal, np.zeros(((1 << pal_bits) - len(pal), 3), np.uint8)]
         )
@@ -406,10 +486,14 @@ def encode_gif(px: np.ndarray) -> bytes:
     else:
         raise ValueError("need (h, w) gray or (h, w, 3) RGB uint8")
     h, w = idx.shape
-    mcs = max(2, pal_bits)  # spec: min code size >= 2
     packed = 0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1)
     head = b"GIF89a" + struct.pack("<HHBBB", w, h, packed, 0, 0)
-    body = _lzw_encode_gif(idx.ravel(), mcs)
+    if compress:
+        mcs = max(2, pal_bits)  # spec: min code size >= 2
+        body = _lzw_encode_gif(idx.ravel(), mcs)
+    else:
+        mcs = 8
+        body = _lzw_encode_gif_literal(idx)
     subs = b"".join(
         bytes([len(body[i : i + 255])]) + body[i : i + 255]
         for i in range(0, len(body), 255)
