@@ -123,7 +123,7 @@ class Cluster:
 def submit_leg(
     master: str, zip_path: str, pages: str, out_dir: str,
     total_cores: int, executor_cores: int, executor_mem: str,
-    partitions: int, timeout_s: float,
+    partitions: int, timeout_s: float, shuffle_partitions: int = 64,
 ) -> dict:
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # the zip must be the only package source
@@ -139,8 +139,22 @@ def submit_leg(
         "--conf", f"spark.cores.max={total_cores}",
         "--conf", f"spark.executor.cores={executor_cores}",
         "--conf", f"spark.executor.memory={executor_mem}",
-        "--conf", "spark.sql.shuffle.partitions=64",
+        "--conf", f"spark.sql.shuffle.partitions={shuffle_partitions}",
         "--conf", "spark.sql.adaptive.enabled=true",
+        # AQE coalesce floor lowered as in bench_build.build_session:
+        # the sandbox corpus shuffles only MBs, and the default 1 MB
+        # floor collapses post-shuffle stages to ~6 partitions
+        # regardless of executor count.  (The local bench's 4 MB scan
+        # splits are NOT ported: on a real cluster each extra task
+        # costs ~10-30 ms of RPC launch, and 500 tiny scan tasks cost
+        # more than they balance — measured: docs stage 8.2 s -> 11.4 s
+        # at 8 executors.)
+        "--conf", "spark.sql.adaptive.coalescePartitions.minPartitionSize=64k",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.local.dir=" + (
+            "/dev/shm/tse-spark-local"
+            if os.path.isdir("/dev/shm") else "/tmp"
+        ),
         "--conf", "spark.driver.memory=4g",
         os.path.join(REPO, "scripts", "cluster_bench.py"),
         "--pages", pages,
@@ -160,13 +174,25 @@ def submit_leg(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=100000)
+    ap.add_argument("--docs", type=int, default=200000)
+    ap.add_argument(
+        "--length-scale", type=int, default=8,
+        help="per-doc text length multiplier; 8 matches the corpus "
+        "law BASELINE.md's local[2]->local[8] series measures, so "
+        "cluster and local legs are comparable",
+    )
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--worker-cores", type=int, default=4)
+    ap.add_argument(
+        "--executor-cores", type=int, default=None,
+        help="cores per executor (default worker-cores); 1 gives the "
+        "most executors per leg: N=2 -> 2 executors vs 4N=8 -> 8",
+    )
     ap.add_argument("--executor-mem", default="6g")
-    ap.add_argument("--n-cores", type=int, default=8, help="N leg cores")
+    ap.add_argument("--n-cores", type=int, default=2, help="N leg cores")
     ap.add_argument("--scale", type=int, default=4, help="4N multiplier")
     ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--shuffle-partitions", type=int, default=64)
     ap.add_argument("--reps", type=int, default=1,
                     help="repeat each leg, keep the per-leg MIN build_s")
     ap.add_argument("--no-cluster", action="store_true",
@@ -181,8 +207,10 @@ def main() -> None:
     os.makedirs(SCRATCH, exist_ok=True)
     zip_path = os.path.join(SCRATCH, "tse_spark.zip")
     _package(zip_path)
-    pages = os.path.join(SCRATCH, f"pages_{args.docs}")
-    fixtures.write_pages_parquet_sharded(pages, args.docs, n_files=64)
+    pages = os.path.join(SCRATCH, f"pages_{args.docs}_x{args.length_scale}")
+    fixtures.write_pages_parquet_sharded(
+        pages, args.docs, n_files=64, length_scale=args.length_scale
+    )
 
     cluster = None
     if not args.no_cluster:
@@ -199,9 +227,10 @@ def main() -> None:
                 out = submit_leg(
                     args.master, zip_path, pages,
                     os.path.join(SCRATCH, f"idx_{label}"),
-                    cores, args.worker_cores, args.executor_mem,
-                    args.partitions,
-                    timeout_s=1200.0,
+                    cores, args.executor_cores or args.worker_cores,
+                    args.executor_mem, args.partitions,
+                    timeout_s=1800.0,
+                    shuffle_partitions=args.shuffle_partitions,
                 )
                 if "error" in out:
                     best = best or out
