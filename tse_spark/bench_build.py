@@ -225,6 +225,7 @@ def main() -> None:
 
     levels = [int(x) for x in args.cpus.split(",")]
     quiet_legs: dict[int, int] = {n: 0 for n in levels}
+    level_times: dict[int, list] = {}
     best_mref = 0.0
     for i, cpus in enumerate(levels):
         if args.min_quiet and all(
@@ -289,6 +290,27 @@ def main() -> None:
                 and mref >= 0.93 * max(best_mref, args.mref_floor)
             ):
                 quiet_legs[cpus] += 1
+        # agreement fallback: a historical mref floor goes STALE when
+        # the box's steady silicon is simply slower than its best-ever
+        # window (observed r5: floor 38.1 vs healthy legs ~32 — no leg
+        # ever graded quiet, the rep budget burned to the deadline and
+        # squeezed the battery to 36 members).  Two same-level
+        # low-steal legs agreeing within 3% are contention evidence of
+        # the same strength — a steal burst inflates ONE leg, not two
+        # independent ones — so they count as quiet regardless of the
+        # absolute floor.
+        level_times.setdefault(cpus, []).append(
+            (dt, rec.get("steal_frac", 0.0))
+        )
+        calm = [
+            t for t, s in level_times[cpus] if s <= args.quiet_steal
+        ]
+        if len(calm) >= 2:
+            lo = min(calm)
+            quiet_legs[cpus] = max(
+                quiet_legs[cpus],
+                sum(1 for t in calm if t <= 1.03 * lo),
+            )
         print(json.dumps(rec), flush=True)
         # stop the context, keep the JVM (and its codegen/JIT caches):
         # the next level starts a fresh local[N] context in-place
