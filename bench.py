@@ -304,10 +304,31 @@ FIXED_HEAD = [
 _ROTATING = [m for m in HEADLINE if m not in FIXED_HEAD]
 _HALF = (len(_ROTATING) + 1) // 2
 _A, _B = _ROTATING[:_HALF], _ROTATING[_HALF:]
-# even round: A leads; odd round: B leads.  Budget truncation eats the
-# trailing half, so across any two consecutive rounds both halves lead
-# once and every member is timed at least once.
-BATTERY = FIXED_HEAD + (_A + _B if ROUND % 2 == 0 else _B + _A)
+# Rotation = STALEST-FIRST: members whose last positive timing (from
+# the committed BENCH_r*.json trail) is oldest run first, so whatever
+# battery budget survives the earlier phases always refreshes the
+# oldest evidence — under ANY truncation this minimizes the maximum
+# staleness, where the old positional A/B halves could leave a member
+# untimed two rounds running (r5 quiet run: 30 such members).  Ties
+# keep the round-parity A/B order, which is also the whole ordering
+# when no trail exists (fresh checkout).  Deterministic within a
+# round: the trail is committed state.
+_PARITY = FIXED_HEAD + (_A + _B if ROUND % 2 == 0 else _B + _A)
+
+
+def _battery_order() -> list:
+    try:
+        ages = _rotation_ages({})
+    except Exception:
+        return list(_PARITY)
+    pos = {m: i for i, m in enumerate(_PARITY)}
+    rotating = sorted(
+        _ROTATING, key=lambda m: (-ages.get(m, ROUND), pos[m])
+    )
+    return FIXED_HEAD + rotating
+
+
+BATTERY = _PARITY  # resolved to _battery_order() in run_headline
 
 RESULT: dict = {
     "metric": "index-build docs/sec (N vs 4N cores) + BM25 top-10 p50"
@@ -787,11 +808,12 @@ def run_headline(spark) -> None:
         RESULT["tf_cache_build_s"] = f"error: {e}"[:200]
     times: dict[str, float] = {}
     RESULT["queries"] = times
+    battery = _battery_order()
     RESULT["battery_rotation"] = {
         "round": ROUND,
         "fixed_head": len(FIXED_HEAD),
-        "order": "A+B" if ROUND % 2 == 0 else "B+A",
-        "members": len(BATTERY),
+        "order": "stalest-first",
+        "members": len(battery),
     }
     # per-query contention evidence (VERDICT r03 #4): every reading
     # carries a steal bracket; slow (>5 s) or steal-suspect readings
@@ -806,11 +828,11 @@ def run_headline(spark) -> None:
     # the battery runs LAST of the fixed phases (serving_pruned records
     # before it) and is the adaptive budget consumer: members degrade
     # tail-first in rotation order down to a flat 15 s floor
-    for name in BATTERY:
+    for name in battery:
         if left() < 15.0:
             RESULT["headline_note"] = (
                 f"budget: stopped before {name} "
-                f"({len(BATTERY) - len(times)} queries skipped)"
+                f"({len(battery) - len(times)} queries skipped)"
             )
             break
         fn = qs[name]
