@@ -574,6 +574,22 @@ def _q_doc_chunks(spark, sf):
     return textops.chunk_documents(_t(spark, sf, "documents"), 64, 16)
 
 
+def _q_passage_topk(spark, sf):
+    """Passage-level BM25 (textops.passage_bm25_topk): the 64/16
+    sliding windows of doc_chunks become the RANKED retrieval unit —
+    own length norm, passage-frequency df, passage-count N — the
+    retrieve-for-rerank / RAG surface (reference twin: promotes
+    DisplayRst.cpp's best-window selection from presentation-time to
+    retrieval).  Per-window query-term tf runs as array filter/size in
+    codegen, so the occurrence stream never shuffles; the oracle
+    reproduces the window + stats law with list ops in SQL."""
+    from tse_spark.operators import textops
+
+    return textops.passage_bm25_topk(
+        _t(spark, sf, "documents"), BM25_QUERY, K
+    )
+
+
 # plural-rich synthesized column for the stemming demo: the fixture
 # vocabulary has no inflections, so each doc deterministically appends
 # one plural whose S-stem merges with an existing base term
@@ -4416,6 +4432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_indexed": _q_ann_int8_indexed,
         "lsh_ann_appended": _q_lsh_ann_appended,
         # -- never-verified overflow (position >50: local-harness-checked) --
+        "passage_topk": _q_passage_topk,
         "rp_ann": _q_rp_ann,
         "rp_recall": _q_rp_recall,
         "anchor_text": _q_anchor_text,
@@ -6784,6 +6801,50 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(toks[s + 1 : least(s + 64, n)], ' ')
                  AS chunk_text
         FROM f""",
+        # passage-level BM25: the doc_chunks window law, scored with
+        # passage-local stats (dl = eligible tokens in the window,
+        # df = windows containing the term, N = windows with dl > 0)
+        "passage_topk": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> strlen(t) > 0) AS toks
+          FROM documents),
+        d2 AS (SELECT doc_id, toks, len(toks) AS n FROM d
+               WHERE len(toks) > 0),
+        st AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS s
+               FROM d2),
+        f AS (SELECT * FROM st WHERE s = 0 OR s < n - 16),
+        win AS (
+          SELECT doc_id, (s // 48)::BIGINT AS chunk_id,
+                 s::BIGINT AS start_tok,
+                 list_filter(toks[s + 1 : least(s + 64, n)],
+                             t -> strlen(t) BETWEEN 2 AND 8) AS w
+          FROM f),
+        pw AS (SELECT doc_id, chunk_id, start_tok, w,
+                      len(w)::BIGINT AS dl
+               FROM win WHERE len(w) > 0),
+        pstats AS (SELECT count(*)::BIGINT AS n_p, avg(dl) AS avgdl
+                   FROM pw),
+        ptf AS (
+          SELECT doc_id, chunk_id, start_tok, dl, q.term,
+                 len(list_filter(w, t -> t = q.term))::BIGINT AS tf
+          FROM pw,
+               (SELECT unnest([{", ".join(
+                   "'" + t + "'" for t in sorted(set(BM25_QUERY))
+               )}]) AS term) q),
+        nz AS (SELECT * FROM ptf WHERE tf > 0),
+        dfr AS (SELECT term, count(*)::BIGINT AS df FROM nz GROUP BY 1),
+        per AS (
+          SELECT nz.doc_id, nz.chunk_id, nz.start_tok,
+                 ln(1 + (pstats.n_p - dfr.df + 0.5) / (dfr.df + 0.5))
+                   * nz.tf * 2.2
+                   / (nz.tf + 1.2 * (0.25 + 0.75 * nz.dl / pstats.avgdl))
+                   AS s
+          FROM nz JOIN dfr USING (term) CROSS JOIN pstats)
+        SELECT doc_id, chunk_id, start_tok, round(sum(s), 4) AS score
+        FROM per GROUP BY 1, 2, 3
+        ORDER BY sum(s) DESC, doc_id, chunk_id LIMIT {K}""",
         # priority sampling: q = w / u with u = (h+1)/2^60 from the
         # row's own md5; top-20 by (q desc, id), est_w = max(w, tau)
         # with tau = the 21st priority — sketches.priority_sample

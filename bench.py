@@ -282,6 +282,8 @@ HEADLINE = [
     "spam_mass",
     "bm25_urlprior",
     "wand_absorbed",
+    # round 5: passage-level BM25 retrieval
+    "passage_topk",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving

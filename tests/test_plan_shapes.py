@@ -351,3 +351,19 @@ def test_anytime_histogram_is_broadcast_and_rank_is_per_code(spark):
     assert plan.count("Exchange SinglePartition") == 1
     assert "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_passage_bm25_never_shuffles_occurrences(spark):
+    """passage_bm25_topk's scale claim: per-window query-term tf stays
+    in codegen array ops, the stats/df live in ONE broadcast 1-row
+    aggregate, and the only hash exchange is the final per-window
+    score agg — the occurrence stream never crosses the wire."""
+    plan = _plan(
+        textops.passage_bm25_topk(_docs(spark), ["tok1", "tok2"], k=5)
+    )
+    assert "TakeOrderedAndProject" in plan
+    # no per-term hash exchange (the df agg is folded into the 1-row
+    # stats broadcast): every hashpartitioning exchange keys on the
+    # window identity, none on `term`
+    assert "hashpartitioning(term" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row stats

@@ -884,6 +884,141 @@ def chunk_documents(
     )
 
 
+def passage_bm25_topk(
+    docs: DataFrame,
+    terms: "list[str]",
+    k: int = 10,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Passage-level BM25 retrieval — the retrieve-for-rerank / RAG
+    unit: each document is cut into :func:`chunk_documents` sliding
+    windows and the WINDOW is the scored item (its own length norm,
+    passage-frequency df, passage-count N), so a long page with one
+    on-topic paragraph ranks by that paragraph instead of being
+    averaged away (reference twin: DisplayRst.cpp's best-window
+    snippet selection, promoted from presentation-time to a ranked
+    retrieval surface).
+
+    Stats law mirrors the document-level _TOK/BM25 oracles, one level
+    down: eligible tokens are the 2..8-byte lowercase ws tokens,
+    ``dl`` = a window's eligible-token count, windows with dl = 0 drop
+    from the collection, ``df(t)`` = number of windows containing t,
+    ``N`` = number of surviving windows, k1 = 1.2, b = 0.75,
+    idf = ln(1 + (N - df + .5)/(df + .5)).  Returns the top-``k``
+    (doc_id, chunk_id, start_tok, score) by score desc, doc/chunk asc.
+
+    Scale shape: per-window tf of each QUERY term is computed with
+    array ``filter``/``size`` inside whole-stage codegen, so the
+    occurrence stream NEVER shuffles — the only exchanges are the
+    1-row corpus-stats aggregate, a |terms|-row df aggregate, and the
+    final TakeOrderedAndProject.  At 100 TB this runs at scan speed
+    (the document-level bm25_topk must hash-aggregate its whole tf
+    relation before scoring; passages would multiply that shuffle by
+    windows-per-doc, which is exactly what this plan avoids)."""
+    uniq = sorted(set(terms))
+    arr = F.split(F.col("chunk_text"), " ")
+    elig = F.filter(
+        arr,
+        lambda t: (F.octet_length(t) >= 2) & (F.octet_length(t) <= 8),
+    )
+
+    # tf counts over the ELIGIBLE array, so dl and tf obey one token
+    # law whatever the caller's terms look like.  (A two-arg lambda
+    # would make Spark pass the array INDEX as the second argument —
+    # bind the word via closure, not a default arg.)
+    def _tf(word):
+        return F.size(F.filter(elig, lambda t: t == F.lit(word)))
+
+    base = (
+        chunk_documents(docs, chunk_tokens, overlap)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            F.size(elig).cast("long").alias("dl"),
+            *[
+                _tf(w).cast("long").alias(f"__tf{i}")
+                for i, w in enumerate(uniq)
+            ],
+        )
+        .filter(F.col("dl") > 0)
+    )
+    from tse_spark import oracle
+
+    # ONE 1-row aggregate carries N, avgdl AND every query term's df
+    # (df_i = windows where tf_i > 0), so the corpus is scanned twice
+    # total — the stats leg and the scoring leg — instead of once per
+    # derived relation
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(uniq))
+        ],
+    )
+    # (window, term, tf) rows for query terms only: |windows| x |terms|
+    # before the tf > 0 filter — bounded, never the full vocabulary
+    pairs = base.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        "dl",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("term"),
+                        F.col(f"__tf{i}").alias("tf"),
+                    )
+                    for i, w in enumerate(uniq)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id", "chunk_id", "start_tok", "dl",
+        F.col("p.term").alias("term"), F.col("p.tf").alias("tf"),
+    ).filter(F.col("tf") > 0)
+    k1, b = oracle.BM25_K1, oracle.BM25_B
+
+    def _idf(df_col):
+        return F.log(
+            F.lit(1.0)
+            + (F.col("__n") - df_col + F.lit(0.5))
+            / (df_col + F.lit(0.5))
+        )
+
+    idf = F.lit(0.0)
+    for i, w in enumerate(uniq):  # per-term idf from the stats row
+        idf = F.when(
+            F.col("term") == F.lit(w), _idf(F.col(f"__df{i}"))
+        ).otherwise(idf)
+    s = (
+        idf
+        * F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "chunk_id", "start_tok")
+        .agg(F.sum(s).alias("__s"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            F.round("__s", 4).alias("score"),
+        )
+        .orderBy(F.desc("__s"), "doc_id", "chunk_id")
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # S-stemmer + automatic stopword mining
 # ---------------------------------------------------------------------------
