@@ -300,3 +300,65 @@ def test_mixed_media_df_router_all_formats(spark):
         assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
         assert r["mean_px"] == pytest.approx(img.mean(), abs=1e-9)
         assert r["std_px"] == pytest.approx(img.std(), abs=1e-9)
+
+
+def test_vectorized_scan_matches_block_walk():
+    """The numpy entropy encoder must be byte-identical to walking
+    _encode_block + _BitWriter over the same blocks — gray single
+    component (trivial interleave) and a 3-component 4:2:0-shaped
+    interleave (4 Y + 1 Cb + 1 Cr per MCU)."""
+    rng = np.random.RandomState(11)
+
+    def loop_scan(zz_lists, bpm):
+        dc_codes = [jpeg._build_codes(jpeg.DC_LUM_BITS, jpeg.DC_LUM_VALS)]
+        ac_codes = [jpeg._build_codes(jpeg.AC_LUM_BITS, jpeg.AC_LUM_VALS)]
+        if len(zz_lists) > 1:
+            dcc = jpeg._build_codes(jpeg.DC_CHR_BITS, jpeg.DC_CHR_VALS)
+            acc = jpeg._build_codes(jpeg.AC_CHR_BITS, jpeg.AC_CHR_VALS)
+            dc_codes += [dcc] * (len(zz_lists) - 1)
+            ac_codes += [acc] * (len(zz_lists) - 1)
+        w = jpeg._BitWriter()
+        preds = [0] * len(zz_lists)
+        ptrs = [0] * len(zz_lists)
+        mcus = len(zz_lists[0]) // bpm[0]
+        for _ in range(mcus):
+            for ci, zl in enumerate(zz_lists):
+                for _b in range(bpm[ci]):
+                    preds[ci] = jpeg._encode_block(
+                        w, zl[ptrs[ci]], preds[ci],
+                        dc_codes[ci], ac_codes[ci],
+                    )
+                    ptrs[ci] += 1
+        return w.flush()
+
+    def rand_blocks(n):
+        zz = np.zeros((n, 64), np.int64)
+        for i in range(n):
+            nz = rng.randint(0, 24)
+            pos = rng.choice(64, size=nz, replace=False)
+            zz[i, pos] = rng.randint(-255, 256, size=nz)
+        return zz
+
+    # gray: one component, 1 block per MCU
+    zz = rand_blocks(40)
+    dc_l = jpeg._build_codes(jpeg.DC_LUM_BITS, jpeg.DC_LUM_VALS)
+    ac_l = jpeg._build_codes(jpeg.AC_LUM_BITS, jpeg.AC_LUM_VALS)
+    got = jpeg._assemble_scan(
+        [jpeg._encode_component_bits(zz, dc_l, ac_l)], [1], 40
+    )
+    assert got == loop_scan([zz], [1])
+
+    # color 4:2:0 interleave: 6 MCUs of (4 Y, 1 Cb, 1 Cr)
+    y, cb, cr = rand_blocks(24), rand_blocks(6), rand_blocks(6)
+    dc_c = jpeg._build_codes(jpeg.DC_CHR_BITS, jpeg.DC_CHR_VALS)
+    ac_c = jpeg._build_codes(jpeg.AC_CHR_BITS, jpeg.AC_CHR_VALS)
+    got = jpeg._assemble_scan(
+        [
+            jpeg._encode_component_bits(y, dc_l, ac_l),
+            jpeg._encode_component_bits(cb, dc_c, ac_c),
+            jpeg._encode_component_bits(cr, dc_c, ac_c),
+        ],
+        [4, 1, 1],
+        6,
+    )
+    assert got == loop_scan([y, cb, cr], [4, 1, 1])

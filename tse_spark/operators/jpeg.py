@@ -467,6 +467,175 @@ def _encode_block(
     return dc
 
 
+def _category_arr(v: np.ndarray) -> np.ndarray:
+    """Vectorized T.81 category (bit length of |v|)."""
+    a = np.abs(v.astype(np.int64))
+    t = np.zeros(a.shape, np.int64)
+    while (a > 0).any():
+        t += a > 0
+        a >>= 1
+    return t
+
+
+def _codes_to_arrays(codes: dict) -> tuple[np.ndarray, np.ndarray]:
+    """value -> (code, length) dict as two dense lookup arrays."""
+    hi = max(codes) + 1
+    carr = np.zeros(hi, np.int64)
+    larr = np.zeros(hi, np.int64)
+    for v, (c, ln) in codes.items():
+        carr[v] = c
+        larr[v] = ln
+    return carr, larr
+
+
+def _encode_component_bits(
+    zzq: np.ndarray, dc_codes: dict, ac_codes: dict
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized entropy coding of one component's blocks (scan
+    order): -> (bit array MSB-first, per-block bit counts).
+
+    Byte-for-byte identical to walking :func:`_encode_block` over the
+    same blocks (pytest-pinned): DC diffs chain across the whole
+    sequence, AC symbols are (run, size) with ZRL expansion and EOB,
+    all built as flat numpy item tables sorted by (block, seq) and
+    bit-expanded 16 lanes at a time — no per-coefficient Python."""
+    n = len(zzq)
+    dc_c, dc_l = _codes_to_arrays(dc_codes)
+    ac_c, ac_l = _codes_to_arrays(ac_codes)
+
+    items_b: list[np.ndarray] = []  # block ids
+    items_s: list[np.ndarray] = []  # intra-block sequence keys
+    items_c: list[np.ndarray] = []  # raw code values
+    items_l: list[np.ndarray] = []  # bit lengths
+
+    # DC: diffs chain block to block
+    dc = zzq[:, 0].astype(np.int64)
+    diff = np.diff(dc, prepend=0)
+    t = _category_arr(diff)
+    blocks = np.arange(n, dtype=np.int64)
+    items_b.append(blocks)
+    items_s.append(np.zeros(n, np.int64))
+    items_c.append(dc_c[t])
+    items_l.append(dc_l[t])
+    has = t > 0
+    vb = np.where(diff >= 0, diff, diff + (1 << t) - 1)
+    items_b.append(blocks[has])
+    items_s.append(np.ones(int(has.sum()), np.int64))
+    items_c.append(vb[has])
+    items_l.append(t[has])
+
+    # AC: nonzero coefficients in row-major order
+    rows, cols = np.nonzero(zzq[:, 1:])
+    k = cols.astype(np.int64) + 1
+    rows = rows.astype(np.int64)
+    if len(rows):
+        first = np.empty(len(rows), bool)
+        first[0] = True
+        first[1:] = rows[1:] != rows[:-1]
+        prev_k = np.where(first, 0, np.roll(k, 1))
+        run = k - prev_k - 1
+        zrl = run // 16
+        rem = run % 16
+        v = zzq[rows, k]
+        s = _category_arr(v)
+        sym = (rem << 4) | s
+        # index of each nonzero within its block (for the seq budget:
+        # up to 3 ZRLs + symbol + value bits = 5 slots, budget 6)
+        starts = np.flatnonzero(first)
+        block_start_of = np.repeat(starts, np.diff(np.append(starts, len(rows))))
+        idx_in_block = np.arange(len(rows), dtype=np.int64) - block_start_of
+        seq0 = 2 + 6 * idx_in_block
+        # ZRL copies
+        tot_z = int(zrl.sum())
+        if tot_z:
+            rz = np.repeat(rows, zrl)
+            base = np.repeat(seq0, zrl)
+            cz = np.arange(tot_z, dtype=np.int64) - np.repeat(
+                np.cumsum(zrl) - zrl, zrl
+            )
+            items_b.append(rz)
+            items_s.append(base + cz)
+            items_c.append(np.full(tot_z, ac_c[0xF0], np.int64))
+            items_l.append(np.full(tot_z, ac_l[0xF0], np.int64))
+        items_b.append(rows)
+        items_s.append(seq0 + 3)
+        items_c.append(ac_c[sym])
+        items_l.append(ac_l[sym])
+        vb2 = np.where(v >= 0, v, v + (1 << s) - 1)
+        items_b.append(rows)
+        items_s.append(seq0 + 4)
+        items_c.append(vb2)
+        items_l.append(s)
+        last_nz = np.zeros(n, np.int64)
+        np.maximum.at(last_nz, rows, k)
+    else:
+        last_nz = np.zeros(n, np.int64)
+
+    eob_rows = np.flatnonzero(last_nz != 63).astype(np.int64)
+    items_b.append(eob_rows)
+    items_s.append(np.full(len(eob_rows), 1 << 20, np.int64))
+    items_c.append(np.full(len(eob_rows), ac_c[0x00], np.int64))
+    items_l.append(np.full(len(eob_rows), ac_l[0x00], np.int64))
+
+    b = np.concatenate(items_b)
+    sq = np.concatenate(items_s)
+    codes = np.concatenate(items_c)
+    lens = np.concatenate(items_l)
+    order = np.lexsort((sq, b))
+    b, codes, lens = b[order], codes[order], lens[order]
+
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    total = int(lens.sum())
+    bits = np.zeros(total, np.uint8)
+    for bp in range(int(lens.max()) if len(lens) else 0):
+        m = lens > bp
+        bits[offs[m] + bp] = (codes[m] >> (lens[m] - 1 - bp)) & 1
+    per_block = np.bincount(b, weights=lens, minlength=n).astype(np.int64)
+    return bits, per_block
+
+
+def _assemble_scan(
+    parts: "list[tuple[np.ndarray, np.ndarray]]",
+    bpm: "list[int]",
+    mcus: int,
+) -> bytes:
+    """Interleave per-component bit streams into the MCU scan order,
+    pad with 1-bits, pack MSB-first, byte-stuff 0xFF -> 0xFF00."""
+    n_comp = len(parts)
+    tot_bpm = sum(bpm)
+    counts_g = np.zeros(mcus * tot_bpm, np.int64)
+    before = np.concatenate(([0], np.cumsum(bpm)[:-1]))
+    slots = []
+    for ci in range(n_comp):
+        j = np.arange(mcus * bpm[ci], dtype=np.int64)
+        slot = (j // bpm[ci]) * tot_bpm + before[ci] + (j % bpm[ci])
+        counts_g[slot] = parts[ci][1]
+        slots.append(slot)
+    offs_g = np.concatenate(([0], np.cumsum(counts_g)[:-1]))
+    out = np.zeros(int(counts_g.sum()), np.uint8)
+    for ci in range(n_comp):
+        bits, counts = parts[ci]
+        in_offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        delta = offs_g[slots[ci]] - in_offs
+        if len(bits):
+            pos = np.arange(len(bits), dtype=np.int64) + np.repeat(
+                delta, counts
+            )
+            out[pos] = bits
+    pad = (-len(out)) % 8
+    if pad:
+        out = np.concatenate([out, np.ones(pad, np.uint8)])
+    packed = np.packbits(out)  # MSB-first
+    ff = packed == 0xFF
+    if ff.any():
+        dest = np.empty(len(packed) + int(ff.sum()), np.uint8)
+        idx = np.arange(len(packed)) + np.cumsum(ff) - ff
+        dest[idx] = packed
+        dest[idx[ff] + 1] = 0x00
+        packed = dest
+    return packed.tobytes()
+
+
 def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
@@ -522,12 +691,13 @@ def encode_jpeg(
     dc_c = _build_codes(DC_CHR_BITS, DC_CHR_VALS)
     ac_c = _build_codes(AC_CHR_BITS, AC_CHR_VALS)
 
-    bw = _BitWriter()
-    preds = [0] * len(comps)
     qtabs = [qlum, qchr]
-    # phase 1 (vectorized): every component's DCT/quantize/zigzag in
-    # one batch, blocks pre-ordered exactly as the interleaved scan
-    # wants them; phase 2 walks blocks for the Huffman emit only
+    # fully vectorized entropy phase: every component's
+    # DCT/quantize/zigzag in one batch (blocks pre-ordered as the
+    # interleaved scan wants them), then numpy symbol tables + bit
+    # expansion per component and an MCU-interleaving bit scatter —
+    # byte-identical to the per-block _encode_block walk, which stays
+    # as the pytest-pinned reference twin
     zzs = [
         _fdct_quant_batch(
             _plane_blocks_in_scan_order(padded[ci], mcus_y, mcus_x, cv, ch),
@@ -535,19 +705,17 @@ def encode_jpeg(
         )
         for ci, (_, ch, cv, tq) in enumerate(comps)
     ]
-    ptrs = [0] * len(comps)
-    for _my in range(mcus_y):
-        for _mx in range(mcus_x):
-            for ci, (_, ch, cv, _tq) in enumerate(comps):
-                dc_codes = dc_l if ci == 0 else dc_c
-                ac_codes = ac_l if ci == 0 else ac_c
-                p0 = ptrs[ci]
-                for zz in zzs[ci][p0 : p0 + cv * ch]:
-                    preds[ci] = _encode_block(
-                        bw, zz, preds[ci], dc_codes, ac_codes
-                    )
-                ptrs[ci] = p0 + cv * ch
-    scan = bw.flush()
+    parts = [
+        _encode_component_bits(
+            zzs[ci],
+            dc_l if ci == 0 else dc_c,
+            ac_l if ci == 0 else ac_c,
+        )
+        for ci in range(len(comps))
+    ]
+    scan = _assemble_scan(
+        parts, [ch * cv for (_, ch, cv, _) in comps], mcus_y * mcus_x
+    )
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(
