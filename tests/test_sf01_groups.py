@@ -39,6 +39,10 @@ GROUPS = {
     # scan (bucket boundaries shift with the ratio distribution), and
     # the anytime cutoff (the boundary code stratum grows with df)
     "r4c3": ["wand_merged", "cache_admission", "anytime_topk", "wand_absorbed"],
+    # round 5: passage windows — the chunk-start law's edge cases
+    # (final-stub drop, overlap-only tails) and passage-stats ties
+    # only materialize with many windows per doc
+    "r5": ["passage_topk"],
 }
 
 
