@@ -590,6 +590,38 @@ def _q_passage_topk(spark, sf):
     )
 
 
+_PASSAGE_STATS_CACHE: dict = {}
+
+
+def _passage_stats_cached(spark, sf_dir):
+    """One cached passage-stats sidecar per sf_dir (a BUILD artifact
+    like the positional shards it serves beside)."""
+    if sf_dir not in _PASSAGE_STATS_CACHE:
+        from tse_spark.operators import textops
+
+        _PASSAGE_STATS_CACHE[sf_dir] = textops.build_passage_stats(
+            _t(spark, sf_dir, "documents")
+        ).cache()
+    return _PASSAGE_STATS_CACHE[sf_dir]
+
+
+def _q_passage_topk_indexed(spark, sf):
+    """Passage-level BM25 served from the POSITIONAL index + the
+    passage-stats sidecar (positions.passage_bm25_topk_indexed):
+    document text is never fetched or re-tokenized at query time —
+    query-term windows come from position lists, dl/validity from the
+    sidecar.  Result-identical to passage_topk (shared oracle), the
+    same scan-vs-index pairing as phrase_match / phrase_match_pos."""
+    from tse_spark.operators import positions as pos
+
+    return pos.passage_bm25_topk_indexed(
+        _pos_index_cached(spark, sf),
+        _passage_stats_cached(spark, sf),
+        BM25_QUERY,
+        K,
+    )
+
+
 # plural-rich synthesized column for the stemming demo: the fixture
 # vocabulary has no inflections, so each doc deterministically appends
 # one plural whose S-stem merges with an existing base term
@@ -4433,6 +4465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_appended": _q_lsh_ann_appended,
         # -- never-verified overflow (position >50: local-harness-checked) --
         "passage_topk": _q_passage_topk,
+        "passage_topk_indexed": _q_passage_topk_indexed,
         "rp_ann": _q_rp_ann,
         "rp_recall": _q_rp_recall,
         "anchor_text": _q_anchor_text,
@@ -7430,6 +7463,9 @@ def oracle_sql() -> dict[str, str]:
     # the full-scan phrase matcher — the oracle is shared
     out["phrase_match_indexed"] = out["phrase_match"]
     out["phrase_match_pos"] = out["phrase_match"]
+    # X119 indexed twin: positional serving must reproduce the
+    # scan-side passage law exactly
+    out["passage_topk_indexed"] = out["passage_topk"]
     # X114 positional twin: phrase_match law + the wand_merged id lift
     out["phrase_pos_merged"] = rf"""
     WITH t AS (

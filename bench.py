@@ -282,8 +282,9 @@ HEADLINE = [
     "spam_mass",
     "bm25_urlprior",
     "wand_absorbed",
-    # round 5: passage-level BM25 retrieval
+    # round 5: passage-level BM25 retrieval (scan + positional serving)
     "passage_topk",
+    "passage_topk_indexed",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving
@@ -808,6 +809,15 @@ def run_headline(spark) -> None:
         RESULT["tf_cache_build_s"] = round(time.time() - t0, 1)
     except Exception as e:
         RESULT["tf_cache_build_s"] = f"error: {e}"[:200]
+    # positional shards + passage-stats sidecar: build artifacts the
+    # phrase_*_pos / passage_topk_indexed members serve FROM
+    t0 = time.time()
+    try:
+        entrymod._pos_index_cached(spark, SF_DIR).count()
+        entrymod._passage_stats_cached(spark, SF_DIR).count()
+        RESULT["positional_build_s"] = round(time.time() - t0, 1)
+    except Exception as e:
+        RESULT["positional_build_s"] = f"error: {e}"[:200]
     times: dict[str, float] = {}
     RESULT["queries"] = times
     battery = _battery_order()

@@ -508,3 +508,36 @@ def test_position_table_merge_equals_union_build(spark, tmp_path):
         P.merge_position_tables(
             spark, da, db, out, shift=shift, max_doc_id=shift + 499
         )
+
+
+def test_passage_indexed_equals_scan_scorer(spark):
+    """The positional passage scorer must reproduce the scan-side
+    passage_bm25_topk exactly — including multi-window membership
+    (overlap region), tail-window validity (the sidecar join) and
+    score ties — on a corpus crafted to hit those edges."""
+    import pandas as pd
+
+    from tse_spark.operators import positions as pos
+    from tse_spark.operators import textops
+
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "pad"]
+    for d in range(30):
+        n = 3 + (d * 37) % 150  # spans sub-window to 3-window docs
+        toks = [words[(d + i) % len(words)] for i in range(n)]
+        if d % 4 == 0:
+            toks[-1] = "alpha"  # tail-window occupancy
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    terms = ["alpha", "gamma"]
+    want = textops.passage_bm25_topk(docs, terms, k=25).toPandas()
+    shards = pos.build_position_index(docs, 30, num_shards=3)
+    pstats = textops.build_passage_stats(docs)
+    got = pos.passage_bm25_topk_indexed(
+        shards, pstats, terms, k=25
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )

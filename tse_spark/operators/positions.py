@@ -1026,3 +1026,148 @@ def phrase_match_slop(
     return _minus_excluded(
         sub.groupBy("shard").applyInPandas(match, schema), excluded
     )
+
+
+def passage_tf_positional(
+    pos_shards: DataFrame,
+    terms: "list[str]",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """(term, doc_id, start_tok, tf) per passage WINDOW of the query
+    terms, answered from position lists alone — no document text.
+
+    The chunk law (textops.chunk_documents) windows the SAME 0-based
+    token sequence positions index, so a position p lies in window
+    start s iff ``s <= p < s + chunk_tokens`` with s a stride
+    multiple: per occurrence that is ``ceil(chunk/stride)`` candidate
+    starts, generated and counted vectorized (packed doc*2^32 + s
+    keys through one np.unique per shard).  Tail-window validity is
+    NOT decided here — the caller joins the passage-stats sidecar,
+    which only carries valid windows, exactly like tombstone masking.
+    Per-shard work is the query terms' posting mass only (pushed-down
+    term IN on the term-laid-out shard table)."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be < chunk_tokens")
+    n_cand = -(-chunk_tokens // stride)
+    uniq = sorted(set(terms))
+    sub = pos_shards.filter(F.col("term").isin(uniq))
+    schema = "term string, doc_id long, start_tok long, tf long"
+
+    def expand(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_t: list = []
+        out_d: list = []
+        out_s: list = []
+        out_c: list = []
+        for w in uniq:
+            blobs = pdf.loc[pdf["term"] == w, "blocks"]
+            if blobs.empty:
+                continue
+            parts = []
+            for blob in blobs:
+                docs, cnts, posflat = decode_positions(bytes(blob))
+                parts.append(
+                    (np.repeat(docs, cnts), posflat.astype(np.int64))
+                )
+            doc = np.concatenate([d for d, _ in parts])
+            pos = np.concatenate([p for _, p in parts])
+            s1 = (pos // stride) * stride
+            keys = []
+            for i in range(n_cand):
+                s = s1 - np.int64(i * stride)
+                ok = (s >= 0) & (pos < s + np.int64(chunk_tokens))
+                keys.append(doc[ok] * _STRIDE + s[ok])
+            allk = np.concatenate(keys) if keys else np.empty(0, np.int64)
+            if not allk.size:
+                continue
+            uk, tf = np.unique(allk, return_counts=True)
+            out_t.append(np.full(uk.size, w, dtype=object))
+            out_d.append(uk // _STRIDE)
+            out_s.append(uk % _STRIDE)
+            out_c.append(tf.astype(np.int64))
+        if not out_t:
+            return pd.DataFrame(
+                {"term": [], "doc_id": [], "start_tok": [], "tf": []}
+            ).astype(
+                {"term": "object", "doc_id": "int64",
+                 "start_tok": "int64", "tf": "int64"}
+            )
+        return pd.DataFrame(
+            {
+                "term": np.concatenate(out_t),
+                "doc_id": np.concatenate(out_d),
+                "start_tok": np.concatenate(out_s),
+                "tf": np.concatenate(out_c),
+            }
+        )
+
+    return sub.groupBy("shard").applyInPandas(expand, schema)
+
+
+def passage_bm25_topk_indexed(
+    pos_shards: DataFrame,
+    passage_stats: DataFrame,
+    terms: "list[str]",
+    k: int = 10,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Passage-level BM25 served from the POSITIONAL index + the
+    passage-stats sidecar (textops.build_passage_stats) — document
+    text is never fetched or re-tokenized.  Result-identical to
+    textops.passage_bm25_topk (shared oracle): same window law, same
+    passage-local stats, same k1/b.
+
+    Plan: query-term windows from :func:`passage_tf_positional`
+    (posting mass of the query terms only), joined to the sidecar for
+    dl + tail-validity, N/avgdl from one 1-row sidecar aggregate
+    (precompute into the sidecar meta at build time on a real
+    deployment), df per term a |terms|-row aggregate, final score agg
+    + TakeOrderedAndProject.  Nothing corpus-sized moves: at 10^12
+    docs the sidecar join co-partitions when the sidecar is written
+    doc-range-bucketed beside the shards."""
+    from tse_spark import oracle
+
+    tfw = passage_tf_positional(pos_shards, terms, chunk_tokens, overlap)
+    j = tfw.join(passage_stats, ["doc_id", "start_tok"])
+    stats = passage_stats.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    dfreq = j.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = oracle.BM25_K1, oracle.BM25_B
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    s = (
+        idf
+        * F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))
+        )
+    )
+    stride = chunk_tokens - overlap
+    return (
+        j.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "start_tok")
+        .agg(F.sum(s).alias("__s"))
+        .select(
+            "doc_id",
+            # chunk ids are dense stride ordinals (doc_chunks law), so
+            # the indexed result carries the same columns as the
+            # scan-side scorer and the oracle is shared verbatim
+            (F.col("start_tok") / F.lit(stride))
+            .cast("long")
+            .alias("chunk_id"),
+            "start_tok",
+            F.round("__s", 4).alias("score"),
+        )
+        .orderBy(F.desc("__s"), "doc_id", "start_tok")
+        .limit(k)
+    )

@@ -884,6 +884,35 @@ def chunk_documents(
     )
 
 
+def build_passage_stats(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, start_tok, dl) for every VALID window with at least one
+    eligible (2..8-byte) token — the passage-stats sidecar the indexed
+    serving path (:func:`tse_spark.operators.positions.
+    passage_bm25_topk_indexed`) joins instead of touching text.  Built
+    once at index time from the same :func:`chunk_documents` law the
+    scan-side scorer uses; at scale, write it doc-range-bucketed next
+    to the positional shards so the serving join co-partitions."""
+    arr = F.split(F.col("chunk_text"), " ")
+    elig = F.filter(
+        arr,
+        lambda t: (F.octet_length(t) >= 2) & (F.octet_length(t) <= 8),
+    )
+    return (
+        chunk_documents(docs, chunk_tokens, overlap, text_col)
+        .select(
+            "doc_id",
+            "start_tok",
+            F.size(elig).cast("long").alias("dl"),
+        )
+        .filter(F.col("dl") > 0)
+    )
+
+
 def passage_bm25_topk(
     docs: DataFrame,
     terms: "list[str]",
