@@ -750,74 +750,68 @@ def run_headline(spark) -> None:
     # text index phase 2 builds outside query timing): materialize them
     # once here, reporting the cost separately, so the *_indexed
     # queries time the probe-pruned serve path they exist to provide —
-    # not a one-time table write.
-    t0 = time.time()
-    try:
-        entrymod._ann_index_dir(spark, SF_DIR, "lsh")
-        entrymod._ann_index_dir(spark, SF_DIR, "ivf")
-        entrymod._ann_index_dir(spark, SF_DIR, "int8")
-        RESULT["ann_index_build_s"] = round(time.time() - t0, 1)
-    except Exception as e:
-        RESULT["ann_index_build_s"] = f"error: {e}"[:200]
-    t0 = time.time()
-    try:
-        entrymod._ws_pruned_index(spark, SF_DIR)
-        RESULT["pruned_index_build_s"] = round(time.time() - t0, 1)
-    except Exception as e:
-        RESULT["pruned_index_build_s"] = f"error: {e}"[:200]
-    # facet sidecar: a build-time artifact like the ANN indexes — the
-    # wand_filtered/wand_facets members time the pruned serve path
-    t0 = time.time()
-    try:
-        entrymod._facet_sidecar(spark, SF_DIR)
-        RESULT["facet_index_build_s"] = round(time.time() - t0, 1)
-    except Exception as e:
-        RESULT["facet_index_build_s"] = f"error: {e}"[:200]
-    # lifecycle fixtures (tombstoned / compacted / recrawled index
-    # states) are build-time artifacts too: pre-build them here so
-    # wand_tombstoned & co time the SERVING path, not a one-off
-    # delete/compact/upsert pipeline (their build cost is recorded
-    # separately, same as the ANN/pruned/facet artifacts above)
-    t0 = time.time()
-    try:
-        entrymod._tomb_index(spark, SF_DIR, compacted=False)
-        entrymod._tomb_index(spark, SF_DIR, compacted=True)
-        entrymod._recrawl_index(spark, SF_DIR)
-        entrymod._merged_index(spark, SF_DIR)
-        entrymod._pos_merged_cached(spark, SF_DIR)
-        entrymod._absorbed_index(spark, SF_DIR)
-        RESULT["lifecycle_fixture_build_s"] = round(time.time() - t0, 1)
-    except Exception as e:
-        RESULT["lifecycle_fixture_build_s"] = f"error: {e}"[:200]
-    # quantized sidecar (X112): a build artifact like the ANN indexes —
-    # wand_quantized then times the integer serving path only
-    t0 = time.time()
-    try:
-        entrymod._quantized_shards_cached(spark, SF_DIR)
-        RESULT["quantized_index_build_s"] = round(time.time() - t0, 1)
-    except Exception as e:
-        RESULT["quantized_index_build_s"] = f"error: {e}"[:200]
-    # the shared tf relation every declarative bm25/statistics member
-    # consumes is a BUILD artifact too (the indexed corpus): cache it
-    # here, cost recorded, so the battery's first member times its
-    # QUERY instead of absorbing the one-time corpus tokenization —
-    # the r3->r4 bm25_topk "regression" was exactly this charge
-    # varying with how JIT-warm the preceding phases left the JVM
-    t0 = time.time()
-    try:
-        entrymod._tf_ws_cached(spark, SF_DIR).count()
-        RESULT["tf_cache_build_s"] = round(time.time() - t0, 1)
-    except Exception as e:
-        RESULT["tf_cache_build_s"] = f"error: {e}"[:200]
-    # positional shards + passage-stats sidecar: build artifacts the
-    # phrase_*_pos / passage_topk_indexed members serve FROM
-    t0 = time.time()
-    try:
-        entrymod._pos_index_cached(spark, SF_DIR).count()
-        entrymod._passage_stats_cached(spark, SF_DIR).count()
-        RESULT["positional_build_s"] = round(time.time() - t0, 1)
-    except Exception as e:
-        RESULT["positional_build_s"] = f"error: {e}"[:200]
+    # not a one-time table write.  Each pre-build is budget-guarded:
+    # on a COLD machine (fresh /tmp, first round of a session) the
+    # full artifact set costs minutes, and the battery — the phase the
+    # rotation-coverage guarantee depends on — must keep a reserve; a
+    # skipped pre-build just means its members pay first-touch build
+    # inside their own (evidence-bracketed) readings, exactly how the
+    # battery ran before pre-builds existed.
+    prebuilds = [
+        # (RESULT key, thunk)
+        ("ann_index_build_s", lambda: (
+            entrymod._ann_index_dir(spark, SF_DIR, "lsh"),
+            entrymod._ann_index_dir(spark, SF_DIR, "ivf"),
+            entrymod._ann_index_dir(spark, SF_DIR, "int8"),
+        )),
+        ("pruned_index_build_s",
+         lambda: entrymod._ws_pruned_index(spark, SF_DIR)),
+        # facet sidecar: wand_filtered/wand_facets time the pruned
+        # serve path
+        ("facet_index_build_s",
+         lambda: entrymod._facet_sidecar(spark, SF_DIR)),
+        # lifecycle fixtures (tombstoned / compacted / recrawled /
+        # merged / absorbed index states): wand_tombstoned & co time
+        # the SERVING path, not a one-off maintenance pipeline
+        ("lifecycle_fixture_build_s", lambda: (
+            entrymod._tomb_index(spark, SF_DIR, compacted=False),
+            entrymod._tomb_index(spark, SF_DIR, compacted=True),
+            entrymod._recrawl_index(spark, SF_DIR),
+            entrymod._merged_index(spark, SF_DIR),
+            entrymod._pos_merged_cached(spark, SF_DIR),
+            entrymod._absorbed_index(spark, SF_DIR),
+        )),
+        # quantized sidecar (X112): wand_quantized times the integer
+        # serving path only
+        ("quantized_index_build_s",
+         lambda: entrymod._quantized_shards_cached(spark, SF_DIR)),
+        # the shared tf relation every declarative bm25/statistics
+        # member consumes is the indexed corpus — cache it untimed so
+        # the battery's first member times its QUERY, not the one-time
+        # tokenization (the r3->r4 bm25_topk "regression")
+        ("tf_cache_build_s",
+         lambda: entrymod._tf_ws_cached(spark, SF_DIR).count()),
+        # positional shards + passage-stats sidecar: what the
+        # phrase_*_pos / passage_topk_indexed members serve FROM
+        ("positional_build_s", lambda: (
+            entrymod._pos_index_cached(spark, SF_DIR).count(),
+            entrymod._passage_stats_cached(spark, SF_DIR).count(),
+        )),
+    ]
+    # keep at least this much budget for the battery itself
+    PREBUILD_RESERVE = float(
+        os.environ.get("SPARK_GRAFT_PREBUILD_RESERVE", "200")
+    )
+    for key, thunk in prebuilds:
+        if left() < PREBUILD_RESERVE:
+            RESULT[key] = "skipped: battery budget reserve"
+            continue
+        t0 = time.time()
+        try:
+            thunk()
+            RESULT[key] = round(time.time() - t0, 1)
+        except Exception as e:
+            RESULT[key] = f"error: {e}"[:200]
     times: dict[str, float] = {}
     RESULT["queries"] = times
     battery = _battery_order()
