@@ -757,22 +757,45 @@ def run_headline(spark) -> None:
     # skipped pre-build just means its members pay first-touch build
     # inside their own (evidence-bracketed) readings, exactly how the
     # battery ran before pre-builds existed.
+    # ordered CHEAPEST-FIRST (cold sf0.1 costs in comments): when the
+    # scaling phase leaves a thin budget, the cheap artifacts that
+    # improve the MOST member readings (the shared tf cache feeds
+    # every declarative bm25/statistics member) still land, and the
+    # expensive tails hit the reserve floor first
     prebuilds = [
         # (RESULT key, thunk)
+        # the shared tf relation is the indexed corpus — cached
+        # untimed so the battery's first member times its QUERY, not
+        # the one-time tokenization (the r3->r4 bm25_topk
+        # "regression"); ~8-15 s cold
+        ("tf_cache_build_s",
+         lambda: entrymod._tf_ws_cached(spark, SF_DIR).count()),
+        # positional shards + passage-stats sidecar: what the
+        # phrase_*_pos / passage_topk_indexed members serve FROM;
+        # ~6 s cold
+        ("positional_build_s", lambda: (
+            entrymod._pos_index_cached(spark, SF_DIR).count(),
+            entrymod._passage_stats_cached(spark, SF_DIR).count(),
+        )),
+        # quantized sidecar (X112): wand_quantized times the integer
+        # serving path only; ~10 s cold
+        ("quantized_index_build_s",
+         lambda: entrymod._quantized_shards_cached(spark, SF_DIR)),
+        # facet sidecar: wand_filtered/wand_facets time the pruned
+        # serve path; ~10 s cold
+        ("facet_index_build_s",
+         lambda: entrymod._facet_sidecar(spark, SF_DIR)),
+        ("pruned_index_build_s",
+         lambda: entrymod._ws_pruned_index(spark, SF_DIR)),
         ("ann_index_build_s", lambda: (
             entrymod._ann_index_dir(spark, SF_DIR, "lsh"),
             entrymod._ann_index_dir(spark, SF_DIR, "ivf"),
             entrymod._ann_index_dir(spark, SF_DIR, "int8"),
         )),
-        ("pruned_index_build_s",
-         lambda: entrymod._ws_pruned_index(spark, SF_DIR)),
-        # facet sidecar: wand_filtered/wand_facets time the pruned
-        # serve path
-        ("facet_index_build_s",
-         lambda: entrymod._facet_sidecar(spark, SF_DIR)),
         # lifecycle fixtures (tombstoned / compacted / recrawled /
         # merged / absorbed index states): wand_tombstoned & co time
-        # the SERVING path, not a one-off maintenance pipeline
+        # the SERVING path, not a one-off maintenance pipeline;
+        # ~60-90 s cold, the expensive tail
         ("lifecycle_fixture_build_s", lambda: (
             entrymod._tomb_index(spark, SF_DIR, compacted=False),
             entrymod._tomb_index(spark, SF_DIR, compacted=True),
@@ -781,26 +804,10 @@ def run_headline(spark) -> None:
             entrymod._pos_merged_cached(spark, SF_DIR),
             entrymod._absorbed_index(spark, SF_DIR),
         )),
-        # quantized sidecar (X112): wand_quantized times the integer
-        # serving path only
-        ("quantized_index_build_s",
-         lambda: entrymod._quantized_shards_cached(spark, SF_DIR)),
-        # the shared tf relation every declarative bm25/statistics
-        # member consumes is the indexed corpus — cache it untimed so
-        # the battery's first member times its QUERY, not the one-time
-        # tokenization (the r3->r4 bm25_topk "regression")
-        ("tf_cache_build_s",
-         lambda: entrymod._tf_ws_cached(spark, SF_DIR).count()),
-        # positional shards + passage-stats sidecar: what the
-        # phrase_*_pos / passage_topk_indexed members serve FROM
-        ("positional_build_s", lambda: (
-            entrymod._pos_index_cached(spark, SF_DIR).count(),
-            entrymod._passage_stats_cached(spark, SF_DIR).count(),
-        )),
     ]
     # keep at least this much budget for the battery itself
     PREBUILD_RESERVE = float(
-        os.environ.get("SPARK_GRAFT_PREBUILD_RESERVE", "200")
+        os.environ.get("SPARK_GRAFT_PREBUILD_RESERVE", "150")
     )
     for key, thunk in prebuilds:
         if left() < PREBUILD_RESERVE:
