@@ -622,6 +622,18 @@ def _q_passage_topk_indexed(spark, sf):
     )
 
 
+def _q_passage_render(spark, sf):
+    """RAG answer surface (textops.passage_render): passage_topk's
+    windows joined back to their text, query terms bracketed [term] —
+    the k-row result broadcasts into the chunk relation, so rendering
+    adds one scan-speed pass and zero chunk-text shuffles."""
+    from tse_spark.operators import textops
+
+    return textops.passage_render(
+        _t(spark, sf, "documents"), BM25_QUERY, K
+    )
+
+
 # plural-rich synthesized column for the stemming demo: the fixture
 # vocabulary has no inflections, so each doc deterministically appends
 # one plural whose S-stem merges with an existing base term
@@ -4466,6 +4478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never-verified overflow (position >50: local-harness-checked) --
         "passage_topk": _q_passage_topk,
         "passage_topk_indexed": _q_passage_topk_indexed,
+        "passage_render": _q_passage_render,
         "rp_ann": _q_rp_ann,
         "rp_recall": _q_rp_recall,
         "anchor_text": _q_anchor_text,
@@ -5701,6 +5714,50 @@ def _dedup_components_lsh_oracle_sql() -> str:
     )
 
 
+# X119 passage oracle core (shared by passage_topk / passage_render /
+# passage_topk_indexed): the doc_chunks window law + passage-local
+# BM25 stats as DuckDB list ops
+_PASSAGE_TERMS_SQL = ", ".join(
+    "'" + t + "'" for t in sorted(set(BM25_QUERY))
+)
+_PASSAGE_CORE_SQL = f"""WITH d AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> strlen(t) > 0) AS arr
+          FROM documents),
+        d2 AS (SELECT doc_id, arr, len(arr) AS n FROM d
+               WHERE len(arr) > 0),
+        st AS (SELECT doc_id, arr, n, unnest(range(0, n, 48)) AS s
+               FROM d2),
+        f AS (SELECT * FROM st WHERE s = 0 OR s < n - 16),
+        win2 AS (
+          SELECT doc_id, (s // 48)::BIGINT AS chunk_id,
+                 s::BIGINT AS start_tok,
+                 arr[s + 1 : least(s + 64, n)] AS full_w,
+                 list_filter(arr[s + 1 : least(s + 64, n)],
+                             t -> strlen(t) BETWEEN 2 AND 8) AS w
+          FROM f),
+        pw AS (SELECT doc_id, chunk_id, start_tok, w,
+                      len(w)::BIGINT AS dl
+               FROM win2 WHERE len(w) > 0),
+        pstats AS (SELECT count(*)::BIGINT AS n_p, avg(dl) AS avgdl
+                   FROM pw),
+        ptf AS (
+          SELECT doc_id, chunk_id, start_tok, dl, q.term,
+                 len(list_filter(w, t -> t = q.term))::BIGINT AS tf
+          FROM pw,
+               (SELECT unnest([{_PASSAGE_TERMS_SQL}]) AS term) q),
+        nz AS (SELECT * FROM ptf WHERE tf > 0),
+        dfr AS (SELECT term, count(*)::BIGINT AS df FROM nz GROUP BY 1),
+        per AS (
+          SELECT nz.doc_id, nz.chunk_id, nz.start_tok,
+                 ln(1 + (pstats.n_p - dfr.df + 0.5) / (dfr.df + 0.5))
+                   * nz.tf * 2.2
+                   / (nz.tf + 1.2 * (0.25 + 0.75 * nz.dl / pstats.avgdl))
+                   AS s
+          FROM nz JOIN dfr USING (term) CROSS JOIN pstats)"""
+
+
 def oracle_sql() -> dict[str, str]:
     terms3 = ", ".join(f"'{t}'" for t in BM25_QUERY)
     terms2 = ", ".join(f"'{t}'" for t in BM25_CONJ_QUERY)
@@ -6838,46 +6895,28 @@ def oracle_sql() -> dict[str, str]:
         # passage-local stats (dl = eligible tokens in the window,
         # df = windows containing the term, N = windows with dl > 0)
         "passage_topk": f"""
-        WITH d AS (
-          SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                             t -> strlen(t) > 0) AS toks
-          FROM documents),
-        d2 AS (SELECT doc_id, toks, len(toks) AS n FROM d
-               WHERE len(toks) > 0),
-        st AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS s
-               FROM d2),
-        f AS (SELECT * FROM st WHERE s = 0 OR s < n - 16),
-        win AS (
-          SELECT doc_id, (s // 48)::BIGINT AS chunk_id,
-                 s::BIGINT AS start_tok,
-                 list_filter(toks[s + 1 : least(s + 64, n)],
-                             t -> strlen(t) BETWEEN 2 AND 8) AS w
-          FROM f),
-        pw AS (SELECT doc_id, chunk_id, start_tok, w,
-                      len(w)::BIGINT AS dl
-               FROM win WHERE len(w) > 0),
-        pstats AS (SELECT count(*)::BIGINT AS n_p, avg(dl) AS avgdl
-                   FROM pw),
-        ptf AS (
-          SELECT doc_id, chunk_id, start_tok, dl, q.term,
-                 len(list_filter(w, t -> t = q.term))::BIGINT AS tf
-          FROM pw,
-               (SELECT unnest([{", ".join(
-                   "'" + t + "'" for t in sorted(set(BM25_QUERY))
-               )}]) AS term) q),
-        nz AS (SELECT * FROM ptf WHERE tf > 0),
-        dfr AS (SELECT term, count(*)::BIGINT AS df FROM nz GROUP BY 1),
-        per AS (
-          SELECT nz.doc_id, nz.chunk_id, nz.start_tok,
-                 ln(1 + (pstats.n_p - dfr.df + 0.5) / (dfr.df + 0.5))
-                   * nz.tf * 2.2
-                   / (nz.tf + 1.2 * (0.25 + 0.75 * nz.dl / pstats.avgdl))
-                   AS s
-          FROM nz JOIN dfr USING (term) CROSS JOIN pstats)
+        {_PASSAGE_CORE_SQL}
         SELECT doc_id, chunk_id, start_tok, round(sum(s), 4) AS score
         FROM per GROUP BY 1, 2, 3
         ORDER BY sum(s) DESC, doc_id, chunk_id LIMIT {K}""",
+        # X119 render: top passages joined back to their text, query
+        # terms bracketed [term] (token-exact highlight law)
+        "passage_render": f"""
+        {_PASSAGE_CORE_SQL},
+        top AS (
+          SELECT doc_id, chunk_id, round(sum(s), 4) AS score
+          FROM per GROUP BY 1, 2
+          ORDER BY sum(s) DESC, doc_id, chunk_id LIMIT {K}),
+        txt AS (
+          SELECT w2.doc_id, w2.chunk_id,
+                 array_to_string(list_transform(w2.full_w,
+                   t -> CASE WHEN t IN ({_PASSAGE_TERMS_SQL})
+                             THEN '[' || t || ']' ELSE t END), ' ')
+                   AS passage
+          FROM win2 w2)
+        SELECT t.doc_id, t.chunk_id, t.score, x.passage
+        FROM top t JOIN txt x USING (doc_id, chunk_id)
+        ORDER BY t.score DESC, t.doc_id, t.chunk_id""",
         # priority sampling: q = w / u with u = (h+1)/2^60 from the
         # row's own md5; top-20 by (q desc, id), est_w = max(w, tau)
         # with tau = the 21st priority — sketches.priority_sample

@@ -285,6 +285,7 @@ HEADLINE = [
     # round 5: passage-level BM25 retrieval (scan + positional serving)
     "passage_topk",
     "passage_topk_indexed",
+    "passage_render",
 ]
 
 # Always-on core: the cross-round-comparable members (bm25/wand serving

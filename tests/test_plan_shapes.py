@@ -367,3 +367,12 @@ def test_passage_bm25_never_shuffles_occurrences(spark):
     # window identity, none on `term`
     assert "hashpartitioning(term" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row stats
+
+
+def test_passage_render_broadcasts_topk(spark):
+    """passage_render's scale claim: the k-row result set broadcasts
+    into the chunk relation — chunk text never shuffles."""
+    plan = _plan(textops.passage_render(_docs(spark), ["tok1"], k=5))
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere: that would shuffle the chunk text
+    assert "SortMergeJoin" not in plan

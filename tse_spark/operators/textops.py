@@ -1048,6 +1048,45 @@ def passage_bm25_topk(
     )
 
 
+def passage_render(
+    docs: DataFrame,
+    terms: "list[str]",
+    k: int = 10,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """The RAG answer surface: :func:`passage_bm25_topk`'s top-``k``
+    windows joined back to their text with every query term bracketed
+    ``[term]`` (token-exact highlight, same law as the oracle) —
+    (doc_id, chunk_id, score, passage).
+
+    Scale shape: the k-row result BROADCASTS into the chunk relation,
+    so rendering costs one more corpus-scan-speed pass and zero
+    shuffles of chunk text; the highlight is a codegen ``transform``
+    over the window's token array."""
+    uniq = sorted(set(terms))
+    top = passage_bm25_topk(docs, terms, k, chunk_tokens, overlap)
+    chunks = chunk_documents(docs, chunk_tokens, overlap).select(
+        "doc_id", "chunk_id", "chunk_text"
+    )
+    arr = F.split(F.col("chunk_text"), " ")
+    hl = F.array_join(
+        F.transform(
+            arr,
+            lambda t: F.when(
+                t.isin(uniq), F.concat(F.lit("["), t, F.lit("]"))
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    return (
+        F.broadcast(top)
+        .join(chunks, ["doc_id", "chunk_id"])
+        .select("doc_id", "chunk_id", "score", hl.alias("passage"))
+        .orderBy(F.desc("score"), "doc_id", "chunk_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # S-stemmer + automatic stopword mining
 # ---------------------------------------------------------------------------
