@@ -541,3 +541,36 @@ def test_passage_indexed_equals_scan_scorer(spark):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+def test_passage_stats_sidecar_appends_like_rebuild(spark):
+    """Lifecycle law for the passage sidecar: window stats are a pure
+    per-document function, so maintaining the sidecar under an index
+    append is build(delta) unioned onto the existing rows — exactly
+    equal to a rebuild over the full corpus.  (N/avgdl recompute from
+    the union at query time, so no meta reconciliation exists to get
+    wrong.)"""
+    import pandas as pd
+
+    from tse_spark.operators import textops
+
+    rows = [
+        (d, " ".join(f"w{(d + i) % 9}" for i in range(5 + (d * 13) % 120)))
+        for d in range(40)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    base = docs.filter("doc_id < 25")
+    delta = docs.filter("doc_id >= 25")
+    full = textops.build_passage_stats(docs).toPandas()
+    merged = (
+        textops.build_passage_stats(base)
+        .unionByName(textops.build_passage_stats(delta))
+        .toPandas()
+    )
+    key = ["doc_id", "start_tok"]
+    pd.testing.assert_frame_equal(
+        full.sort_values(key).reset_index(drop=True),
+        merged.sort_values(key).reset_index(drop=True),
+    )
